@@ -1,0 +1,41 @@
+from .boundary import BoundaryConditions, Dirichlet, Neumann, default_boundaries
+from .sources import (
+    ContinuousWave,
+    GaussianDerivative,
+    GaussianPulse,
+    PointSource,
+    Ricker,
+    SourceSet,
+)
+from .state import SimState, zero_state
+from .step import (
+    CellCoefficients,
+    curl_backward,
+    curl_forward,
+    divergence,
+    field_energy,
+    step,
+    step_fn,
+)
+
+__all__ = [
+    "BoundaryConditions",
+    "Dirichlet",
+    "Neumann",
+    "default_boundaries",
+    "ContinuousWave",
+    "GaussianDerivative",
+    "GaussianPulse",
+    "PointSource",
+    "Ricker",
+    "SourceSet",
+    "SimState",
+    "zero_state",
+    "CellCoefficients",
+    "curl_backward",
+    "curl_forward",
+    "divergence",
+    "field_energy",
+    "step",
+    "step_fn",
+]

@@ -1,0 +1,227 @@
+"""The Yee leapfrog update — pure-JAX reference path.
+
+Implements exactly the reference's update equations and stencil conventions
+(cem-solver/src/fdtd/cpu/mod.rs:412-516, cpu/util.rs:139-194,
+fdtd/wgpu/update.wgsl:56-129):
+
+  1. H_next = D_a * H_prev + D_b * (-curl_b(E_prev) - M_src)
+  2. E_next = C_a * E_prev + C_b * (+curl_f(H_NEXT) - J_src)
+
+where curl_b uses *backward* differences (E is staggered +(.5,.5,.5) relative
+to H) and curl_f uses *forward* differences of the just-updated H. Boundary
+closure per fdtd/boundary_condition.rs (default: zero difference).
+
+This path is the correctness oracle twin and the XLA-fusion baseline; the
+Pallas kernels in pallas_step.py must match it bitwise at f32 on identical
+inputs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .boundary import BoundaryConditions, Dirichlet, Neumann
+from .sources import SourceSet
+from .state import SimState
+
+__all__ = [
+    "CellCoefficients",
+    "curl_backward",
+    "curl_forward",
+    "step",
+    "divergence",
+    "field_energy",
+]
+
+
+class CellCoefficients(NamedTuple):
+    """Per-cell update coefficients, each broadcastable against (nx, ny, nz).
+
+    Scalars for uniform media (the fast path: no coefficient memory traffic),
+    dense (nx, ny, nz) arrays, or arrays gathered per step from a compressed
+    material-index buffer (see materialize()).
+    """
+
+    c_a: jax.Array
+    c_b: jax.Array
+    d_a: jax.Array
+    d_b: jax.Array
+
+    @classmethod
+    def uniform(cls, row, dtype=jnp.float32) -> "CellCoefficients":
+        c_a, c_b, d_a, d_b = (jnp.asarray(v, dtype) for v in row)
+        return cls(c_a, c_b, d_a, d_b)
+
+    @classmethod
+    def from_table(cls, table: jax.Array, matid: jax.Array) -> "CellCoefficients":
+        """Gather dense coefficients from a (K, 4) table by per-cell index.
+
+        Implements the compressed material-index buffer
+        (/root/reference/README.md:25-28). Under jit the gather fuses into
+        the update; for K == 1 prefer ``uniform``.
+        """
+        idx = matid.astype(jnp.int32)
+        return cls(
+            c_a=jnp.take(table[:, 0], idx),
+            c_b=jnp.take(table[:, 1], idx),
+            d_a=jnp.take(table[:, 2], idx),
+            d_b=jnp.take(table[:, 3], idx),
+        )
+
+
+def _diff_backward(f: jax.Array, axis: int, bc, comp: int) -> jax.Array:
+    """(f[i] - f[i-1]) along ``axis`` with the low-edge plane closed by bc.
+
+    ``f`` is a 3D component array; returns the raw difference (the 1/dx is
+    applied by the caller, matching cpu/util.rs:193 where apply_df's result
+    is divided by dx afterwards).
+    """
+    lo = jax.lax.slice_in_dim(f, 0, -1, axis=axis)
+    hi = jax.lax.slice_in_dim(f, 1, None, axis=axis)
+    interior = hi - lo
+    edge_shape = list(f.shape)
+    edge_shape[axis] = 1
+    if isinstance(bc, Neumann):
+        # missing f[-1]: difference := alpha (boundary_condition.rs:30-36)
+        edge = jnp.full(edge_shape, bc.alpha[comp], f.dtype)
+    elif isinstance(bc, Dirichlet):
+        # missing f[-1] := alpha, difference = f[0] - alpha (:16-20)
+        first = jax.lax.slice_in_dim(f, 0, 1, axis=axis)
+        edge = first - jnp.asarray(bc.alpha[comp], f.dtype)
+    else:
+        raise TypeError(f"unknown boundary condition {bc!r}")
+    return jnp.concatenate([edge, interior], axis=axis)
+
+
+def _diff_forward(f: jax.Array, axis: int, bc, comp: int) -> jax.Array:
+    """(f[i+1] - f[i]) along ``axis`` with the high-edge plane closed by bc."""
+    lo = jax.lax.slice_in_dim(f, 0, -1, axis=axis)
+    hi = jax.lax.slice_in_dim(f, 1, None, axis=axis)
+    interior = hi - lo
+    edge_shape = list(f.shape)
+    edge_shape[axis] = 1
+    if isinstance(bc, Neumann):
+        # missing f[n]: difference := beta
+        edge = jnp.full(edge_shape, bc.beta[comp], f.dtype)
+    elif isinstance(bc, Dirichlet):
+        last = jax.lax.slice_in_dim(f, -1, None, axis=axis)
+        edge = jnp.asarray(bc.beta[comp], f.dtype) - last
+    else:
+        raise TypeError(f"unknown boundary condition {bc!r}")
+    return jnp.concatenate([interior, edge], axis=axis)
+
+
+def _curl(f: jax.Array, inv_dx, bc: BoundaryConditions, diff) -> jax.Array:
+    """curl of a component-first (3, nx, ny, nz) field.
+
+    curl = (dFz/dy - dFy/dz, dFx/dz - dFz/dx, dFy/dx - dFx/dy),
+    the antisymmetric part of the Jacobian (cpu/util.rs:126-132).
+    """
+
+    def d(comp: int, axis: int) -> jax.Array:
+        return diff(f[comp], axis, bc.axis(axis), comp) * inv_dx[axis]
+
+    cx = d(2, 1) - d(1, 2)
+    cy = d(0, 2) - d(2, 0)
+    cz = d(1, 0) - d(0, 1)
+    return jnp.stack([cx, cy, cz])
+
+
+def curl_backward(f: jax.Array, inv_dx, bc: BoundaryConditions) -> jax.Array:
+    """Backward-difference curl (used for curl E in the H update:
+    dx0 = (1,1,1), dx1 = 0 in cpu/mod.rs:436-438; dedi in update.wgsl:155-165).
+    """
+    return _curl(f, inv_dx, bc, _diff_backward)
+
+
+def curl_forward(f: jax.Array, inv_dx, bc: BoundaryConditions) -> jax.Array:
+    """Forward-difference curl (curl H in the E update: dx0 = 0,
+    dx1 = (1,1,1) in cpu/mod.rs:478-480; dhdi in update.wgsl:167-177)."""
+    return _curl(f, inv_dx, bc, _diff_forward)
+
+
+@partial(jax.jit, static_argnames=("bc", "inv_dx", "dt"), donate_argnums=(0,))
+def step(
+    state: SimState,
+    coeffs: CellCoefficients,
+    sources: Optional[SourceSet],
+    *,
+    inv_dx: Tuple[float, float, float],
+    dt: float,
+    bc: BoundaryConditions = BoundaryConditions(),
+) -> SimState:
+    """One full leapfrog tick. Jitted standalone; inside lax.scan use
+    step_fn() to avoid re-tracing."""
+    return step_fn(inv_dx=inv_dx, dt=dt, bc=bc)(state, coeffs, sources)
+
+
+def step_fn(
+    *,
+    inv_dx: Tuple[float, float, float],
+    dt: float,
+    bc: BoundaryConditions = BoundaryConditions(),
+):
+    """Build the pure step(state, coeffs, sources) -> state function."""
+
+    def _step(
+        state: SimState,
+        coeffs: CellCoefficients,
+        sources: Optional[SourceSet],
+    ) -> SimState:
+        e, h, tick = state
+        dtype = e.dtype
+
+        # Sources are evaluated at the PRE-step simulation time
+        # (cem-app/src/solver/runner.rs:520-527).
+        if sources is not None and sources.num_sources > 0:
+            t = tick.astype(dtype) * jnp.asarray(dt, dtype)
+            j_vals, m_vals = sources.values(t)
+            px, py, pz = sources.points[:, 0], sources.points[:, 1], sources.points[:, 2]
+        else:
+            j_vals = m_vals = None
+
+        # --- H update: h = D_a*h + D_b*(-curl_b(e) - M) ------------------
+        ce = curl_backward(e, inv_dx, bc)
+        h = coeffs.d_a * h - coeffs.d_b * ce
+        if m_vals is not None:
+            db_cells = jnp.broadcast_to(coeffs.d_b, e.shape[1:])[px, py, pz]
+            h = h.at[:, px, py, pz].add(
+                -(db_cells[:, None] * m_vals).T.astype(dtype),
+                mode="drop",
+            )
+
+        # --- E update: e = C_a*e + C_b*(curl_f(h_NEXT) - J) --------------
+        ch = curl_forward(h, inv_dx, bc)
+        e = coeffs.c_a * e + coeffs.c_b * ch
+        if j_vals is not None:
+            cb_cells = jnp.broadcast_to(coeffs.c_b, h.shape[1:])[px, py, pz]
+            e = e.at[:, px, py, pz].add(
+                -(cb_cells[:, None] * j_vals).T.astype(dtype),
+                mode="drop",
+            )
+
+        return SimState(e=e, h=h, tick=tick + 1)
+
+    return _step
+
+
+def divergence(f: jax.Array, inv_dx, bc: BoundaryConditions, forward: bool = True):
+    """div F via the matching one-sided differences (Jacobian trace,
+    cpu/util.rs:134-136). Physics invariant: free-space FDTD preserves
+    div B = 0 exactly (to rounding) away from sources."""
+    diff = _diff_forward if forward else _diff_backward
+    return sum(
+        diff(f[i], i, bc.axis(i), i) * inv_dx[i] for i in range(3)
+    )
+
+
+def field_energy(state: SimState, eps, mu, cell_volume: float) -> jax.Array:
+    """Total EM energy 0.5 * sum(eps*|E|^2 + mu*|H|^2) * dV, the invariant the
+    reference only sketches in comments (cpu/mod.rs:463-466, 505-508)."""
+    ee = jnp.sum(eps * jnp.sum(state.e * state.e, axis=0))
+    hh = jnp.sum(mu * jnp.sum(state.h * state.h, axis=0))
+    return 0.5 * (ee + hh) * cell_volume
