@@ -24,6 +24,7 @@ from .solver import (
     Ricker,
     SimState,
     SourceSet,
+    state_from_stacked,
     step,
     step_fn,
     zero_state,

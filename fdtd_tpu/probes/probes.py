@@ -1,0 +1,170 @@
+"""Field measurement: probes (per-tick samples) and accumulators (running
+reductions carried through the scan).
+
+Counterpart of the reference's field readback (Field/FieldView,
+cem-solver/src/lib.rs:97-136 and the blocking staging-map path
+cem-solver/src/fdtd/wgpu/mod.rs:451-578) — but measurements here stay on
+device inside the compiled scan, and only the stacked results cross to the
+host. DFT probes are new capability (the reference has none; BASELINE
+config 3 requires them).
+
+All probe classes are frozen/hashable so they can key the jit cache in
+simulation.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..solver.state import SimState
+
+__all__ = [
+    "FieldComponent",
+    "PointProbe",
+    "SliceProbe",
+    "EnergyProbe",
+    "DftProbe",
+    "PoyntingFluxProbe",
+]
+
+
+class FieldComponent(enum.Enum):
+    """Which field to sample (cem-solver/src/lib.rs:138-142)."""
+
+    E = "e"
+    H = "h"
+
+
+def _field(state: SimState, component: FieldComponent):
+    return state.e if component is FieldComponent.E else state.h
+
+
+@dataclasses.dataclass(frozen=True)
+class PointProbe:
+    """Sample the field vector at fixed lattice points -> (n_points, 3)."""
+
+    points: Tuple[Tuple[int, int, int], ...]
+    component: FieldComponent = FieldComponent.E
+
+    def sample(self, state: SimState, dt) -> jax.Array:
+        pts = np.asarray(self.points, np.int32)
+        f = _field(state, self.component)
+        return jnp.stack(
+            [f[c][pts[:, 0], pts[:, 1], pts[:, 2]] for c in range(3)], axis=-1
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class SliceProbe:
+    """Extract a full 2D lattice plane -> (3, n_a, n_b).
+
+    The device-side half of the projection/observer pipeline
+    (cem-app/src/solver/observer.rs); colormapping happens in
+    viz/projection.py.
+    """
+
+    axis: int  # 0=x, 1=y, 2=z
+    index: int
+    component: FieldComponent = FieldComponent.E
+
+    def sample(self, state: SimState, dt) -> jax.Array:
+        f = _field(state, self.component)
+        return jnp.stack(
+            [
+                jax.lax.index_in_dim(f[c], self.index, axis=self.axis, keepdims=False)
+                for c in range(3)
+            ]
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class EnergyProbe:
+    """0.5 * (eps*|E|^2 + mu*|H|^2) summed over the lattice, times dV.
+
+    The energy invariant the reference left as commented-out debug code
+    (cem-solver/src/fdtd/cpu/mod.rs:463-466, 505-508). Uniform-medium form."""
+
+    eps: float = 1.0
+    mu: float = 1.0
+    cell_volume: float = 1.0
+
+    def sample(self, state: SimState, dt) -> jax.Array:
+        ee = sum(jnp.sum(c.astype(jnp.float32) ** 2) for c in state.e)
+        hh = sum(jnp.sum(c.astype(jnp.float32) ** 2) for c in state.h)
+        return 0.5 * (self.eps * ee + self.mu * hh) * self.cell_volume
+
+
+@dataclasses.dataclass(frozen=True)
+class DftProbe:
+    """Running discrete Fourier transform of a field slice at fixed
+    frequencies (accumulator). Produces the frequency-domain fields needed
+    for scattering cross-sections and near-to-far-field transforms.
+
+    acc[k] += plane * exp(-2j*pi*f_k*t) accumulated every tick; real/imag
+    parts kept separately (TPU has no complex support in many fused paths).
+    Multiply by dt on the host for the continuous-time DFT convention.
+    """
+
+    frequencies: Tuple[float, ...]
+    axis: int
+    index: int
+    component: FieldComponent = FieldComponent.E
+
+    def _plane(self, state: SimState) -> jax.Array:
+        f = _field(state, self.component)
+        return jnp.stack(
+            [
+                jax.lax.index_in_dim(f[c], self.index, axis=self.axis, keepdims=False)
+                for c in range(3)
+            ]
+        ).astype(jnp.float32)
+
+    def init(self, state: SimState, dt):
+        plane = self._plane(state)
+        k = len(self.frequencies)
+        z = jnp.zeros((k, *plane.shape), jnp.float32)
+        return (z, z)
+
+    def update(self, acc, state: SimState, dt):
+        re, im = acc
+        plane = self._plane(state)
+        # the just-updated field belongs to time t = tick * dt
+        t = state.tick.astype(jnp.float32) * jnp.float32(dt)
+        freqs = jnp.asarray(self.frequencies, jnp.float32)
+        phase = (-2.0 * math.pi) * freqs * t  # (k,)
+        c, s = jnp.cos(phase), jnp.sin(phase)
+        bshape = (-1,) + (1,) * plane.ndim
+        return (
+            re + c.reshape(bshape) * plane[None],
+            im + s.reshape(bshape) * plane[None],
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class PoyntingFluxProbe:
+    """Instantaneous Poynting flux S = E x H integrated over a lattice plane,
+    component normal to the plane -> scalar per sample. Basis for
+    scattering/absorption cross-sections."""
+
+    axis: int
+    index: int
+    cell_area: float = 1.0
+
+    def sample(self, state: SimState, dt) -> jax.Array:
+        def plane(f3, c):
+            return jax.lax.index_in_dim(
+                f3[c], self.index, axis=self.axis, keepdims=False
+            ).astype(jnp.float32)
+
+        a, b = {0: (1, 2), 1: (2, 0), 2: (0, 1)}[self.axis]
+        s_n = plane(state.e, a) * plane(state.h, b) - plane(state.e, b) * plane(
+            state.h, a
+        )
+        return jnp.sum(s_n) * self.cell_area

@@ -7,7 +7,7 @@ from .sources import (
     Ricker,
     SourceSet,
 )
-from .state import SimState, zero_state
+from .state import SimState, state_from_stacked, zero_state
 from .step import (
     CellCoefficients,
     curl_backward,
@@ -30,6 +30,7 @@ __all__ = [
     "Ricker",
     "SourceSet",
     "SimState",
+    "state_from_stacked",
     "zero_state",
     "CellCoefficients",
     "curl_backward",

@@ -1,0 +1,151 @@
+"""High-level simulation driver: scan-based time loop with probe streaming.
+
+Counterpart of the reference's solver lifecycle
+(SolverBackend -> SolverInstance -> State -> UpdatePass,
+cem-solver/src/lib.rs:28-95) re-shaped for XLA: a ``Simulation`` bundles the
+static configuration (grid, coefficients, sources, boundaries), ``init()``
+makes the state pytree, and ``run(state, n)`` executes a fused
+``lax.scan`` over n ticks — one compiled program for the whole run instead
+of the reference's submit-and-block-per-tick loop
+(cem-solver/src/fdtd/wgpu/mod.rs:98-107).
+
+Two kinds of on-device measurement ride the scan:
+
+- **probes**: ``sample(state, dt) -> pytree``, sampled every ``probe_every``
+  ticks and stacked along a leading time axis (counterpart of Field/FieldView
+  readback, cem-solver/src/lib.rs:97-136, without per-tick host round-trips).
+- **accumulators**: ``init(state, dt)`` / ``update(acc, state, dt)`` carried
+  through the scan — running DFTs, energy integrals, etc. (a capability the
+  reference lacks; BASELINE config 3 requires DFT cross-section probes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property, lru_cache, partial
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..grid import Grid
+from .boundary import BoundaryConditions
+from .sources import SourceSet
+from .state import SimState, zero_state
+from .step import CellCoefficients, step_fn
+
+__all__ = ["Simulation"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Simulation:
+    """Immutable simulation setup; all methods are pure."""
+
+    grid: Grid
+    coeffs: CellCoefficients
+    sources: Optional[SourceSet] = None
+    bc: BoundaryConditions = BoundaryConditions()
+    dtype: Any = jnp.float32
+    # Optional CPML absorber (see cpml.py); None = plain Neumann edges.
+    cpml: Any = None
+
+    # -- construction -------------------------------------------------------
+
+    def init(self) -> SimState:
+        return zero_state(self.grid.shape, self.dtype)
+
+    @cached_property
+    def _step(self):
+        inv_dx = tuple(1.0 / d for d in self.grid.dx)
+        if self.cpml is not None:
+            return self.cpml.step_fn(inv_dx=inv_dx, dt=self.grid.dt, bc=self.bc)
+        return step_fn(inv_dx=inv_dx, dt=self.grid.dt, bc=self.bc)
+
+    # -- stepping ------------------------------------------------------------
+
+    def step(self, state: SimState) -> SimState:
+        """One tick (pure; wrap in jit yourself or use jit_step)."""
+        return self._step(state, self.coeffs, self.sources)
+
+    @cached_property
+    def jit_step(self):
+        return jax.jit(self._step, donate_argnums=(0,))
+
+    def run(
+        self,
+        state: SimState,
+        n_steps: int,
+        probes: Sequence[Any] = (),
+        accumulators: Sequence[Any] = (),
+        probe_every: int = 1,
+    ):
+        """Run ``n_steps`` ticks in one compiled scan.
+
+        Returns ``(final_state, probe_stacks, accumulator_finals)`` where
+        probe_stacks is a tuple of (n_steps // probe_every, ...) arrays.
+        ``probe_every`` is the on-device counterpart of the reference's
+        observation throttle (cem-app/src/solver/runner.rs:464).
+        """
+        fn = _compiled(self._step, tuple(probes), tuple(accumulators),
+                       probe_every, n_steps, self.grid.dt)
+        return fn(state, self.coeffs, self.sources)
+
+    # -- reporting -----------------------------------------------------------
+
+    def memory_required(self) -> int:
+        """Device-memory estimate (counterpart of SolverBackend::memory_required,
+        cem-solver/src/lib.rs:40-45)."""
+        itemsize = jnp.dtype(self.dtype).itemsize
+        return self.grid.memory_required(dtype_bytes=itemsize)
+
+    def courant_check(self) -> None:
+        """Raise if Courant-unstable (the reference only warns,
+        cem-app/src/solver/runner.rs:283-291; call sites may skip this)."""
+        s = self.grid.courant_number()
+        if s > 1.0 + 1e-12:
+            raise ValueError(
+                f"Courant number {s:.4f} > 1: dt={self.grid.dt} too large for "
+                f"dx={self.grid.dx} (reduce dt or coarsen the lattice)"
+            )
+
+
+def _run_scan(step, probes, accums, probe_every, n_steps, dt,
+              state, coeffs, sources):
+    stride = max(probe_every, 1)
+    if n_steps % stride != 0:
+        raise ValueError(f"{n_steps=} not divisible by {probe_every=}")
+
+    accs = tuple(a.init(state, dt) for a in accums)
+
+    def tick(carry, _):
+        s, accs = carry
+        s2 = step(s, coeffs, sources)
+        accs2 = tuple(a.update(acc, s2, dt) for a, acc in zip(accums, accs))
+        return (s2, accs2), None
+
+    if stride == 1:
+        def body(carry, _):
+            carry2, _ = tick(carry, None)
+            return carry2, tuple(p.sample(carry2[0], dt) for p in probes)
+
+        (state, accs), probe_out = jax.lax.scan(
+            body, (state, accs), None, length=n_steps
+        )
+    else:
+        def body(carry, _):
+            carry2, _ = jax.lax.scan(tick, carry, None, length=stride)
+            return carry2, tuple(p.sample(carry2[0], dt) for p in probes)
+
+        (state, accs), probe_out = jax.lax.scan(
+            body, (state, accs), None, length=n_steps // stride
+        )
+
+    return state, probe_out, accs
+
+
+@lru_cache(maxsize=128)
+def _compiled(step, probes, accums, probe_every, n_steps, dt):
+    return jax.jit(
+        partial(_run_scan, step, probes, accums, probe_every, n_steps, dt),
+        donate_argnums=(0,),
+    )

@@ -11,9 +11,9 @@ where curl_b uses *backward* differences (E is staggered +(.5,.5,.5) relative
 to H) and curl_f uses *forward* differences of the just-updated H. Boundary
 closure per fdtd/boundary_condition.rs (default: zero difference).
 
-This path is the correctness oracle twin and the XLA-fusion baseline; the
-Pallas kernels in pallas_step.py must match it bitwise at f32 on identical
-inputs.
+Field components are separate (nx, ny, nz) arrays (see state.py for the
+TPU layout rationale). This path is the correctness twin of the Pallas
+kernels in pallas_step.py, which must match it at f32 on identical inputs.
 """
 
 from __future__ import annotations
@@ -30,9 +30,10 @@ from .state import SimState
 
 __all__ = [
     "CellCoefficients",
+    "step",
+    "step_fn",
     "curl_backward",
     "curl_forward",
-    "step",
     "divergence",
     "field_energy",
 ]
@@ -43,8 +44,7 @@ class CellCoefficients(NamedTuple):
 
     Scalars for uniform media (the fast path: no coefficient memory traffic),
     dense (nx, ny, nz) arrays, or arrays gathered per step from a compressed
-    material-index buffer (see materialize()).
-    """
+    material-index buffer (from_table)."""
 
     c_a: jax.Array
     c_b: jax.Array
@@ -62,8 +62,7 @@ class CellCoefficients(NamedTuple):
 
         Implements the compressed material-index buffer
         (/root/reference/README.md:25-28). Under jit the gather fuses into
-        the update; for K == 1 prefer ``uniform``.
-        """
+        the update; for K == 1 prefer ``uniform``."""
         idx = matid.astype(jnp.int32)
         return cls(
             c_a=jnp.take(table[:, 0], idx),
@@ -76,10 +75,8 @@ class CellCoefficients(NamedTuple):
 def _diff_backward(f: jax.Array, axis: int, bc, comp: int) -> jax.Array:
     """(f[i] - f[i-1]) along ``axis`` with the low-edge plane closed by bc.
 
-    ``f`` is a 3D component array; returns the raw difference (the 1/dx is
-    applied by the caller, matching cpu/util.rs:193 where apply_df's result
-    is divided by dx afterwards).
-    """
+    Returns the raw difference; the 1/dx is applied by the caller (matching
+    cpu/util.rs:193 where apply_df's result is divided by dx afterwards)."""
     lo = jax.lax.slice_in_dim(f, 0, -1, axis=axis)
     hi = jax.lax.slice_in_dim(f, 1, None, axis=axis)
     interior = hi - lo
@@ -105,7 +102,6 @@ def _diff_forward(f: jax.Array, axis: int, bc, comp: int) -> jax.Array:
     edge_shape = list(f.shape)
     edge_shape[axis] = 1
     if isinstance(bc, Neumann):
-        # missing f[n]: difference := beta
         edge = jnp.full(edge_shape, bc.beta[comp], f.dtype)
     elif isinstance(bc, Dirichlet):
         last = jax.lax.slice_in_dim(f, -1, None, axis=axis)
@@ -115,48 +111,31 @@ def _diff_forward(f: jax.Array, axis: int, bc, comp: int) -> jax.Array:
     return jnp.concatenate([interior, edge], axis=axis)
 
 
-def _curl(f: jax.Array, inv_dx, bc: BoundaryConditions, diff) -> jax.Array:
-    """curl of a component-first (3, nx, ny, nz) field.
+def _curl(f3, inv_dx, bc: BoundaryConditions, diff):
+    """curl of a (fx, fy, fz) component tuple -> (cx, cy, cz).
 
     curl = (dFz/dy - dFy/dz, dFx/dz - dFz/dx, dFy/dx - dFx/dy),
-    the antisymmetric part of the Jacobian (cpu/util.rs:126-132).
-    """
+    the antisymmetric part of the Jacobian (cpu/util.rs:126-132)."""
 
     def d(comp: int, axis: int) -> jax.Array:
-        return diff(f[comp], axis, bc.axis(axis), comp) * inv_dx[axis]
+        return diff(f3[comp], axis, bc.axis(axis), comp) * inv_dx[axis]
 
     cx = d(2, 1) - d(1, 2)
     cy = d(0, 2) - d(2, 0)
     cz = d(1, 0) - d(0, 1)
-    return jnp.stack([cx, cy, cz])
+    return (cx, cy, cz)
 
 
-def curl_backward(f: jax.Array, inv_dx, bc: BoundaryConditions) -> jax.Array:
-    """Backward-difference curl (used for curl E in the H update:
-    dx0 = (1,1,1), dx1 = 0 in cpu/mod.rs:436-438; dedi in update.wgsl:155-165).
-    """
-    return _curl(f, inv_dx, bc, _diff_backward)
+def curl_backward(f3, inv_dx, bc: BoundaryConditions):
+    """Backward-difference curl (curl E in the H update: dx0 = (1,1,1),
+    dx1 = 0 in cpu/mod.rs:436-438; dedi in update.wgsl:155-165)."""
+    return _curl(f3, inv_dx, bc, _diff_backward)
 
 
-def curl_forward(f: jax.Array, inv_dx, bc: BoundaryConditions) -> jax.Array:
+def curl_forward(f3, inv_dx, bc: BoundaryConditions):
     """Forward-difference curl (curl H in the E update: dx0 = 0,
     dx1 = (1,1,1) in cpu/mod.rs:478-480; dhdi in update.wgsl:167-177)."""
-    return _curl(f, inv_dx, bc, _diff_forward)
-
-
-@partial(jax.jit, static_argnames=("bc", "inv_dx", "dt"), donate_argnums=(0,))
-def step(
-    state: SimState,
-    coeffs: CellCoefficients,
-    sources: Optional[SourceSet],
-    *,
-    inv_dx: Tuple[float, float, float],
-    dt: float,
-    bc: BoundaryConditions = BoundaryConditions(),
-) -> SimState:
-    """One full leapfrog tick. Jitted standalone; inside lax.scan use
-    step_fn() to avoid re-tracing."""
-    return step_fn(inv_dx=inv_dx, dt=dt, bc=bc)(state, coeffs, sources)
+    return _curl(f3, inv_dx, bc, _diff_forward)
 
 
 def step_fn(
@@ -172,56 +151,80 @@ def step_fn(
         coeffs: CellCoefficients,
         sources: Optional[SourceSet],
     ) -> SimState:
-        e, h, tick = state
-        dtype = e.dtype
+        dtype = state.ex.dtype
+        shape = state.ex.shape
+        tick = state.tick
 
         # Sources are evaluated at the PRE-step simulation time
         # (cem-app/src/solver/runner.rs:520-527).
         if sources is not None and sources.num_sources > 0:
             t = tick.astype(dtype) * jnp.asarray(dt, dtype)
             j_vals, m_vals = sources.values(t)
-            px, py, pz = sources.points[:, 0], sources.points[:, 1], sources.points[:, 2]
+            px, py, pz = (
+                sources.points[:, 0],
+                sources.points[:, 1],
+                sources.points[:, 2],
+            )
         else:
             j_vals = m_vals = None
 
         # --- H update: h = D_a*h + D_b*(-curl_b(e) - M) ------------------
-        ce = curl_backward(e, inv_dx, bc)
-        h = coeffs.d_a * h - coeffs.d_b * ce
+        ce = curl_backward(state.e, inv_dx, bc)
+        h = tuple(coeffs.d_a * state.h[c] - coeffs.d_b * ce[c] for c in range(3))
         if m_vals is not None:
-            db_cells = jnp.broadcast_to(coeffs.d_b, e.shape[1:])[px, py, pz]
-            h = h.at[:, px, py, pz].add(
-                -(db_cells[:, None] * m_vals).T.astype(dtype),
-                mode="drop",
+            db_cells = jnp.broadcast_to(coeffs.d_b, shape)[px, py, pz]
+            h = tuple(
+                h[c].at[px, py, pz].add(
+                    -(db_cells * m_vals[:, c]).astype(dtype), mode="drop"
+                )
+                for c in range(3)
             )
 
         # --- E update: e = C_a*e + C_b*(curl_f(h_NEXT) - J) --------------
         ch = curl_forward(h, inv_dx, bc)
-        e = coeffs.c_a * e + coeffs.c_b * ch
+        e = tuple(coeffs.c_a * state.e[c] + coeffs.c_b * ch[c] for c in range(3))
         if j_vals is not None:
-            cb_cells = jnp.broadcast_to(coeffs.c_b, h.shape[1:])[px, py, pz]
-            e = e.at[:, px, py, pz].add(
-                -(cb_cells[:, None] * j_vals).T.astype(dtype),
-                mode="drop",
+            cb_cells = jnp.broadcast_to(coeffs.c_b, shape)[px, py, pz]
+            e = tuple(
+                e[c].at[px, py, pz].add(
+                    -(cb_cells * j_vals[:, c]).astype(dtype), mode="drop"
+                )
+                for c in range(3)
             )
 
-        return SimState(e=e, h=h, tick=tick + 1)
+        return SimState(
+            ex=e[0], ey=e[1], ez=e[2], hx=h[0], hy=h[1], hz=h[2], tick=tick + 1
+        )
 
     return _step
 
 
-def divergence(f: jax.Array, inv_dx, bc: BoundaryConditions, forward: bool = True):
+@partial(jax.jit, static_argnames=("bc", "inv_dx", "dt"), donate_argnums=(0,))
+def step(
+    state: SimState,
+    coeffs: CellCoefficients,
+    sources: Optional[SourceSet],
+    *,
+    inv_dx: Tuple[float, float, float],
+    dt: float,
+    bc: BoundaryConditions = BoundaryConditions(),
+) -> SimState:
+    """One full leapfrog tick, jitted standalone; inside lax.scan use
+    step_fn() to avoid re-tracing."""
+    return step_fn(inv_dx=inv_dx, dt=dt, bc=bc)(state, coeffs, sources)
+
+
+def divergence(f3, inv_dx, bc: BoundaryConditions, forward: bool = True):
     """div F via the matching one-sided differences (Jacobian trace,
     cpu/util.rs:134-136). Physics invariant: free-space FDTD preserves
     div B = 0 exactly (to rounding) away from sources."""
     diff = _diff_forward if forward else _diff_backward
-    return sum(
-        diff(f[i], i, bc.axis(i), i) * inv_dx[i] for i in range(3)
-    )
+    return sum(diff(f3[i], i, bc.axis(i), i) * inv_dx[i] for i in range(3))
 
 
 def field_energy(state: SimState, eps, mu, cell_volume: float) -> jax.Array:
-    """Total EM energy 0.5 * sum(eps*|E|^2 + mu*|H|^2) * dV, the invariant the
-    reference only sketches in comments (cpu/mod.rs:463-466, 505-508)."""
-    ee = jnp.sum(eps * jnp.sum(state.e * state.e, axis=0))
-    hh = jnp.sum(mu * jnp.sum(state.h * state.h, axis=0))
+    """Total EM energy 0.5 * sum(eps*|E|^2 + mu*|H|^2) * dV, the invariant
+    the reference only sketches in comments (cpu/mod.rs:463-466, 505-508)."""
+    ee = sum(jnp.sum(eps * (c * c)) for c in state.e)
+    hh = sum(jnp.sum(mu * (c * c)) for c in state.h)
     return 0.5 * (ee + hh) * cell_volume

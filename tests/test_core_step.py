@@ -8,6 +8,7 @@ import pytest
 
 from fdtd_tpu import (
     CellCoefficients,
+    state_from_stacked,
     BoundaryConditions,
     Dirichlet,
     GaussianPulse,
@@ -28,9 +29,7 @@ DT = 0.2
 def random_state(rng, shape=SHAPE, dtype=jnp.float64):
     e = rng.standard_normal((3, *shape))
     h = rng.standard_normal((3, *shape))
-    state = SimState(
-        e=jnp.asarray(e, dtype), h=jnp.asarray(h, dtype), tick=jnp.zeros((), jnp.int32)
-    )
+    state = state_from_stacked(e, h, dtype=dtype)
     return state, e, h
 
 
@@ -50,8 +49,8 @@ def test_free_space_matches_oracle_exactly(rng):
 
     state, oracle = run_both(state, oracle, CellCoefficients.uniform((1, 1, 1, 1), jnp.float64), None, 7)
 
-    np.testing.assert_allclose(np.asarray(state.h), oracle.h, rtol=1e-12, atol=1e-12)
-    np.testing.assert_allclose(np.asarray(state.e), oracle.e, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(state.h_stacked(), oracle.h, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(state.e_stacked(), oracle.e, rtol=1e-12, atol=1e-12)
     assert int(state.tick) == 7
 
 
@@ -63,8 +62,8 @@ def test_lossy_uniform_material(rng):
 
     state, oracle = run_both(state, oracle, CellCoefficients.uniform(row, jnp.float64), None, 5)
 
-    np.testing.assert_allclose(np.asarray(state.e), oracle.e, rtol=1e-12, atol=1e-12)
-    np.testing.assert_allclose(np.asarray(state.h), oracle.h, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(state.e_stacked(), oracle.e, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(state.h_stacked(), oracle.h, rtol=1e-12, atol=1e-12)
 
 
 def test_dense_multi_material_coefficients(rng):
@@ -81,8 +80,8 @@ def test_dense_multi_material_coefficients(rng):
     )
     state, oracle = run_both(state, oracle, coeffs, None, 4)
 
-    np.testing.assert_allclose(np.asarray(state.e), oracle.e, rtol=1e-12, atol=1e-12)
-    np.testing.assert_allclose(np.asarray(state.h), oracle.h, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(state.e_stacked(), oracle.e, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(state.h_stacked(), oracle.h, rtol=1e-12, atol=1e-12)
 
 
 def test_compressed_material_table_gather(rng):
@@ -101,8 +100,8 @@ def test_compressed_material_table_gather(rng):
     coeffs = CellCoefficients.from_table(jnp.asarray(table), jnp.asarray(matid))
     state, oracle = run_both(state, oracle, coeffs, None, 4)
 
-    np.testing.assert_allclose(np.asarray(state.e), oracle.e, rtol=1e-12, atol=1e-12)
-    np.testing.assert_allclose(np.asarray(state.h), oracle.h, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(state.e_stacked(), oracle.e, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(state.h_stacked(), oracle.h, rtol=1e-12, atol=1e-12)
 
 
 def test_point_sources_match_oracle(rng):
@@ -122,8 +121,8 @@ def test_point_sources_match_oracle(rng):
         state, oracle, CellCoefficients.uniform((1, 1, 1, 1), jnp.float64), sset, 6
     )
 
-    np.testing.assert_allclose(np.asarray(state.e), oracle.e, rtol=1e-12, atol=1e-12)
-    np.testing.assert_allclose(np.asarray(state.h), oracle.h, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(state.e_stacked(), oracle.e, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(state.h_stacked(), oracle.h, rtol=1e-12, atol=1e-12)
 
 
 def test_duplicate_source_cell_last_wins():
@@ -160,8 +159,8 @@ def test_boundary_conditions_match_oracle(rng, bc):
         state, oracle, CellCoefficients.uniform((1, 1, 1, 1), jnp.float64), None, 5, bc=bc
     )
 
-    np.testing.assert_allclose(np.asarray(state.e), oracle.e, rtol=1e-12, atol=1e-12)
-    np.testing.assert_allclose(np.asarray(state.h), oracle.h, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(state.e_stacked(), oracle.e, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(state.h_stacked(), oracle.h, rtol=1e-12, atol=1e-12)
 
 
 def test_f32_fidelity_1000_steps():
@@ -181,11 +180,8 @@ def test_f32_fidelity_1000_steps():
         [PointSource((12, 12, 12), GaussianPulse(20 * dt, 6 * dt), j=(0, 0, 1.0))],
         dtype=jnp.float32,
     )
-    state = SimState(
-        e=jnp.zeros((3, *shape), jnp.float32),
-        h=jnp.zeros((3, *shape), jnp.float32),
-        tick=jnp.zeros((), jnp.int32),
-    )
+    from fdtd_tpu import zero_state
+    state = zero_state(shape, jnp.float32)
     coeffs = CellCoefficients.uniform((1.0, dt, 1.0, dt), jnp.float32)
 
     import jax
@@ -198,9 +194,9 @@ def test_f32_fidelity_1000_steps():
     state, _ = jax.lax.scan(body, state, None, length=1000)
     oracle.step(1000)
 
-    e = np.asarray(state.e, np.float64)
+    e = state.e_stacked().astype(np.float64)
     rel = np.linalg.norm(e - oracle.e) / np.linalg.norm(oracle.e)
     assert rel <= 1e-5, f"relative E error {rel:.3e} exceeds 1e-5"
-    h = np.asarray(state.h, np.float64)
+    h = state.h_stacked().astype(np.float64)
     rel_h = np.linalg.norm(h - oracle.h) / np.linalg.norm(oracle.h)
     assert rel_h <= 1e-5, f"relative H error {rel_h:.3e} exceeds 1e-5"
