@@ -65,10 +65,16 @@ def main() -> None:
 
         run_j = jax.jit(run, static_argnums=1, donate_argnums=0)
 
-        # warmup + compile
-        state = jax.block_until_ready(run_j(state, 8))
+        # Warmup with the SAME static n_steps (a different length would put a
+        # fresh scan compilation inside the timed region). NOTE: a scalar
+        # .item() readback is the only reliable device sync here — under
+        # remote-tunneled runtimes block_until_ready can return before
+        # device completion.
+        state = run_j(state, n_steps)
+        state.ex[1, 1, 1].item()
         t0 = time.perf_counter()
-        state = jax.block_until_ready(run_j(state, n_steps))
+        state = run_j(state, n_steps)
+        state.ex[1, 1, 1].item()
         dt_wall = time.perf_counter() - t0
 
         cells_per_s = grid.num_cells * n_steps / dt_wall

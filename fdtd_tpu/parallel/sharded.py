@@ -30,6 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..solver.boundary import BoundaryConditions, Dirichlet, Neumann
 from ..solver.state import SimState
+from ..solver.step import _cells
 
 __all__ = ["make_sharded_step", "shard_state", "state_sharding"]
 
@@ -162,7 +163,7 @@ def make_sharded_step(
         ce = _curl(state.e, inv_dx, bc, dims, n_devs, _halo_diff_backward)
         h = tuple(coeffs.d_a * state.h[c] - coeffs.d_b * ce[c] for c in range(3))
         if m_vals is not None:
-            db_cells = jnp.broadcast_to(coeffs.d_b, local_shape)[px, py, pz]
+            db_cells = _cells(coeffs.d_b, px, py, pz, sources.num_sources, dtype)
             h = tuple(
                 h[c].at[px, py, pz].add(
                     -(db_cells * m_vals[:, c]).astype(dtype), mode="drop"
@@ -173,7 +174,7 @@ def make_sharded_step(
         ch = _curl(h, inv_dx, bc, dims, n_devs, _halo_diff_forward)
         e = tuple(coeffs.c_a * state.e[c] + coeffs.c_b * ch[c] for c in range(3))
         if j_vals is not None:
-            cb_cells = jnp.broadcast_to(coeffs.c_b, local_shape)[px, py, pz]
+            cb_cells = _cells(coeffs.c_b, px, py, pz, sources.num_sources, dtype)
             e = tuple(
                 e[c].at[px, py, pz].add(
                     -(cb_cells * j_vals[:, c]).astype(dtype), mode="drop"

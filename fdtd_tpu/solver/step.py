@@ -138,6 +138,15 @@ def curl_forward(f3, inv_dx, bc: BoundaryConditions):
     return _curl(f3, inv_dx, bc, _diff_forward)
 
 
+
+
+def _cells(coef, px, py, pz, n, dtype):
+    """Per-source-cell coefficient values without materializing a full-lattice
+    broadcast (a scalar broadcast_to + gather costs a 512^3 temp otherwise)."""
+    if jnp.ndim(coef) == 0:
+        return jnp.full((n,), coef, dtype)
+    return coef[px, py, pz]
+
 def step_fn(
     *,
     inv_dx: Tuple[float, float, float],
@@ -172,7 +181,7 @@ def step_fn(
         ce = curl_backward(state.e, inv_dx, bc)
         h = tuple(coeffs.d_a * state.h[c] - coeffs.d_b * ce[c] for c in range(3))
         if m_vals is not None:
-            db_cells = jnp.broadcast_to(coeffs.d_b, shape)[px, py, pz]
+            db_cells = _cells(coeffs.d_b, px, py, pz, sources.num_sources, dtype)
             h = tuple(
                 h[c].at[px, py, pz].add(
                     -(db_cells * m_vals[:, c]).astype(dtype), mode="drop"
@@ -184,7 +193,7 @@ def step_fn(
         ch = curl_forward(h, inv_dx, bc)
         e = tuple(coeffs.c_a * state.e[c] + coeffs.c_b * ch[c] for c in range(3))
         if j_vals is not None:
-            cb_cells = jnp.broadcast_to(coeffs.c_b, shape)[px, py, pz]
+            cb_cells = _cells(coeffs.c_b, px, py, pz, sources.num_sources, dtype)
             e = tuple(
                 e[c].at[px, py, pz].add(
                     -(cb_cells * j_vals[:, c]).astype(dtype), mode="drop"
