@@ -23,6 +23,7 @@ from .solver import (
     PointSource,
     Ricker,
     SimState,
+    Simulation,
     SourceSet,
     state_from_stacked,
     step,

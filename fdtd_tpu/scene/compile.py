@@ -1,0 +1,197 @@
+"""Scene -> device-ready simulation compilation.
+
+Mirrors the reference's solver-launch flow (RunFdtd::run_fdtd_with_backend,
+cem-app/src/solver/runner.rs:247-380): resolve the domain volume (fixed or
+scene-AABB + margin, solver/config.rs:98-171), derive the lattice + Courant
+check, build world<->solver transforms, voxelize materials into the
+compressed index buffer, gather sources from posed entities, and resolve
+observers to lattice slice planes. Output is an immutable CompiledScene
+wrapping a ready `Simulation`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..coefficients import coefficient_table
+from ..constants import SI, PhysicalConstants
+from ..grid import Grid, Resolution
+from ..material import Material, MaterialTable, VACUUM
+from ..probes import FieldComponent, SliceProbe
+from ..solver.boundary import BoundaryConditions
+from ..solver.simulation import Simulation
+from ..solver.sources import PointSource, SourceSet
+from ..solver.step import CellCoefficients
+from .scene import Entity, Scene
+from .transform import CoordinateTransforms, Isometry
+from .voxelize import voxelize_materials
+
+__all__ = ["Volume", "CompiledScene", "compile_scene", "ResolvedObserver"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Volume:
+    """Simulation volume (solver/config.rs:98-171): either fixed
+    (pose + half-extents) or derived from the scene AABB with a margin."""
+
+    half_extents: Optional[Tuple[float, float, float]] = None
+    pose: Isometry = Isometry()
+    margin: float = 0.0
+
+    @classmethod
+    def fixed(cls, half_extents, pose: Isometry = Isometry()) -> "Volume":
+        return cls(half_extents=tuple(float(v) for v in half_extents), pose=pose)
+
+    @classmethod
+    def scene_aabb(cls, margin: float = 0.0) -> "Volume":
+        return cls(margin=margin)
+
+    def resolve(self, scene: Scene) -> Tuple[np.ndarray, np.ndarray]:
+        """(aabb_min, size) in world coordinates (axis-aligned; rotation of
+        fixed volumes is carried separately into CoordinateTransforms)."""
+        if self.half_extents is not None:
+            he = np.asarray(self.half_extents, np.float64)
+            c = np.asarray(self.pose.translation, np.float64)
+            return (c - he, 2 * he)
+        ab = scene.world_aabb(lambda e: e.material is not None or e.source is not None)
+        if ab is None:
+            raise ValueError("scene has no bounded entities to derive a volume from")
+        mins, maxs = ab
+        mins = mins - self.margin
+        maxs = maxs + self.margin
+        return (mins, maxs - mins)
+
+
+@dataclasses.dataclass(frozen=True)
+class ResolvedObserver:
+    """An observer mapped onto a lattice slice plane + its probe."""
+
+    entity: Entity
+    axis: int
+    index: int
+    probe: SliceProbe
+
+
+def _resolve_observer(
+    e: Entity, transforms: CoordinateTransforms
+) -> Optional[ResolvedObserver]:
+    """Map an observer quad's plane normal (local +z) to the dominant lattice
+    axis and its center to a plane index."""
+    normal_world = e.pose.matrix @ np.array([0.0, 0.0, 1.0])
+    # lattice axes in world space are the rows of R^T
+    from .transform import _quat_to_matrix
+
+    r = _quat_to_matrix(transforms.rotation)
+    comps = np.abs(r.T @ normal_world)
+    axis = int(np.argmax(comps))
+    center = transforms.world_to_solver(
+        np.asarray(e.pose.translation, np.float64).reshape(3, 1)
+    )[:, 0]
+    index = int(np.clip(round(center[axis]), 0, transforms.lattice_size[axis] - 1))
+    component = FieldComponent.E if e.observer.field == "e" else FieldComponent.H
+    return ResolvedObserver(
+        entity=e, axis=axis, index=index,
+        probe=SliceProbe(axis=axis, index=index, component=component),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class CompiledScene:
+    """Everything the run loop needs, device-ready."""
+
+    simulation: Simulation
+    grid: Grid
+    transforms: CoordinateTransforms
+    matid: np.ndarray
+    table: MaterialTable
+    observers: Tuple[ResolvedObserver, ...]
+    sources: SourceSet
+
+    @property
+    def num_materials(self) -> int:
+        return len(self.table)
+
+
+def compile_scene(
+    scene: Scene,
+    resolution: Resolution,
+    *,
+    constants: PhysicalConstants = SI,
+    volume: Volume = Volume.scene_aabb(),
+    default_material: Material = VACUUM,
+    bc: BoundaryConditions = BoundaryConditions(),
+    cpml: Any = None,
+    dtype=jnp.float32,
+    memory_limit_bytes: Optional[int] = None,
+    check_courant: bool = True,
+) -> CompiledScene:
+    """The voxelization + setup pipeline (runner.rs:247-380)."""
+    aabb_min, size = volume.resolve(scene)
+    grid = Grid.from_domain_size(tuple(size), resolution, constants)
+
+    if check_courant and not grid.is_courant_stable():
+        # the reference only warns (runner.rs:283-291); we raise, callers can
+        # pass check_courant=False to mirror the warning-only behavior
+        raise ValueError(
+            f"Courant number {grid.courant_number():.4f} > 1 for dt="
+            f"{resolution.temporal}, dx={resolution.spatial}"
+        )
+
+    transforms = CoordinateTransforms(
+        spatial=resolution.spatial,
+        origin=tuple(aabb_min),
+        rotation=volume.pose.rotation,
+        lattice_size=grid.shape,
+    )
+
+    # memory guard (runner.rs:319-330)
+    required = grid.memory_required(dtype_bytes=jnp.dtype(dtype).itemsize)
+    if memory_limit_bytes is not None and required > memory_limit_bytes:
+        raise MemoryError(
+            f"simulation needs {required / 1e6:.1f} MB > limit "
+            f"{memory_limit_bytes / 1e6:.1f} MB"
+        )
+
+    matid, table = voxelize_materials(scene, transforms, default_material)
+    ctable = coefficient_table(table.materials, resolution, constants)
+    if len(table) == 1:
+        coeffs = CellCoefficients.uniform(ctable[0], dtype)
+    else:
+        coeffs = CellCoefficients.from_table(
+            jnp.asarray(ctable, dtype), jnp.asarray(matid)
+        )
+
+    # sources: posed entities -> nearest lattice cell (runner.rs:820-869)
+    point_sources: List[PointSource] = []
+    for e in scene.sources():
+        cell = transforms.world_point_to_lattice(e.pose.translation)
+        if cell is None:
+            continue
+        point_sources.append(
+            PointSource(cell, e.source.waveform, j=e.source.j, m=e.source.m)
+        )
+    sources = SourceSet.build(point_sources, dtype=dtype)
+
+    observers = tuple(
+        o
+        for o in (_resolve_observer(e, transforms) for e in scene.observers())
+        if o is not None
+    )
+
+    sim = Simulation(
+        grid=grid, coeffs=coeffs, sources=sources, bc=bc, dtype=dtype, cpml=cpml
+    )
+    return CompiledScene(
+        simulation=sim,
+        grid=grid,
+        transforms=transforms,
+        matid=matid,
+        table=table,
+        observers=observers,
+        sources=sources,
+    )

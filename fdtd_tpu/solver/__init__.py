@@ -7,6 +7,7 @@ from .sources import (
     Ricker,
     SourceSet,
 )
+from .simulation import Simulation
 from .state import SimState, state_from_stacked, zero_state
 from .step import (
     CellCoefficients,
@@ -29,6 +30,7 @@ __all__ = [
     "PointSource",
     "Ricker",
     "SourceSet",
+    "Simulation",
     "SimState",
     "state_from_stacked",
     "zero_state",

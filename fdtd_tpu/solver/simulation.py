@@ -52,13 +52,22 @@ class Simulation:
     # -- construction -------------------------------------------------------
 
     def init(self) -> SimState:
+        if self.cpml is not None:
+            return self.cpml.init_state(self.grid.shape, self.dtype)
         return zero_state(self.grid.shape, self.dtype)
 
     @cached_property
     def _step(self):
         inv_dx = tuple(1.0 / d for d in self.grid.dx)
         if self.cpml is not None:
-            return self.cpml.step_fn(inv_dx=inv_dx, dt=self.grid.dt, bc=self.bc)
+            return self.cpml.step_fn(
+                self.grid.shape,
+                inv_dx=inv_dx,
+                dt=self.grid.dt,
+                bc=self.bc,
+                constants=self.grid.constants,
+                dtype=self.dtype,
+            )
         return step_fn(inv_dx=inv_dx, dt=self.grid.dt, bc=self.bc)
 
     # -- stepping ------------------------------------------------------------
