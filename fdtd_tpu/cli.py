@@ -1,0 +1,200 @@
+"""Command-line interface.
+
+Counterpart of the reference's clap CLI (cem-app/src/main.rs:62-78,
+args.rs:3-12): ``run`` executes a scene (a Python file defining
+``build_scene() -> Scene`` or the built-in example) headlessly, streaming
+observer projections to PNG/GIF; ``dump-default-config`` prints the default
+config in TOML or JSON; ``info`` shows device/build info (the debug-window
+analog, cem-app/src/debug.rs); ``bench`` runs the throughput benchmark.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import sys
+import time
+from pathlib import Path
+
+__all__ = ["main"]
+
+
+def _load_scene(path: str):
+    if not Path(path).exists():
+        raise SystemExit(f"scene file not found: {path}")
+    spec = importlib.util.spec_from_file_location("user_scene", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    if not hasattr(mod, "build_scene"):
+        raise SystemExit(f"{path} must define build_scene() -> Scene")
+    return mod.build_scene(), getattr(mod, "CONSTANTS", None)
+
+
+def cmd_run(args) -> int:
+    import fdtd_tpu as ft
+    from fdtd_tpu.config import SolverConfig, read_config_or_create
+    from fdtd_tpu.runner import ObserverBinding, SolverRunner, StopCondition
+    from fdtd_tpu.scene import Volume, compile_scene
+    from fdtd_tpu.solver.cpml import Cpml
+    from fdtd_tpu.viz.targets import GifTarget, PngTarget
+
+    app_cfg = read_config_or_create(Path(args.config) if args.config else None) \
+        if not args.ignore_config else __import__(
+            "fdtd_tpu.config", fromlist=["AppConfig"]).AppConfig()
+
+    if args.scene:
+        scene, constants = _load_scene(args.scene)
+    else:
+        from fdtd_tpu.models.example import EXAMPLE_CONSTANTS, example_scene
+
+        scene, constants = example_scene(), EXAMPLE_CONSTANTS
+    constants = constants or ft.SI
+
+    cfg = SolverConfig(
+        dx=args.dx,
+        step_limit=args.steps,
+        unit_system="reduced" if constants is ft.REDUCED else "si",
+        cpml_cells=args.cpml,
+        volume_margin=args.margin,
+    )
+    res = cfg.resolution(constants)
+    cpml = Cpml.uniform(cfg.cpml_cells) if cfg.cpml_cells else None
+    compiled = compile_scene(
+        scene,
+        res,
+        constants=constants,
+        volume=Volume.scene_aabb(margin=cfg.volume_margin),
+        cpml=cpml,
+        memory_limit_bytes=(
+            int(cfg.memory_limit_mb * 1e6) if cfg.memory_limit_mb else None
+        ),
+    )
+    sim = compiled.simulation
+    print(
+        f"lattice {compiled.grid.shape} ({compiled.grid.num_cells:,} cells), "
+        f"dt={compiled.grid.dt:.4g}, materials={compiled.num_materials}, "
+        f"sources={compiled.sources.num_sources}, "
+        f"memory~{sim.memory_required()/1e6:.1f} MB",
+        file=sys.stderr,
+    )
+
+    out = Path(args.out)
+    observers = []
+    closers = []
+    for i, ro in enumerate(compiled.observers):
+        if args.gif:
+            target = GifTarget(str(out / f"observer{i}.gif"), fps=25)
+            closers.append(target)
+        else:
+            target = PngTarget(str(out / f"observer{i}_{{tick}}.png"))
+        observers.append(
+            ObserverBinding.slice_view(
+                ro.axis, ro.index, compiled.grid.shape, target,
+                field=ro.entity.observer.field, size=tuple(app_cfg.image_size),
+            )
+        )
+
+    runner = SolverRunner(
+        sim,
+        stop_condition=StopCondition(step_limit=cfg.step_limit),
+        observers=observers,
+        ticks_per_dispatch=args.ticks_per_dispatch or app_cfg.ticks_per_dispatch,
+    )
+    runner.start(paused=False)
+    t0 = time.perf_counter()
+    try:
+        while True:
+            runner.join(timeout=1.0)
+            st = runner.stats()
+            print(
+                f"\rtick {st.sim_tick}  sim t={st.sim_time:.4g}  "
+                f"step {st.last_step_time*1e3:.2f} ms",
+                end="",
+                file=sys.stderr,
+            )
+            if st.finished:
+                break
+    except KeyboardInterrupt:
+        runner.stop()
+        runner.join()
+    print(file=sys.stderr)
+    for c in closers:
+        c.close()
+    if runner.error is not None:
+        raise runner.error
+    st = runner.stats()
+    wall = time.perf_counter() - t0
+    rate = st.sim_tick * compiled.grid.num_cells / max(st.total_running_time, 1e-9)
+    print(
+        f"done: {st.sim_tick} ticks in {wall:.2f} s "
+        f"({rate/1e6:.1f} Mcell-updates/s), outputs in {out}/",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_dump_default_config(args) -> int:
+    from fdtd_tpu.config import AppConfig
+
+    cfg = AppConfig()
+    print(cfg.to_json() if args.format == "json" else cfg.to_toml(), end="")
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    import fdtd_tpu
+
+    info = {
+        "fdtd_tpu": fdtd_tpu.__version__,
+        "jax": jax.__version__,
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+    }
+    print(json.dumps(info, indent=2))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import runpy
+
+    bench = Path(__file__).resolve().parent.parent / "bench.py"
+    runpy.run_path(str(bench), run_name="__main__")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="fdtd-tpu", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    run = sub.add_parser("run", help="run a scene headlessly")
+    run.add_argument("scene", nargs="?", help="Python file with build_scene()")
+    run.add_argument("--steps", type=int, default=500)
+    run.add_argument("--dx", type=float, default=0.1)
+    run.add_argument("--cpml", type=int, default=0, help="CPML cells per edge")
+    run.add_argument("--margin", type=float, default=1.0)
+    run.add_argument("--out", default="out")
+    run.add_argument("--gif", action="store_true", help="GIF instead of PNGs")
+    run.add_argument("--config", help="config file path")
+    run.add_argument("--ignore-config", action="store_true")
+    run.add_argument("--ticks-per-dispatch", type=int, default=None)
+    run.set_defaults(fn=cmd_run)
+
+    dump = sub.add_parser("dump-default-config")
+    dump.add_argument("--format", choices=("toml", "json"), default="toml")
+    dump.set_defaults(fn=cmd_dump_default_config)
+
+    info = sub.add_parser("info", help="device/build info")
+    info.set_defaults(fn=cmd_info)
+
+    bench = sub.add_parser("bench", help="throughput benchmark")
+    bench.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

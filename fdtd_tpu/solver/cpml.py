@@ -37,39 +37,14 @@ from .boundary import BoundaryConditions
 from .pml import GradedPmlSpec, graded_profiles, pml_bc
 from .sources import SourceSet
 from .state import SimState
-from .step import CellCoefficients, _cells, _diff_backward, _diff_forward
+from .step import CellCoefficients
 
 __all__ = ["Cpml", "CpmlSimState"]
 
 
-class CpmlSimState(NamedTuple):
-    """SimState + 12 psi fields. Field order matches SimState so probes and
-    host code using .e/.h/.tick work unchanged."""
 
-    ex: jax.Array
-    ey: jax.Array
-    ez: jax.Array
-    hx: jax.Array
-    hy: jax.Array
-    hz: jax.Array
-    tick: jax.Array
-    # psi_h[(comp, axis)] flattened: derivative of E_comp along axis, used in
-    # the H update; likewise psi_e for derivatives of H.
-    psi_h: Tuple[jax.Array, ...]
-    psi_e: Tuple[jax.Array, ...]
-
-    @property
-    def e(self):
-        return (self.ex, self.ey, self.ez)
-
-    @property
-    def h(self):
-        return (self.hx, self.hy, self.hz)
-
-    @property
-    def shape(self):
-        return self.ex.shape
-
+# CpmlSimState is the engine state (SimState fields + psi + aux placeholders)
+from .engine import EngineState as CpmlSimState  # noqa: E402
 
 # the 6 (component, axis) derivative terms entering a curl
 _TERMS = ((2, 1), (1, 2), (0, 2), (2, 0), (1, 0), (0, 1))
@@ -126,23 +101,10 @@ class Cpml:
             a for a in range(3) if self.thickness[a][0] > 0 or self.thickness[a][1] > 0
         )
 
-    # -- state --------------------------------------------------------------
+    def init_state(self, shape, dtype=jnp.float32):
+        from .engine import init_engine_state
 
-    def init_state(self, shape, dtype=jnp.float32) -> CpmlSimState:
-        z = lambda: jnp.zeros(shape, dtype)
-        active = set(self.active_axes())
-        psi_h = tuple(
-            z() if axis in active else jnp.zeros((), dtype) for _, axis in _TERMS
-        )
-        psi_e = tuple(
-            z() if axis in active else jnp.zeros((), dtype) for _, axis in _TERMS
-        )
-        return CpmlSimState(
-            ex=z(), ey=z(), ez=z(), hx=z(), hy=z(), hz=z(),
-            tick=jnp.zeros((), jnp.int32), psi_h=psi_h, psi_e=psi_e,
-        )
-
-    # -- step ---------------------------------------------------------------
+        return init_engine_state(shape, dtype, cpml=self)
 
     def step_fn(
         self,
@@ -154,84 +116,9 @@ class Cpml:
         constants: PhysicalConstants = SI,
         dtype=jnp.float32,
     ):
-        """Build step(state: CpmlSimState, coeffs, sources) -> CpmlSimState."""
-        active = set(self.active_axes())
-        profs = {}
-        for axis in active:
-            lo, hi = self.thickness[axis]
-            n = shape[axis]
-            dx = 1.0 / inv_dx[axis]
-            for half, key in ((False, "h"), (True, "e")):
-                ik, b, c = _profiles_1d(
-                    n, lo, hi, self.spec, dx, dt, constants, half
-                )
-                bshape = [1, 1, 1]
-                bshape[axis] = n
-                profs[(key, axis)] = (
-                    jnp.asarray(ik, dtype).reshape(bshape),
-                    jnp.asarray(b, dtype).reshape(bshape),
-                    jnp.asarray(c, dtype).reshape(bshape),
-                )
+        from .engine import build_step
 
-        def curl_with_psi(f3, psi, diff, key):
-            """Curl with CPML-stretched derivatives; returns (curl, new_psi)."""
-            d = {}
-            new_psi = list(psi)
-            for idx, (comp, axis) in enumerate(_TERMS):
-                raw = diff(f3[comp], axis, bc.axis(axis), comp) * inv_dx[axis]
-                if axis in active:
-                    ik, b, c = profs[(key, axis)]
-                    p = b * psi[idx] + c * raw
-                    new_psi[idx] = p
-                    raw = ik * raw + p
-                d[(comp, axis)] = raw
-            cx = d[(2, 1)] - d[(1, 2)]
-            cy = d[(0, 2)] - d[(2, 0)]
-            cz = d[(1, 0)] - d[(0, 1)]
-            return (cx, cy, cz), tuple(new_psi)
-
-        def step(
-            state: CpmlSimState,
-            coeffs: CellCoefficients,
-            sources: Optional[SourceSet],
-        ) -> CpmlSimState:
-            tick = state.tick
-            if sources is not None and sources.num_sources > 0:
-                t = tick.astype(dtype) * jnp.asarray(dt, dtype)
-                j_vals, m_vals = sources.values(t)
-                px, py, pz = (
-                    sources.points[:, 0],
-                    sources.points[:, 1],
-                    sources.points[:, 2],
-                )
-            else:
-                j_vals = m_vals = None
-
-            ce, psi_h = curl_with_psi(state.e, state.psi_h, _diff_backward, "h")
-            h = tuple(coeffs.d_a * state.h[c] - coeffs.d_b * ce[c] for c in range(3))
-            if m_vals is not None:
-                db = _cells(coeffs.d_b, px, py, pz, sources.num_sources, dtype)
-                h = tuple(
-                    h[c].at[px, py, pz].add(
-                        -(db * m_vals[:, c]).astype(dtype), mode="drop"
-                    )
-                    for c in range(3)
-                )
-
-            ch, psi_e = curl_with_psi(h, state.psi_e, _diff_forward, "e")
-            e = tuple(coeffs.c_a * state.e[c] + coeffs.c_b * ch[c] for c in range(3))
-            if j_vals is not None:
-                cb = _cells(coeffs.c_b, px, py, pz, sources.num_sources, dtype)
-                e = tuple(
-                    e[c].at[px, py, pz].add(
-                        -(cb * j_vals[:, c]).astype(dtype), mode="drop"
-                    )
-                    for c in range(3)
-                )
-
-            return CpmlSimState(
-                ex=e[0], ey=e[1], ez=e[2], hx=h[0], hy=h[1], hz=h[2],
-                tick=tick + 1, psi_h=psi_h, psi_e=psi_e,
-            )
-
-        return step
+        return build_step(
+            shape, inv_dx=inv_dx, dt=dt, bc=bc, constants=constants,
+            dtype=dtype, cpml=self,
+        )

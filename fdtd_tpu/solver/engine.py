@@ -1,0 +1,230 @@
+"""Full-featured XLA step builder: boundaries + CPML + TF/SF + sources.
+
+Composes the featureful simulation step from orthogonal pieces (the lean
+reference twin lives in step.py):
+
+  1. point-source waveform evaluation at the pre-step time
+  2. H half-update (backward-diff curl of E), CPML-stretched derivatives
+  3. TF/SF H-face corrections (incident E at the old time level)
+  4. 1D auxiliary-grid tick for the incident wave
+  5. M point-source scatter
+  6. E half-update (forward-diff curl of the NEW H), CPML-stretched
+  7. TF/SF E-face corrections (incident H at the new time level)
+  8. J point-source scatter
+
+matching the reference's update order exactly where features overlap
+(cem-solver/src/fdtd/cpu/mod.rs:412-516). State is one flat pytree;
+unused features carry zero-size placeholders so the pytree structure is
+static for jit/scan.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import SI, PhysicalConstants
+from .boundary import BoundaryConditions
+from .sources import SourceSet
+from .step import CellCoefficients, _cells, _diff_backward, _diff_forward
+
+__all__ = ["EngineState", "build_step", "init_engine_state"]
+
+# the 6 (component, axis) derivative terms entering a curl
+_TERMS = ((2, 1), (1, 2), (0, 2), (2, 0), (1, 0), (0, 1))
+
+
+class EngineState(NamedTuple):
+    """SimState-compatible state + CPML psi + TF/SF auxiliary grid."""
+
+    ex: jax.Array
+    ey: jax.Array
+    ez: jax.Array
+    hx: jax.Array
+    hy: jax.Array
+    hz: jax.Array
+    tick: jax.Array
+    psi_h: Tuple[jax.Array, ...]  # one per _TERMS entry (scalar 0 if unused)
+    psi_e: Tuple[jax.Array, ...]
+    aux_e: jax.Array  # () if no TF/SF
+    aux_h: jax.Array
+
+    @property
+    def e(self):
+        return (self.ex, self.ey, self.ez)
+
+    @property
+    def h(self):
+        return (self.hx, self.hy, self.hz)
+
+    @property
+    def shape(self):
+        return self.ex.shape
+
+    def e_stacked(self):
+        import numpy as np
+
+        return np.stack([np.asarray(c) for c in self.e])
+
+    def h_stacked(self):
+        import numpy as np
+
+        return np.stack([np.asarray(c) for c in self.h])
+
+
+def init_engine_state(shape, dtype=jnp.float32, cpml=None, tfsf=None) -> EngineState:
+    z = lambda: jnp.zeros(shape, dtype)
+    zs = lambda: jnp.zeros((), dtype)
+    active = set(cpml.active_axes()) if cpml is not None else set()
+    psi_h = tuple(z() if axis in active else zs() for _, axis in _TERMS)
+    psi_e = tuple(z() if axis in active else zs() for _, axis in _TERMS)
+    if tfsf is not None:
+        aux_e, aux_h = tfsf.init_aux(shape[0], dtype)
+    else:
+        aux_e, aux_h = zs(), zs()
+    return EngineState(
+        ex=z(), ey=z(), ez=z(), hx=z(), hy=z(), hz=z(),
+        tick=jnp.zeros((), jnp.int32),
+        psi_h=psi_h, psi_e=psi_e, aux_e=aux_e, aux_h=aux_h,
+    )
+
+
+def build_step(
+    shape: Tuple[int, int, int],
+    *,
+    inv_dx: Tuple[float, float, float],
+    dt: float,
+    bc: BoundaryConditions = BoundaryConditions(),
+    constants: PhysicalConstants = SI,
+    dtype=jnp.float32,
+    cpml=None,
+    tfsf=None,
+):
+    """Build step(state: EngineState, coeffs, sources) -> EngineState."""
+    active = set(cpml.active_axes()) if cpml is not None else set()
+    profs = {}
+    if cpml is not None:
+        from .cpml import _profiles_1d
+
+        for axis in active:
+            lo, hi = cpml.thickness[axis]
+            n = shape[axis]
+            dx = 1.0 / inv_dx[axis]
+            for half, key in ((False, "h"), (True, "e")):
+                ik, b, c = _profiles_1d(n, lo, hi, cpml.spec, dx, dt, constants, half)
+                bshape = [1, 1, 1]
+                bshape[axis] = n
+                profs[(key, axis)] = (
+                    jnp.asarray(ik, dtype).reshape(bshape),
+                    jnp.asarray(b, dtype).reshape(bshape),
+                    jnp.asarray(c, dtype).reshape(bshape),
+                )
+
+    if tfsf is not None:
+        from ..coefficients import update_coefficients
+        from ..grid import Resolution
+        from ..material import VACUUM
+
+        dx0 = 1.0 / inv_dx[0]
+        vacuum_row = update_coefficients(
+            VACUUM, Resolution(spatial=(dx0,) * 3, temporal=dt), constants
+        )
+        aux_coeffs = tfsf.build_aux(shape[0], vacuum_row, dt, dx0, constants, dtype)
+        lo, hi = tfsf.span
+        if not (0 < lo <= hi < shape[0] - 1):
+            raise ValueError(f"TF/SF span {tfsf.span} must be inside (0, {shape[0]-1})")
+
+    def curl_with_psi(f3, psi, diff, key):
+        d = {}
+        new_psi = list(psi)
+        for idx, (comp, axis) in enumerate(_TERMS):
+            raw = diff(f3[comp], axis, bc.axis(axis), comp) * inv_dx[axis]
+            if axis in active:
+                ik, b, c = profs[(key, axis)]
+                p = b * psi[idx] + c * raw
+                new_psi[idx] = p
+                raw = ik * raw + p
+            d[(comp, axis)] = raw
+        cx = d[(2, 1)] - d[(1, 2)]
+        cy = d[(0, 2)] - d[(2, 0)]
+        cz = d[(1, 0)] - d[(0, 1)]
+        return (cx, cy, cz), tuple(new_psi)
+
+    def _coef_plane(coef, x):
+        return coef if jnp.ndim(coef) == 0 else coef[x]
+
+    def step(
+        state: EngineState,
+        coeffs: CellCoefficients,
+        sources: Optional[SourceSet],
+    ) -> EngineState:
+        tick = state.tick
+        t = tick.astype(dtype) * jnp.asarray(dt, dtype)
+        if sources is not None and sources.num_sources > 0:
+            j_vals, m_vals = sources.values(t)
+            px, py, pz = (
+                sources.points[:, 0],
+                sources.points[:, 1],
+                sources.points[:, 2],
+            )
+        else:
+            j_vals = m_vals = None
+
+        # --- H half-update -------------------------------------------------
+        ce, psi_h = curl_with_psi(state.e, state.psi_h, _diff_backward, "h")
+        h = [coeffs.d_a * state.h[c] - coeffs.d_b * ce[c] for c in range(3)]
+
+        aux_e, aux_h = state.aux_e, state.aux_h
+        if tfsf is not None:
+            # incident E at the old time level (aux not yet stepped)
+            hy = h[1]
+            hy = hy.at[lo].add(
+                -_coef_plane(coeffs.d_b, lo) * aux_e[lo - 1] * inv_dx[0]
+            )
+            hy = hy.at[hi + 1].add(
+                _coef_plane(coeffs.d_b, hi + 1) * aux_e[hi] * inv_dx[0]
+            )
+            h[1] = hy
+            aux_e, aux_h = tfsf.aux_step(aux_e, aux_h, aux_coeffs, t, inv_dx[0], dtype)
+
+        if m_vals is not None:
+            db = _cells(coeffs.d_b, px, py, pz, sources.num_sources, dtype)
+            h = [
+                h[c].at[px, py, pz].add(
+                    -(db * m_vals[:, c]).astype(dtype), mode="drop"
+                )
+                for c in range(3)
+            ]
+
+        # --- E half-update (uses the new H) ---------------------------------
+        ch, psi_e = curl_with_psi(tuple(h), state.psi_e, _diff_forward, "e")
+        e = [coeffs.c_a * state.e[c] + coeffs.c_b * ch[c] for c in range(3)]
+
+        if tfsf is not None:
+            # incident H at the new time level (aux just stepped)
+            ez = e[2]
+            ez = ez.at[lo - 1].add(
+                -_coef_plane(coeffs.c_b, lo - 1) * aux_h[lo] * inv_dx[0]
+            )
+            ez = ez.at[hi].add(
+                _coef_plane(coeffs.c_b, hi) * aux_h[hi + 1] * inv_dx[0]
+            )
+            e[2] = ez
+
+        if j_vals is not None:
+            cb = _cells(coeffs.c_b, px, py, pz, sources.num_sources, dtype)
+            e = [
+                e[c].at[px, py, pz].add(
+                    -(cb * j_vals[:, c]).astype(dtype), mode="drop"
+                )
+                for c in range(3)
+            ]
+
+        return EngineState(
+            ex=e[0], ey=e[1], ez=e[2], hx=h[0], hy=h[1], hz=h[2],
+            tick=tick + 1, psi_h=psi_h, psi_e=psi_e, aux_e=aux_e, aux_h=aux_h,
+        )
+
+    return step

@@ -48,25 +48,35 @@ class Simulation:
     dtype: Any = jnp.float32
     # Optional CPML absorber (see cpml.py); None = plain Neumann edges.
     cpml: Any = None
+    # Optional TF/SF plane-wave source (see tfsf.py).
+    tfsf: Any = None
 
     # -- construction -------------------------------------------------------
 
     def init(self) -> SimState:
-        if self.cpml is not None:
-            return self.cpml.init_state(self.grid.shape, self.dtype)
+        if self.cpml is not None or self.tfsf is not None:
+            from .engine import init_engine_state
+
+            return init_engine_state(
+                self.grid.shape, self.dtype, cpml=self.cpml, tfsf=self.tfsf
+            )
         return zero_state(self.grid.shape, self.dtype)
 
     @cached_property
     def _step(self):
         inv_dx = tuple(1.0 / d for d in self.grid.dx)
-        if self.cpml is not None:
-            return self.cpml.step_fn(
+        if self.cpml is not None or self.tfsf is not None:
+            from .engine import build_step
+
+            return build_step(
                 self.grid.shape,
                 inv_dx=inv_dx,
                 dt=self.grid.dt,
                 bc=self.bc,
                 constants=self.grid.constants,
                 dtype=self.dtype,
+                cpml=self.cpml,
+                tfsf=self.tfsf,
             )
         return step_fn(inv_dx=inv_dx, dt=self.grid.dt, bc=self.bc)
 

@@ -1,0 +1,85 @@
+"""TF/SF plane-wave source validation.
+
+The discriminating property: with NO scatterer, the scattered-field region
+must stay ~zero while the total-field slab carries the full incident wave
+(leakage at rounding level because the 1D aux grid shares the main grid's
+numerical dispersion). With a scatterer, the scattered region lights up.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+import fdtd_tpu as ft
+from fdtd_tpu.solver.cpml import Cpml
+from fdtd_tpu.solver.tfsf import Tfsf
+from fdtd_tpu.probes import PointProbe
+
+
+def _run(scatterer: bool, n=500, shape=(120, 8, 8)):
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    grid = ft.Grid(shape=shape, resolution=res, constants=ft.REDUCED)
+
+    if scatterer:
+        table = ft.MaterialTable()
+        diel = table.register(ft.Material(relative_permittivity=4.0))
+        matid = np.zeros(shape, np.uint8)
+        matid[55:65] = diel  # dielectric slab inside the TF region
+        ctable = ft.coefficient_table(table.materials, res, ft.REDUCED)
+        coeffs = ft.CellCoefficients.from_table(
+            jnp.asarray(ctable), jnp.asarray(matid)
+        )
+    else:
+        table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+        coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
+
+    tfsf = Tfsf(
+        span=(30, 90),
+        waveform=ft.GaussianDerivative(time=25 * grid.dt, duration=8 * grid.dt),
+    )
+    sim = ft.Simulation(
+        grid=grid,
+        coeffs=coeffs,
+        cpml=Cpml(thickness=((12, 12), (0, 0), (0, 0))),
+        tfsf=tfsf,
+    )
+    state = sim.init()
+    probes = (
+        PointProbe(points=((60, 4, 4), (10, 4, 4), (110, 4, 4))),  # TF, SF-lo, SF-hi
+    )
+    state, (trace,), _ = sim.run(state, n, probes=probes)
+    tr = np.asarray(trace)
+    return {
+        "total": np.abs(tr[:, 0, 2]).max(),
+        "scat_lo": np.abs(tr[:, 1, 2]).max(),
+        "scat_hi": np.abs(tr[:, 2, 2]).max(),
+    }
+
+
+def test_tfsf_no_scatterer_leakage():
+    r = _run(scatterer=False)
+    assert r["total"] > 0.1, f"incident wave missing in TF region: {r}"
+    leak_lo = r["scat_lo"] / r["total"]
+    leak_hi = r["scat_hi"] / r["total"]
+    assert leak_lo < 1e-3, f"TF/SF leakage (lo side) {leak_lo:.2e}"
+    assert leak_hi < 1e-3, f"TF/SF leakage (hi side) {leak_hi:.2e}"
+
+
+def test_tfsf_scatterer_produces_scattered_field():
+    r = _run(scatterer=True)
+    # dielectric slab reflects: backward-scattered field on the lo side
+    assert r["scat_lo"] / r["total"] > 0.05, f"no reflection seen: {r}"
+
+
+def test_tfsf_span_validation():
+    import pytest
+
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    grid = ft.Grid(shape=(32, 8, 8), resolution=res, constants=ft.REDUCED)
+    table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+    sim = ft.Simulation(
+        grid=grid,
+        coeffs=ft.CellCoefficients.uniform(table[0], jnp.float32),
+        tfsf=Tfsf(span=(0, 40), waveform=ft.GaussianPulse(1, 1)),
+    )
+    with pytest.raises(ValueError, match="span"):
+        sim.step(sim.init())
