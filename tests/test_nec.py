@@ -1,0 +1,146 @@
+"""NEC parser/interpreter + scene population tests."""
+
+import math
+
+import numpy as np
+import pytest
+
+import fdtd_tpu as ft
+from fdtd_tpu.io import NecError, parse_nec, populate_scene_with_nec
+from fdtd_tpu.io.nec import FixedSegments, TaperedSegments, Wire
+from fdtd_tpu.scene import Scene
+
+DIPOLE_DECK = """\
+CM half-wave dipole
+CM test deck
+CE
+GW 1 9 0 0 -0.25 0 0 0.25 0.001
+GE 0
+EX 0 1 5 0 1
+"""
+
+
+def test_parse_dipole():
+    nec = parse_nec(DIPOLE_DECK)
+    assert nec.comments == ["half-wave dipole", "test deck"]
+    wires = nec.wires()
+    assert len(wires) == 1
+    tag, wire, transform = wires[0]
+    assert tag == 1 and wire.num_segments == 9
+    assert isinstance(wire.segments, FixedSegments)
+    np.testing.assert_allclose(transform, np.eye(4))
+    # program-control cards after GE are not parsed (GE ends input,
+    # parser.rs GE handling)
+    assert nec.ignored_decks == []
+
+
+def test_parse_tapered_gc():
+    deck = "CE\nGW 2 4 0 0 0 0 0 1 0\nGC 0.8 0.01 0.002\nGE\n"
+    nec = parse_nec(deck)
+    _, wire, _ = nec.wires()[0]
+    assert isinstance(wire.segments, TaperedSegments)
+    dims = list(wire.segments.dimensions(4, 1.0))
+    assert len(dims) == 4
+    # lengths shrink by the ratio and sum to the wire length
+    lengths = [d[0] for d in dims]
+    assert lengths[1] == pytest.approx(lengths[0] * 0.8)
+    assert sum(lengths) == pytest.approx(1.0)
+    # radii taper from first to last
+    assert dims[0][1] == pytest.approx(0.01)
+    assert dims[-1][1] == pytest.approx(0.002)
+
+
+def test_gm_moves_and_copies():
+    deck = (
+        "CE\n"
+        "GW 1 3 0 0 0 1 0 0 0.01\n"
+        "GM 10 2 0 0 0 0 0 1\n"  # two copies shifted +z, tags +10
+        "GE\n"
+    )
+    nec = parse_nec(deck)
+    tags = [t for t, _ in nec.geometry]
+    assert tags == [1, 11, 21]
+    for t, g in nec.geometry:
+        e1, e2 = g.spec.world_ends(g.transform)
+        expected_z = {1: 0.0, 11: 1.0, 21: 2.0}[t]
+        assert e1[2] == pytest.approx(expected_z)
+
+
+def test_gs_scales_geometry_and_radii():
+    deck = "CE\nGW 1 1 0 0 0 0 0 2 0.05\nGS 0 0 3\nGE\n"
+    nec = parse_nec(deck)
+    _, wire, transform = nec.wires()[0]
+    e1, e2 = wire.world_ends(transform)
+    assert np.linalg.norm(e2 - e1) == pytest.approx(6.0)
+    assert wire.segments.radius == pytest.approx(0.15)
+
+
+def test_gx_reflection():
+    deck = "CE\nGW 1 1 0.5 0 0.2 1 0 0.2 0.01\nGX 100 100\nGE\n"
+    nec = parse_nec(deck)  # reflect about x (bits "100" -> X)
+    tags = [t for t, _ in nec.geometry]
+    assert tags == [1, 101]
+    _, g = nec.geometry[1]
+    e1, _ = g.spec.world_ends(g.transform)
+    assert e1[0] == pytest.approx(-0.5)
+    assert e1[2] == pytest.approx(0.2)
+
+
+def test_gr_rotational_copies():
+    deck = "CE\nGW 1 1 1 0 0 2 0 0 0.01\nGR 10 4\nGE\n"
+    nec = parse_nec(deck)
+    assert len(nec.geometry) == 4
+    assert nec.symmetry == "rotational"
+    # copies are rotated about z by 90 degree steps
+    ends = sorted(
+        tuple(np.round(g.spec.world_ends(g.transform)[0], 6))
+        for _, g in nec.geometry
+    )
+    assert (1.0, 0.0, 0.0) in ends and (-1.0, -0.0, 0.0) in ends or (
+        (-1.0, 0.0, 0.0) in ends
+    )
+
+
+def test_parse_errors():
+    with pytest.raises(NecError, match="SC card without"):
+        parse_nec("CE\nSC 0 0 1 1 1\nGE\n")
+    with pytest.raises(NecError, match="expected GC"):
+        parse_nec("CE\nGW 1 1 0 0 0 0 0 1 0\nGW 2 1 0 0 0 0 0 1 0.1\nGE\n")
+    with pytest.raises(NecError, match="unexpected GA"):
+        parse_nec("GA 1 1 1 0 90 0.1\n")
+
+
+def test_populate_scene_wire_orientation():
+    """Wire direction must survive into cylinder poses (the reference loses
+    it, nec.rs:60-70)."""
+    nec = parse_nec("CE\nGW 1 4 0 0 -1 0 0 1 0.05\nGE\n")
+    scene = Scene()
+    n = populate_scene_with_nec(scene, nec)
+    assert n == 4
+    # wire along z: all cylinder segments must contain points on the z axis
+    pts = np.array([[0, 0, 0, 0], [0, 0, 0, 0], [-0.75, -0.25, 0.25, 0.75]])
+    hits = np.zeros(4, bool)
+    for e in scene.entities:
+        hits |= e.contains_world(pts)
+    assert hits.all()
+    # and NOT points on the y axis (would indicate the reference's
+    # y-aligned-cylinder bug)
+    off = np.array([[0.0], [0.75], [0.0]])
+    assert not any(e.contains_world(off)[0] for e in scene.entities)
+    assert all(e.material.is_pec() for e in scene.entities)
+
+
+def test_nec_voxelizes_to_pec():
+    from fdtd_tpu.scene import Volume, compile_scene
+
+    nec = parse_nec("CE\nGW 1 5 0 0 -1 0 0 1 0.08\nGE\n")
+    scene = Scene()
+    populate_scene_with_nec(scene, nec, min_radius=0.11)
+    res = ft.Resolution.courant(0.1, ft.REDUCED, safety=0.9)
+    compiled = compile_scene(
+        scene, res, constants=ft.REDUCED, volume=Volume.fixed((1.5, 1.5, 1.5))
+    )
+    assert compiled.num_materials == 2
+    pec_cells = int((compiled.matid > 0).sum())
+    # ~wire length (2.0) / dx (0.1) = 20 cells of at least 1 cell cross-section
+    assert pec_cells >= 20
