@@ -9,6 +9,8 @@ from .nec import (
     parse_nec,
 )
 from .nec_scene import populate_scene_with_nec
+from .checkpoint import load_checkpoint, save_checkpoint
+from .project import load_project, save_project
 
 __all__ = [
     "FixedSegments",
@@ -20,4 +22,8 @@ __all__ = [
     "WireArc",
     "parse_nec",
     "populate_scene_with_nec",
+    "load_checkpoint",
+    "save_checkpoint",
+    "load_project",
+    "save_project",
 ]

@@ -1,0 +1,9 @@
+from .observability import (
+    Tracer,
+    build_info,
+    format_size,
+    get_tracer,
+    trace_span,
+)
+
+__all__ = ["Tracer", "build_info", "format_size", "get_tracer", "trace_span"]
