@@ -30,6 +30,7 @@ def voxelize_materials(
     scene: Scene,
     transforms: CoordinateTransforms,
     default_material: Material = VACUUM,
+    use_native: bool = True,
 ) -> Tuple[np.ndarray, MaterialTable]:
     """Return (matid array (nx, ny, nz), material table).
 
@@ -40,6 +41,18 @@ def voxelize_materials(
     table = MaterialTable(default_material)
     entities = scene.materials()
     mat_ids = [table.register(e.material) for e in entities]
+
+    # native C++/OpenMP fast path (fdtd_tpu/native.py); None -> NumPy path
+    native = None
+    if use_native:
+        from ..native import native_voxelize
+
+        native = native_voxelize(scene, transforms, table)
+    if native is not None:
+        if len(table) <= 256:
+            native = native.astype(np.uint8)
+        return native, table
+
     matid = np.zeros((nx, ny, nz), np.uint16)
 
     chunk_x = max(1, _CHUNK_CELLS // max(ny * nz, 1))

@@ -167,3 +167,40 @@ def test_compile_scene_courant_guard():
     res = ft.Resolution.uniform(0.5, dt=10.0)  # wildly unstable
     with pytest.raises(ValueError, match="Courant"):
         compile_scene(scene, res, constants=ft.REDUCED, volume=Volume.fixed((4, 4, 4)))
+
+
+def test_native_voxelizer_matches_numpy():
+    """The C++ voxelizer must reproduce the NumPy reference exactly."""
+    from fdtd_tpu.native import native_voxelizer_available
+
+    if not native_voxelizer_available():
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+    scene = Scene()
+    m1 = ft.Material(relative_permittivity=2.0)
+    m2 = ft.Material(relative_permittivity=4.0)
+    m3 = ft.Material(electrical_conductivity=float("inf"))
+    scene.spawn(shape=Ball(3.0), pose=Isometry.from_translation((8, 8, 8)), material=m1)
+    scene.spawn(
+        shape=Cuboid((2, 3, 1)),
+        pose=Isometry.from_axis_angle((1, 1, 0), 0.7, translation=(4, 10, 6)),
+        material=m2,
+    )
+    scene.spawn(
+        shape=Cylinder(half_height=5.0, radius=1.5),
+        pose=Isometry.from_axis_angle((1, 0, 0), 1.2, translation=(10, 5, 9)),
+        material=m3,
+    )
+    scene.spawn(shape=HalfSpace((0, 1, 0)), pose=Isometry.from_translation((0, 2, 0)), material=m1)
+    tr = CoordinateTransforms(
+        spatial=(0.9, 1.1, 0.8),
+        origin=(-1.0, 0.5, 0.0),
+        rotation=Isometry.from_axis_angle((0, 0, 1), 0.25).rotation,
+        lattice_size=(16, 16, 16),
+    )
+    m_native, t1 = voxelize_materials(scene, tr, use_native=True)
+    m_numpy, t2 = voxelize_materials(scene, tr, use_native=False)
+    assert t1.materials == t2.materials
+    np.testing.assert_array_equal(m_native, m_numpy)
+    assert (m_native > 0).sum() > 0
