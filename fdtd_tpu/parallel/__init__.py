@@ -1,9 +1,11 @@
 from .topology import make_mesh, choose_mesh_shape
+from .pallas_sharded import make_pallas_sharded_step
 from .sharded import make_sharded_step, shard_state, state_sharding
 
 __all__ = [
     "make_mesh",
     "choose_mesh_shape",
+    "make_pallas_sharded_step",
     "make_sharded_step",
     "shard_state",
     "state_sharding",

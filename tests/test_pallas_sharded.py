@@ -1,0 +1,54 @@
+"""Sharded fused-kernel step vs the single-device fused kernel (interpret
+mode on the 8-device virtual CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fdtd_tpu as ft
+from fdtd_tpu.parallel import make_mesh, shard_state
+from fdtd_tpu.parallel.pallas_sharded import make_pallas_sharded_step
+from fdtd_tpu.solver.pallas_step import pallas_step_fn
+
+SHAPE = (16, 8, 128)
+INV_DX = (1.0, 1.0 / 0.7, 1.0 / 1.3)
+DT = 0.2
+
+
+def _inputs(rng):
+    e = rng.standard_normal((3, *SHAPE))
+    h = rng.standard_normal((3, *SHAPE))
+    state = ft.state_from_stacked(e, h, dtype=jnp.float32)
+    coeffs = ft.CellCoefficients.uniform((0.97, 0.21, 0.99, 0.18), jnp.float32)
+    srcs = ft.SourceSet.build(
+        [
+            ft.PointSource((3, 2, 5), ft.GaussianPulse(2 * DT, DT), j=(0, 0, 2.0)),
+            ft.PointSource((14, 6, 100), ft.GaussianPulse(DT, DT), j=(1.0, 0.5, 0)),
+        ]
+    )
+    return state, coeffs, srcs
+
+
+@pytest.mark.parametrize("n_dev", [8, 4, 2, 1])
+def test_pallas_sharded_matches_single(rng, n_dev):
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough devices")
+    state, coeffs, srcs = _inputs(rng)
+
+    ref_step = pallas_step_fn(SHAPE, inv_dx=INV_DX, dt=DT, interpret=True)
+    ref = state
+    for _ in range(4):
+        ref = ref_step(ref, coeffs, srcs)
+
+    mesh = make_mesh(n_dev, ("x",))
+    step = make_pallas_sharded_step(
+        mesh, "x", inv_dx=INV_DX, dt=DT, interpret=True
+    )
+    st = shard_state(state, mesh, ("x", None, None))
+    for _ in range(4):
+        st = step(st, coeffs, srcs)
+
+    np.testing.assert_allclose(st.e_stacked(), ref.e_stacked(), rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(st.h_stacked(), ref.h_stacked(), rtol=2e-6, atol=2e-6)
+    assert int(st.tick) == int(ref.tick)
