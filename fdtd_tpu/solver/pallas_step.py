@@ -102,7 +102,8 @@ def _kernel(
 
     # per-cell coefficients
     if n_materials > 1:
-        mid = mid_r[0]
+        # int8 vector compares don't lower in Mosaic; widen the index plane
+        mid = mid_r[0].astype(jnp.int32)
         c_a = jnp.zeros_like(ex)
         c_b = jnp.zeros_like(ex)
         d_a = jnp.zeros_like(ex)
