@@ -31,6 +31,62 @@ from .scene import Entity, Scene
 from .transform import CoordinateTransforms, Isometry
 from .voxelize import voxelize_materials
 
+
+def _cpml_from_scene_pml(scene: Scene, transforms: CoordinateTransforms, grid: Grid):
+    """Map scene-embedded GradedPml slab entities onto boundary CPML.
+
+    The reference computes per-cell PML coefficients from such entities but
+    never applies the psi fields (cem-solver/src/fdtd/cpu/mod.rs:424-425), so
+    they are physically inert there. Here an axis-aligned slab at a domain
+    edge becomes a real absorbing boundary: the slab's extent along its
+    normal sets the CPML thickness in cells, and its GradedPmlSpec carries
+    the grading. Non-axis-aligned or interior PML entities are ignored with
+    a warning (arbitrary-orientation PML is out of scope).
+    """
+    import warnings
+
+    from ..solver.cpml import Cpml
+
+    pmls = scene.pmls()
+    if not pmls:
+        return None
+    thickness = [[0, 0], [0, 0], [0, 0]]
+    spec = None
+    for e in pmls:
+        normal = np.asarray(e.pml.normal, np.float64)
+        normal = normal / np.linalg.norm(normal)
+        # into-the-absorber normal in lattice frame
+        from .transform import _quat_to_matrix
+
+        r = _quat_to_matrix(transforms.rotation)
+        n_lat = r.T @ normal
+        axis = int(np.argmax(np.abs(n_lat)))
+        if abs(abs(n_lat[axis]) - 1.0) > 1e-6:
+            warnings.warn(
+                f"GradedPml entity {e.name!r}: non-axis-aligned normal not "
+                f"supported; ignoring", stacklevel=2,
+            )
+            continue
+        ab = e.world_aabb()
+        if ab is None:
+            warnings.warn(
+                f"GradedPml entity {e.name!r}: unbounded shape; ignoring",
+                stacklevel=2,
+            )
+            continue
+        lo = transforms.world_to_solver(ab[0].reshape(3, 1))[:, 0]
+        hi = transforms.world_to_solver(ab[1].reshape(3, 1))[:, 0]
+        lo, hi = np.minimum(lo, hi), np.maximum(lo, hi)
+        cells = max(1, int(round(hi[axis] - lo[axis])))
+        # slab at the low edge if the normal points +axis (absorber grows
+        # inward from the low boundary), else at the high edge
+        side = 0 if n_lat[axis] > 0 else 1
+        thickness[axis][side] = max(thickness[axis][side], cells)
+        spec = e.pml.spec
+    if spec is None:
+        return None
+    return Cpml(thickness=tuple(tuple(t) for t in thickness), spec=spec)
+
 __all__ = ["Volume", "CompiledScene", "compile_scene", "ResolvedObserver"]
 
 
@@ -156,6 +212,11 @@ def compile_scene(
             f"simulation needs {required / 1e6:.1f} MB > limit "
             f"{memory_limit_bytes / 1e6:.1f} MB"
         )
+
+    # scene-embedded GradedPml slabs -> boundary CPML (unless the caller
+    # already supplied one)
+    if cpml is None:
+        cpml = _cpml_from_scene_pml(scene, transforms, grid)
 
     matid, table = voxelize_materials(scene, transforms, default_material)
     ctable = coefficient_table(table.materials, resolution, constants)

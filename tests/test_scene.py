@@ -204,3 +204,35 @@ def test_native_voxelizer_matches_numpy():
     assert t1.materials == t2.materials
     np.testing.assert_array_equal(m_native, m_numpy)
     assert (m_native > 0).sum() > 0
+
+
+def test_scene_graded_pml_maps_to_boundary_cpml():
+    """A reference-style GradedPml slab entity becomes working CPML
+    (the reference computes its coefficients but never applies psi)."""
+    import jax.numpy as jnp
+
+    from fdtd_tpu.scene import GradedPmlComponent
+    from fdtd_tpu.solver.pml import GradedPmlSpec
+
+    scene = Scene()
+    scene.spawn(shape=Ball(1.0), material=ft.VACUUM)
+    # slab at the low-x edge, 2 units thick, normal +x (into the absorber)
+    scene.spawn(
+        name="pml-slab",
+        shape=Cuboid((1.0, 8.0, 8.0)),
+        pose=Isometry.from_translation((-7.0, 0, 0)),
+        pml=GradedPmlComponent(spec=GradedPmlSpec(m=4.0), normal=(1.0, 0, 0)),
+    )
+    res = ft.Resolution.courant(0.5, ft.REDUCED, safety=0.9)
+    compiled = compile_scene(
+        scene, res, constants=ft.REDUCED, volume=Volume.fixed((8.0, 8.0, 8.0))
+    )
+    cpml = compiled.simulation.cpml
+    assert cpml is not None
+    assert cpml.thickness[0][0] == 4  # 2.0 world units / dx 0.5
+    assert cpml.thickness[0][1] == 0 and cpml.thickness[1] == (0, 0)
+    assert cpml.spec.m == 4.0
+    # and it runs
+    state = compiled.simulation.init()
+    state = compiled.simulation.step(state)
+    assert int(state.tick) == 1
