@@ -50,6 +50,10 @@ class Simulation:
     cpml: Any = None
     # Optional TF/SF plane-wave source (see tfsf.py).
     tfsf: Any = None
+    # "auto" uses the fused Pallas kernel on TPU when the configuration
+    # allows (uniform scalar coefficients, Neumann(0) edges, no CPML/TFSF,
+    # J-only sources); "xla" forces the reference path; "pallas" asserts.
+    backend: str = "auto"
 
     # -- construction -------------------------------------------------------
 
@@ -61,6 +65,32 @@ class Simulation:
                 self.grid.shape, self.dtype, cpml=self.cpml, tfsf=self.tfsf
             )
         return zero_state(self.grid.shape, self.dtype)
+
+    def _pallas_eligible(self) -> bool:
+        import jax
+
+        from .pallas_step import supports
+
+        if self.cpml is not None or self.tfsf is not None:
+            return False
+        if self.dtype != jnp.float32:
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        if not supports(self.grid.shape, self.bc):
+            return False
+        # uniform scalar coefficients only (the matid kernel mode is wired
+        # separately via pallas_step_fn(matid=...))
+        if any(jnp.ndim(c) != 0 for c in self.coeffs):
+            return False
+        # M-type sources change H mid-tick; only J sources are exact
+        # post-kernel (see pallas_step.py docstring)
+        if self.sources is not None and self.sources.num_sources > 0:
+            import numpy as np
+
+            if np.any(np.asarray(self.sources.m_amp) != 0):
+                return False
+        return True
 
     @cached_property
     def _step(self):
@@ -77,6 +107,18 @@ class Simulation:
                 dtype=self.dtype,
                 cpml=self.cpml,
                 tfsf=self.tfsf,
+            )
+        if self.backend in ("auto", "pallas") and self._pallas_eligible():
+            from .pallas_step import pallas_step_fn
+
+            return pallas_step_fn(
+                self.grid.shape, inv_dx=inv_dx, dt=self.grid.dt, bc=self.bc
+            )
+        if self.backend == "pallas":
+            raise ValueError(
+                "backend='pallas' requested but the configuration is not "
+                "eligible (needs TPU, f32, Neumann(0) edges, uniform scalar "
+                "coefficients, J-only sources, no CPML/TFSF)"
             )
         return step_fn(inv_dx=inv_dx, dt=self.grid.dt, bc=self.bc)
 
