@@ -122,6 +122,40 @@ def main() -> None:
         )
         del state
 
+        # bf16 storage mode (f32 compute): halves HBM traffic
+        if n == max(sizes) and dev.platform == "tpu":
+            from fdtd_tpu.solver.pallas_step import pallas_step_fn as _psf
+
+            bstep = _psf(shape, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
+                         dtype=jnp.bfloat16)
+            bsrc = ft.SourceSet.build(
+                [ft.PointSource((n // 2,) * 3,
+                                ft.GaussianPulse(20 * grid.dt, 6 * grid.dt),
+                                j=(0.0, 0.0, 1.0))],
+                dtype=jnp.bfloat16,
+            )
+
+            def run_b(state, k: int):
+                def body(s, _):
+                    return bstep(s, coeffs, bsrc), None
+
+                return jax.lax.scan(body, state, None, length=k)[0]
+
+            runb_j = jax.jit(run_b, static_argnums=1, donate_argnums=0)
+            state = ft.zero_state(shape, jnp.bfloat16)
+            state = runb_j(state, n_steps)
+            _sync(state)
+            t0 = time.perf_counter()
+            state = runb_j(state, n_steps)
+            _sync(state)
+            dt_wall = time.perf_counter() - t0 - _READBACK_S
+            print(
+                f"{n}^3 bf16 storage: "
+                f"{grid.num_cells*n_steps/dt_wall/1e9:.3f} Gcell/s",
+                file=sys.stderr,
+            )
+            del state
+
         # compressed-material mode (uint8 matid + K-row table), 256^3 only
         if n == 256:
             tab = ft.MaterialTable()

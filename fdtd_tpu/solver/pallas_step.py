@@ -58,9 +58,13 @@ def supports(
 ) -> bool:
     """Whether the fused kernel covers this configuration."""
     nx, ny, nz = shape
-    if dtype != jnp.float32:
+    if dtype == jnp.float32:
+        sublane = 8
+    elif dtype == jnp.bfloat16:
+        sublane = 16  # bf16 tile is (16, 128)
+    else:
         return False
-    if nx < 2 or ny % 8 != 0 or nz % 128 != 0:
+    if nx < 2 or ny % sublane != 0 or nz % 128 != 0:
         return False
     for cond in (bc.x, bc.y, bc.z):
         if not isinstance(cond, Neumann):
@@ -74,6 +78,7 @@ def _kernel(
     n_materials: int,
     inv_dx: Tuple[float, float, float],
     nx: int,
+    storage_dtype,
     # refs follow: see pallas_call operand order below
     *refs,
 ):
@@ -88,12 +93,15 @@ def _kernel(
     p = nx - 1 - i  # descending plane index
     inv_x, inv_y, inv_z = inv_dx
 
-    ex = ex_r[0]
-    ey = ey_r[0]
-    ez = ez_r[0]
-    hx = hx_r[0]
-    hy = hy_r[0]
-    hz = hz_r[0]
+    # compute in f32 regardless of storage dtype (bf16 storage halves HBM
+    # traffic; f32 arithmetic keeps the update numerically sane)
+    f32 = jnp.float32
+    ex = ex_r[0].astype(f32)
+    ey = ey_r[0].astype(f32)
+    ez = ez_r[0].astype(f32)
+    hx = hx_r[0].astype(f32)
+    hy = hy_r[0].astype(f32)
+    hz = hz_r[0].astype(f32)
     ny, nz = ex.shape
 
     # previous (higher-x) iteration's H_next tangential planes (p+1)
@@ -141,8 +149,8 @@ def _kernel(
     # ---- H update: h = d_a*h - d_b*curl_b(E) ---------------------------
     # curl_b E: x-backward differences use the p-1 halo planes
     zero = jnp.zeros_like(ex)
-    dey_x = jnp.where(at_x_lo, zero, ey - eyl_r[0]) * inv_x
-    dez_x = jnp.where(at_x_lo, zero, ez - ezl_r[0]) * inv_x
+    dey_x = jnp.where(at_x_lo, zero, ey - eyl_r[0].astype(f32)) * inv_x
+    dez_x = jnp.where(at_x_lo, zero, ez - ezl_r[0].astype(f32)) * inv_x
     ce_x = bdiff_y(ez) * inv_y - bdiff_z(ey) * inv_z
     ce_y = bdiff_z(ex) * inv_z - dez_x
     ce_z = dey_x - bdiff_y(ex) * inv_y
@@ -158,12 +166,12 @@ def _kernel(
     ch_y = fdiff_z(hn_x) * inv_z - dhz_x
     ch_z = dhy_x - fdiff_y(hn_x) * inv_y
 
-    exo[0] = c_a * ex + c_b * ch_x
-    eyo[0] = c_a * ey + c_b * ch_y
-    ezo[0] = c_a * ez + c_b * ch_z
-    hxo[0] = hn_x
-    hyo[0] = hn_y
-    hzo[0] = hn_z
+    exo[0] = (c_a * ex + c_b * ch_x).astype(storage_dtype)
+    eyo[0] = (c_a * ey + c_b * ch_y).astype(storage_dtype)
+    ezo[0] = (c_a * ez + c_b * ch_z).astype(storage_dtype)
+    hxo[0] = hn_x.astype(storage_dtype)
+    hyo[0] = hn_y.astype(storage_dtype)
+    hzo[0] = hn_z.astype(storage_dtype)
 
     # carry H_next tangential planes for the next (lower-x) iteration
     s_hy[...] = hn_y
@@ -171,7 +179,8 @@ def _kernel(
 
 
 @functools.lru_cache(maxsize=32)
-def _build_call(shape, inv_dx, n_materials, interpret):
+def _build_call(shape, inv_dx, n_materials, interpret, dtype_name="float32"):
+    storage_dtype = jnp.dtype(dtype_name)
     nx, ny, nz = shape
     plane = (1, ny, nz)
 
@@ -199,9 +208,9 @@ def _build_call(shape, inv_dx, n_materials, interpret):
 
     out_specs = tuple([main_spec] * 6)
     f32 = jnp.float32
-    out_shape = tuple(jax.ShapeDtypeStruct(shape, f32) for _ in range(6))
+    out_shape = tuple(jax.ShapeDtypeStruct(shape, storage_dtype) for _ in range(6))
 
-    kernel = functools.partial(_kernel, n_materials, inv_dx, nx)
+    kernel = functools.partial(_kernel, n_materials, inv_dx, nx, storage_dtype)
     # VMEM: (8 or 9) input + 6 output plane buffers, double-buffered by the
     # pipeline, + 2 scratch planes + temporaries. v5e has 128 MB physical
     # VMEM; the default 16 MB scoped limit underflows at 512^2 planes.
@@ -231,6 +240,7 @@ def pallas_step_fn(
     matid: Optional[jax.Array] = None,
     n_materials: int = 1,
     interpret: bool = False,
+    dtype=jnp.float32,
 ):
     """Build step(state, coeffs, sources) -> state backed by the fused kernel.
 
@@ -239,12 +249,12 @@ def pallas_step_fn(
     In matid mode pass coeffs as the (K, 4) jnp table instead (see
     Simulation/best.py wiring).
     """
-    if not supports(shape, bc):
-        raise ValueError(f"pallas kernel does not support {shape=} {bc=}")
+    if not supports(shape, bc, dtype=dtype):
+        raise ValueError(f"pallas kernel does not support {shape=} {bc=} {dtype=}")
     nx, ny, nz = shape
     inv_dx = tuple(float(v) for v in inv_dx)
     call = _build_call(tuple(shape), inv_dx, n_materials if matid is not None else 1,
-                       interpret)
+                       interpret, jnp.dtype(dtype).name)
 
     def _scatter_j(e, coeffs_cb, sources, tick, dtype):
         t = tick.astype(dtype) * jnp.asarray(dt, dtype)

@@ -73,11 +73,9 @@ class Simulation:
 
         if self.cpml is not None or self.tfsf is not None:
             return False
-        if self.dtype != jnp.float32:
-            return False
         if jax.default_backend() != "tpu":
             return False
-        if not supports(self.grid.shape, self.bc):
+        if not supports(self.grid.shape, self.bc, dtype=self.dtype):
             return False
         # uniform scalar coefficients only (the matid kernel mode is wired
         # separately via pallas_step_fn(matid=...))
@@ -112,7 +110,8 @@ class Simulation:
             from .pallas_step import pallas_step_fn
 
             return pallas_step_fn(
-                self.grid.shape, inv_dx=inv_dx, dt=self.grid.dt, bc=self.bc
+                self.grid.shape, inv_dx=inv_dx, dt=self.grid.dt, bc=self.bc,
+                dtype=self.dtype,
             )
         if self.backend == "pallas":
             raise ValueError(

@@ -103,3 +103,29 @@ def test_matid_matches_xla(rng):
 
     np.testing.assert_allclose(pal.e_stacked(), ref.e_stacked(), rtol=2e-6, atol=2e-6)
     np.testing.assert_allclose(pal.h_stacked(), ref.h_stacked(), rtol=2e-6, atol=2e-6)
+
+
+def test_bf16_storage_mode_accuracy(rng):
+    """bf16 storage (f32 compute) must track the f32 path to bf16 rounding
+    levels over a short pulse run."""
+    shape = (8, 16, 128)
+    dt = 0.2
+    coeffs = CellCoefficients.uniform((1.0, dt, 1.0, dt), jnp.float32)
+    srcs = SourceSet.build(
+        [PointSource((4, 8, 64), GaussianPulse(3 * dt, dt), j=(0, 0, 1.0))]
+    )
+    f32_step = pallas_step_fn(shape, inv_dx=(1.0, 1.0, 1.0), dt=dt, interpret=True)
+    b16_step = pallas_step_fn(
+        shape, inv_dx=(1.0, 1.0, 1.0), dt=dt, interpret=True, dtype=jnp.bfloat16
+    )
+    import fdtd_tpu as ft
+
+    s32 = ft.zero_state(shape, jnp.float32)
+    s16 = ft.zero_state(shape, jnp.bfloat16)
+    for _ in range(20):
+        s32 = f32_step(s32, coeffs, srcs)
+        s16 = b16_step(s16, coeffs, srcs)
+    a = s32.e_stacked()
+    b = s16.e_stacked().astype(np.float32)
+    rel = np.abs(a - b).max() / np.abs(a).max()
+    assert rel < 0.03, f"bf16 deviation {rel:.4f}"
