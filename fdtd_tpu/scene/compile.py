@@ -232,6 +232,15 @@ def compile_scene(
     for e in scene.sources():
         cell = transforms.world_point_to_lattice(e.pose.translation)
         if cell is None:
+            # the reference silently drops these (world_point_to_lattice
+            # None-filter); a dropped feed is a debugging trap, so warn
+            import warnings
+
+            warnings.warn(
+                f"source entity {e.name!r} at {e.pose.translation} lies "
+                f"outside the simulation volume and was dropped",
+                stacklevel=2,
+            )
             continue
         point_sources.append(
             PointSource(cell, e.source.waveform, j=e.source.j, m=e.source.m)
