@@ -43,7 +43,11 @@ def cmd_run(args) -> int:
         if not args.ignore_config else __import__(
             "fdtd_tpu.config", fromlist=["AppConfig"]).AppConfig()
 
-    if args.scene:
+    if args.scene and not args.scene.endswith(".py"):
+        from fdtd_tpu.io import load_scene_file
+
+        scene, constants = load_scene_file(args.scene), None
+    elif args.scene:
         scene, constants = _load_scene(args.scene)
     else:
         from fdtd_tpu.models.example import EXAMPLE_CONSTANTS, example_scene
@@ -157,6 +161,50 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_nec_info(args) -> int:
+    """Print a parsed NEC deck (counterpart of the nec-file crate's
+    read_file example, nec-file/examples/read_file.rs:11-20)."""
+    from fdtd_tpu.io import parse_nec
+    from fdtd_tpu.io.nec import Wire, WireArc
+
+    nec = parse_nec(Path(args.file).read_text())
+    for c in nec.comments:
+        print(f"comment: {c}")
+    for tag, g in nec.geometry:
+        if isinstance(g.spec, Wire):
+            e1, e2 = g.spec.world_ends(g.transform)
+            print(
+                f"wire tag={tag} segments={g.spec.num_segments} "
+                f"from=({e1[0]:g},{e1[1]:g},{e1[2]:g}) "
+                f"to=({e2[0]:g},{e2[1]:g},{e2[2]:g})"
+            )
+        elif isinstance(g.spec, WireArc):
+            print(f"arc tag={tag} segments={g.spec.num_segments} "
+                  f"radius={g.spec.arc_radius:g}")
+        else:
+            print(f"patch tag={tag} kind={g.spec.kind}")
+    print(f"ground plane: {nec.ground_plane}; symmetry: {nec.symmetry}")
+    if nec.ignored_decks:
+        print(f"ignored program-control cards: {len(nec.ignored_decks)}")
+    return 0
+
+
+def cmd_preview(args) -> int:
+    """Render a 3D scene preview PNG."""
+    from fdtd_tpu.io import load_scene_file
+    from fdtd_tpu.viz import render_scene_preview
+
+    if args.scene:
+        scene = load_scene_file(args.scene)
+    else:
+        from fdtd_tpu.models.example import example_scene
+
+        scene = example_scene()
+    out = render_scene_preview(scene, args.out, title=args.scene or "example scene")
+    print(out)
+    return 0
+
+
 def cmd_bench(args) -> int:
     import runpy
 
@@ -191,6 +239,15 @@ def main(argv=None) -> int:
 
     bench = sub.add_parser("bench", help="throughput benchmark")
     bench.set_defaults(fn=cmd_bench)
+
+    nec = sub.add_parser("nec-info", help="print a parsed NEC deck")
+    nec.add_argument("file")
+    nec.set_defaults(fn=cmd_nec_info)
+
+    pv = sub.add_parser("preview", help="render a 3D scene preview PNG")
+    pv.add_argument("scene", nargs="?", help=".json/.fdtd/.nec scene file")
+    pv.add_argument("--out", default="scene_preview.png")
+    pv.set_defaults(fn=cmd_preview)
 
     args = p.parse_args(argv)
     return args.fn(args)

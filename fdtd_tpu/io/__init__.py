@@ -10,6 +10,7 @@ from .nec import (
 )
 from .nec_scene import populate_scene_with_nec
 from .checkpoint import load_checkpoint, save_checkpoint
+from .formats import load_scene_file, register_format, supported_extensions
 from .project import load_project, save_project
 
 __all__ = [
@@ -24,6 +25,9 @@ __all__ = [
     "populate_scene_with_nec",
     "load_checkpoint",
     "save_checkpoint",
+    "load_scene_file",
+    "register_format",
+    "supported_extensions",
     "load_project",
     "save_project",
 ]

@@ -114,11 +114,12 @@ def _pack_entities(entities, material_ids) -> Optional[ctypes.Array]:
             return None  # unsupported shape -> caller falls back
         s = arr[i]
         s.kind = kind
-        rot = e.pose.matrix  # local->world, row-major
+        pose = e.global_pose()
+        rot = pose.matrix  # local->world, row-major
         for j in range(9):
             s.rot[j] = float(rot.flat[j])
         for j in range(3):
-            s.trans[j] = float(e.pose.translation[j])
+            s.trans[j] = float(pose.translation[j])
         shp = e.shape
         name = type(shp).__name__
         if name == "Ball":

@@ -1,5 +1,5 @@
 from .compile import CompiledScene, ResolvedObserver, Volume, compile_scene
-from .scene import Entity, GradedPmlComponent, Observer, Scene, SourceSpec
+from .scene import Entity, GradedPmlComponent, Observer, Plugin, Scene, SourceSpec
 from .shapes import Ball, Cuboid, Cylinder, HalfSpace, Quad, Shape
 from .transform import CoordinateTransforms, Isometry
 from .voxelize import voxelize_materials
@@ -10,6 +10,7 @@ __all__ = [
     "Volume",
     "compile_scene",
     "Entity",
+    "Plugin",
     "GradedPmlComponent",
     "Observer",
     "Scene",

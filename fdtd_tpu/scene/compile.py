@@ -138,7 +138,7 @@ def _resolve_observer(
 ) -> Optional[ResolvedObserver]:
     """Map an observer quad's plane normal (local +z) to the dominant lattice
     axis and its center to a plane index."""
-    normal_world = e.pose.matrix @ np.array([0.0, 0.0, 1.0])
+    normal_world = e.global_pose().matrix @ np.array([0.0, 0.0, 1.0])
     # lattice axes in world space are the rows of R^T
     from .transform import _quat_to_matrix
 
@@ -146,7 +146,7 @@ def _resolve_observer(
     comps = np.abs(r.T @ normal_world)
     axis = int(np.argmax(comps))
     center = transforms.world_to_solver(
-        np.asarray(e.pose.translation, np.float64).reshape(3, 1)
+        np.asarray(e.global_pose().translation, np.float64).reshape(3, 1)
     )[:, 0]
     index = int(np.clip(round(center[axis]), 0, transforms.lattice_size[axis] - 1))
     component = FieldComponent.E if e.observer.field == "e" else FieldComponent.H
@@ -230,7 +230,7 @@ def compile_scene(
     # sources: posed entities -> nearest lattice cell (runner.rs:820-869)
     point_sources: List[PointSource] = []
     for e in scene.sources():
-        cell = transforms.world_point_to_lattice(e.pose.translation)
+        cell = transforms.world_point_to_lattice(e.global_pose().translation)
         if cell is None:
             # the reference silently drops these (world_point_to_lattice
             # None-filter); a dropped feed is a debugging trap, so warn

@@ -27,7 +27,7 @@ from ..solver.pml import GradedPmlSpec
 from .shapes import Shape
 from .transform import Isometry
 
-__all__ = ["Entity", "Scene", "SourceSpec", "GradedPmlComponent", "Observer"]
+__all__ = ["Entity", "Plugin", "Scene", "SourceSpec", "GradedPmlComponent", "Observer"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,7 +66,13 @@ class Observer:
 
 @dataclasses.dataclass
 class Entity:
-    """A named bundle of components (the ECS entity analog)."""
+    """A named bundle of components (the ECS entity analog).
+
+    ``parent`` composes poses hierarchically (the counterpart of
+    LocalTransform/GlobalTransform propagation,
+    cem-scene/src/transform/systems.rs:15-80): ``pose`` is LOCAL when a
+    parent is set; Scene.global_pose resolves the world pose.
+    """
 
     name: str = ""
     shape: Optional[Shape] = None
@@ -75,6 +81,13 @@ class Entity:
     source: Optional[SourceSpec] = None
     pml: Optional[GradedPmlComponent] = None
     observer: Optional[Observer] = None
+    parent: Optional["Entity"] = None
+
+    def global_pose(self) -> Isometry:
+        """World pose with parent chains composed (GlobalTransform analog)."""
+        if self.parent is None:
+            return self.pose
+        return self.parent.global_pose().compose(self.pose)
 
     def world_aabb(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         if self.shape is None:
@@ -84,14 +97,24 @@ class Entity:
             return None  # unbounded (HalfSpace), tracked separately like
             # the reference's unbounded colliders (spatial/bvh.rs:38,63-75)
         corners = np.array(list(itertools.product(*zip(mins, maxs)))).T  # (3, 8)
-        w = self.pose.apply(corners)
+        w = self.global_pose().apply(corners)
         return (w.min(axis=1), w.max(axis=1))
 
     def contains_world(self, points: np.ndarray) -> np.ndarray:
         """Vectorized world-frame containment, points (3, ...)."""
         if self.shape is None:
             return np.zeros(points.shape[1:], bool)
-        return self.shape.contains(self.pose.inverse_apply(points))
+        return self.shape.contains(self.global_pose().inverse_apply(points))
+
+
+class Plugin:
+    """Scene-population plugin (counterpart of cem-scene's Plugin/
+    PluginRegistry, plugin.rs:18-59, and the PopulateScene trait,
+    lib.rs:152-156): ``setup(scene)`` adds entities/configuration. Plugins
+    are deduplicated by type, like the reference's type-id registry."""
+
+    def setup(self, scene: "Scene") -> None:  # pragma: no cover - interface
+        raise NotImplementedError
 
 
 class Scene:
@@ -99,6 +122,7 @@ class Scene:
 
     def __init__(self, entities: Iterable[Entity] = ()):
         self.entities: List[Entity] = list(entities)
+        self._plugins: set = set()
 
     def add(self, entity: Entity) -> Entity:
         self.entities.append(entity)
@@ -106,6 +130,15 @@ class Scene:
 
     def spawn(self, **kwargs) -> Entity:
         return self.add(Entity(**kwargs))
+
+    def add_plugin(self, plugin: Plugin) -> bool:
+        """Run a plugin once per type (PluginRegistry dedup, plugin.rs:26-59).
+        Returns False if a plugin of this type already ran."""
+        if type(plugin) in self._plugins:
+            return False
+        self._plugins.add(type(plugin))
+        plugin.setup(self)
+        return True
 
     # -- queries (counterpart of cem-scene/src/spatial/queries.rs) ----------
 
@@ -144,3 +177,34 @@ class Scene:
 
     def pmls(self) -> Sequence[Entity]:
         return [e for e in self.entities if e.pml is not None and e.shape is not None]
+
+    def cast_ray(
+        self,
+        origin,
+        direction,
+        max_dist: float = 1e6,
+        predicate=lambda e: e.shape is not None,
+    ) -> Optional[Tuple[Entity, float]]:
+        """First entity hit along a world-space ray (sphere tracing on the
+        shapes' SDFs) — the counterpart of the BVH ray-cast used for picking
+        and PML depth (cem-scene/src/spatial/bvh.rs:54-130)."""
+        o = np.asarray(origin, np.float64)
+        d = np.asarray(direction, np.float64)
+        d = d / np.linalg.norm(d)
+        best: Optional[Tuple[Entity, float]] = None
+        for e in self.entities:
+            if not predicate(e) or e.shape is None:
+                continue
+            pose = e.global_pose()
+            t = 0.0
+            for _ in range(256):
+                p = (o + t * d).reshape(3, 1)
+                dist = float(e.shape.sdf(pose.inverse_apply(p))[0])
+                if dist < 1e-9:
+                    if best is None or t < best[1]:
+                        best = (e, t)
+                    break
+                t += max(dist, 1e-6)
+                if t > max_dist or (best is not None and t >= best[1]):
+                    break
+        return best

@@ -1,3 +1,4 @@
+from .inspect import describe
 from .observability import (
     Tracer,
     build_info,
@@ -6,4 +7,11 @@ from .observability import (
     trace_span,
 )
 
-__all__ = ["Tracer", "build_info", "format_size", "get_tracer", "trace_span"]
+__all__ = [
+    "describe",
+    "Tracer",
+    "build_info",
+    "format_size",
+    "get_tracer",
+    "trace_span",
+]

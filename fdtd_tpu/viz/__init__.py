@@ -4,6 +4,7 @@ from .projection import (
     default_z_colormap,
     project,
 )
+from .preview import render_scene_preview
 from .targets import FrameBuffer, GifTarget, PngTarget
 
 __all__ = [
@@ -11,6 +12,7 @@ __all__ = [
     "axis_plane_projection",
     "default_z_colormap",
     "project",
+    "render_scene_preview",
     "FrameBuffer",
     "GifTarget",
     "PngTarget",
