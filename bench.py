@@ -65,11 +65,16 @@ def main() -> None:
             ]
         )
         state = ft.zero_state(shape)
-        step = best_step_fn(shape, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt)
+        from fdtd_tpu.solver.best import best_multi_step_fn
+
+        step_k, k_per_call = best_multi_step_fn(
+            shape, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt
+        )
+        n_calls = max(n_steps // k_per_call, 1)
 
         def run(state, k: int):
             def body(s, _):
-                return step(s, coeffs, src), None
+                return step_k(s, coeffs, src), None
 
             return jax.lax.scan(body, state, None, length=k)[0]
 
@@ -77,20 +82,25 @@ def main() -> None:
 
         # warmup with the SAME static scan length (a different length would
         # put a fresh compilation inside the timed region)
-        state = run_j(state, n_steps)
+        state = run_j(state, n_calls)
         _sync(state)
         t0 = time.perf_counter()
-        state = run_j(state, n_steps)
+        state = run_j(state, n_calls)
         _sync(state)
         dt_wall = time.perf_counter() - t0 - _READBACK_S
 
-        cells_per_s = grid.num_cells * n_steps / dt_wall
+        steps_done = n_calls * k_per_call
+        cells_per_s = grid.num_cells * steps_done / dt_wall
         results[n] = cells_per_s
         print(
-            f"{n}^3 free-space: {cells_per_s/1e9:.3f} Gcell/s "
-            f"({n_steps/dt_wall:.1f} steps/s, {dt_wall*1e3/n_steps:.2f} ms/step)",
+            f"{n}^3 free-space (K={k_per_call} temporal blocking): "
+            f"{cells_per_s/1e9:.3f} Gcell/s "
+            f"({steps_done/dt_wall:.1f} steps/s, "
+            f"{dt_wall*1e3/steps_done:.2f} ms/step)",
             file=sys.stderr,
         )
+        # single-step probe path still uses the 1-step kernel below
+        step = best_step_fn(shape, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt)
 
         # steps/sec INCLUDING probe readback (BASELINE metric): advance in
         # chunks, pulling a point-probe trace to host per chunk (the
@@ -126,8 +136,9 @@ def main() -> None:
         if n == max(sizes) and dev.platform == "tpu":
             from fdtd_tpu.solver.pallas_step import pallas_step_fn as _psf
 
-            bstep = _psf(shape, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
-                         dtype=jnp.bfloat16)
+            bstep, bk = best_multi_step_fn(
+                shape, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt, dtype=jnp.bfloat16
+            )
             bsrc = ft.SourceSet.build(
                 [ft.PointSource((n // 2,) * 3,
                                 ft.GaussianPulse(20 * grid.dt, 6 * grid.dt),
@@ -143,15 +154,16 @@ def main() -> None:
 
             runb_j = jax.jit(run_b, static_argnums=1, donate_argnums=0)
             state = ft.zero_state(shape, jnp.bfloat16)
-            state = runb_j(state, n_steps)
+            bcalls = max(n_steps // bk, 1)
+            state = runb_j(state, bcalls)
             _sync(state)
             t0 = time.perf_counter()
-            state = runb_j(state, n_steps)
+            state = runb_j(state, bcalls)
             _sync(state)
             dt_wall = time.perf_counter() - t0 - _READBACK_S
             print(
-                f"{n}^3 bf16 storage: "
-                f"{grid.num_cells*n_steps/dt_wall/1e9:.3f} Gcell/s",
+                f"{n}^3 bf16 storage (K={bk}): "
+                f"{grid.num_cells*bcalls*bk/dt_wall/1e9:.3f} Gcell/s",
                 file=sys.stderr,
             )
             del state

@@ -15,7 +15,46 @@ import jax
 from .boundary import BoundaryConditions
 from .step import step_fn
 
-__all__ = ["best_step_fn"]
+__all__ = ["best_step_fn", "best_multi_step_fn"]
+
+
+def best_multi_step_fn(
+    shape: Tuple[int, int, int],
+    *,
+    inv_dx: Tuple[float, float, float],
+    dt: float,
+    bc: BoundaryConditions = BoundaryConditions(),
+    dtype=None,
+    max_k: int = 6,
+):
+    """Fastest (step_fn, k) advancing k ticks per call.
+
+    Prefers the K-step temporally-blocked kernel (K=6 is the measured sweet
+    spot at 512^3: ~26 Gcell/s f32 vs 6.5 for the single-step kernel);
+    falls back through smaller K and finally the single-step path. The
+    returned function has signature step(state, coeffs, sources) and
+    advances ``k`` ticks (tick += k).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    backend = jax.default_backend()
+    if backend == "tpu":
+        try:
+            from .pallas_stepk import pallas_stepk_fn, supports_k
+
+            for k in range(max_k, 1, -1):
+                if supports_k(shape, bc, k, dtype=dtype):
+                    return (
+                        pallas_stepk_fn(
+                            shape, k, inv_dx=inv_dx, dt=dt, bc=bc, dtype=dtype
+                        ),
+                        k,
+                    )
+        except ImportError:
+            pass
+    return best_step_fn(shape, inv_dx=inv_dx, dt=dt, bc=bc), 1
 
 
 def best_step_fn(

@@ -1,0 +1,319 @@
+"""K-step temporally-blocked Pallas kernel: K leapfrog ticks per pass.
+
+Generalizes pallas_step2.py's wavefront scheme to arbitrary depth K: HBM
+traffic is ~(48 + 8 halo)/K bytes per cell per STEP, so throughput scales
+nearly linearly in K until the VPU compute (K x the single-step work per
+pass) or VMEM carries (6(K-1)+2 planes) bind.
+
+Pipeline at descending sweep iteration p (from nx-1 down to -(K-1)); stage
+k (1..K) computes the level-k fields at plane q_k = p + k - 1:
+
+  H^k[q_k] = d_a H^{k-1}[q_k] - d_b curl_b(E^{k-1})[q_k]
+  E^k[q_k] = c_a E^{k-1}[q_k] + c_b curl_f(H^k)[q_k]
+
+where for stage 1 the level-0 fields are the kernel inputs (plane p + the
+E_y/E_z halo at p-1), and for stage k >= 2 every operand is either computed
+this iteration by stage k-1 (plane q_k - 1) or carried in VMEM from the
+previous iteration (planes q_k and q_k + 1; the carry registers are read
+before they are overwritten). Outputs are the level-K fields, written at
+plane p + K - 1 with clamped index maps: the pipeline-fill iterations write
+garbage at plane nx-1 that the first full iteration overwrites in grid
+order, and the drain iterations (p < 0) finish planes K-2..0.
+
+J point sources for steps 1..K-1 are injected in-kernel with masked selects
+(their corrections feed later stages); step K's are applied after the
+kernel, which is exact. Uniform scalar coefficients only; equivalence with
+K invocations of the single-step kernel is enforced in
+tests/test_pallas_step2.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .boundary import BoundaryConditions
+from .sources import SourceSet
+from .state import SimState
+from .step import _cells
+
+__all__ = ["pallas_stepk_fn", "supports_k"]
+
+
+def supports_k(shape, bc, k: int, dtype=jnp.float32) -> bool:
+    from .pallas_step import supports
+
+    if not supports(shape, bc, dtype=dtype):
+        return False
+    if not (2 <= k <= 8):
+        return False
+    return shape[0] >= 2 * k
+
+
+def _kernel(inv_dx, nx, n_src, k_steps, storage_dtype, *refs):
+    n_in = 2 + 8  # coef, src, 6 fields, 2 halos
+    (coef_ref, src_ref,
+     ex_r, ey_r, ez_r, hx_r, hy_r, hz_r, eyl_r, ezl_r) = refs[:n_in]
+    outs = refs[n_in:n_in + 6]
+    scratch = refs[n_in + 6:]
+    # carries: per level k = 1..K-1: [ex, ey, ez, hx, hy, hz]; plus final
+    # level's [hy_top, hz_top]
+    c_lvl = [scratch[6 * i: 6 * i + 6] for i in range(k_steps - 1)]
+    c_topy, c_topz = scratch[6 * (k_steps - 1):]
+
+    i = pl.program_id(0)
+    p = nx - 1 - i  # nx-1 .. -(K-1)
+    inv_x, inv_y, inv_z = inv_dx
+    f32 = jnp.float32
+
+    c_a = coef_ref[0, 0]
+    c_b = coef_ref[0, 1]
+    d_a = coef_ref[0, 2]
+    d_b = coef_ref[0, 3]
+
+    ny, nz = ex_r.shape[1:]
+    iy = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 0)
+    iz = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 1)
+    zero = jnp.zeros((ny, nz), f32)
+
+    def bdiff_y(f):
+        return jnp.where(iy == 0, 0.0, f - pltpu.roll(f, 1, axis=0))
+
+    def bdiff_z(f):
+        return jnp.where(iz == 0, 0.0, f - pltpu.roll(f, 1, axis=1))
+
+    def fdiff_y(f):
+        return jnp.where(iy == ny - 1, 0.0, pltpu.roll(f, ny - 1, axis=0) - f)
+
+    def fdiff_z(f):
+        return jnp.where(iz == nz - 1, 0.0, pltpu.roll(f, nz - 1, axis=1) - f)
+
+    # previous-iteration carries, read BEFORE the stage loop overwrites them
+    prev_e = {}
+    prev_h = {}
+    for lvl in range(1, k_steps):
+        regs = c_lvl[lvl - 1]
+        prev_e[lvl] = tuple(regs[c][...] for c in range(3))
+        prev_h[lvl] = tuple(regs[3 + c][...] for c in range(3))
+    top_y = c_topy[...]
+    top_z = c_topz[...]
+
+    new_carries = {}
+    out_fields = None
+    # stage k consumes the level k-1 fields; stage 1 consumes kernel inputs
+    below_e = (ex_r[0].astype(f32), ey_r[0].astype(f32), ez_r[0].astype(f32))
+    below_h = (hx_r[0].astype(f32), hy_r[0].astype(f32), hz_r[0].astype(f32))
+    halo_ey = eyl_r[0].astype(f32)
+    halo_ez = ezl_r[0].astype(f32)
+
+    for k in range(1, k_steps + 1):
+        q = p + k - 1  # plane computed by this stage
+        if k == 1:
+            e_here = below_e
+            h_here = below_h
+            e_xm = (None, halo_ey, halo_ez)  # E^{0}[p-1] tangentials
+        else:
+            e_here = prev_e[k - 1]
+            h_here = prev_h[k - 1]
+            e_xm = (None, below_e[1], below_e[2])  # stage k-1's plane q-1
+
+        # H^k[q]
+        at_lo = q <= 0
+        dey_x = jnp.where(at_lo, zero, e_here[1] - e_xm[1]) * inv_x
+        dez_x = jnp.where(at_lo, zero, e_here[2] - e_xm[2]) * inv_x
+        ce_x = bdiff_y(e_here[2]) * inv_y - bdiff_z(e_here[1]) * inv_z
+        ce_y = bdiff_z(e_here[0]) * inv_z - dez_x
+        ce_z = dey_x - bdiff_y(e_here[0]) * inv_y
+        hk = (
+            d_a * h_here[0] - d_b * ce_x,
+            d_a * h_here[1] - d_b * ce_y,
+            d_a * h_here[2] - d_b * ce_z,
+        )
+
+        # E^k[q]: x-forward needs H^k[q+1] = the pre-overwrite carry of this
+        # level (for k < K) or the dedicated top registers (k == K)
+        if k < k_steps:
+            hy_top, hz_top = prev_h[k][1], prev_h[k][2]
+        else:
+            hy_top, hz_top = top_y, top_z
+        at_hi = q == nx - 1
+        dhy_x = jnp.where(at_hi, zero, hy_top - hk[1]) * inv_x
+        dhz_x = jnp.where(at_hi, zero, hz_top - hk[2]) * inv_x
+        ch_x = fdiff_y(hk[2]) * inv_y - fdiff_z(hk[1]) * inv_z
+        ch_y = fdiff_z(hk[0]) * inv_z - dhz_x
+        ch_z = dhy_x - fdiff_y(hk[0]) * inv_y
+        ek = [
+            c_a * e_here[0] + c_b * ch_x,
+            c_a * e_here[1] + c_b * ch_y,
+            c_a * e_here[2] + c_b * ch_z,
+        ]
+
+        # in-kernel J injection for steps 1..K-1 (step K handled outside).
+        # src_ref rows: [px, py, pz, j_x, j_y, j_z for each level 1..K-1]
+        if k < k_steps:
+            for s in range(n_src):
+                sp = src_ref[s, 0].astype(jnp.int32)
+                py_s = src_ref[s, 1].astype(jnp.int32)
+                pz_s = src_ref[s, 2].astype(jnp.int32)
+                mask = jnp.logical_and(
+                    sp == q, jnp.logical_and(iy == py_s, iz == pz_s)
+                )
+                base = 3 + 3 * (k - 1)
+                ek[0] = jnp.where(mask, ek[0] - c_b * src_ref[s, base + 0], ek[0])
+                ek[1] = jnp.where(mask, ek[1] - c_b * src_ref[s, base + 1], ek[1])
+                ek[2] = jnp.where(mask, ek[2] - c_b * src_ref[s, base + 2], ek[2])
+        ek = tuple(ek)
+
+        if k < k_steps:
+            new_carries[k] = (ek, hk)
+            below_e = ek
+            below_h = hk
+        else:
+            out_fields = (ek, hk)
+
+    # write outputs (level K at plane p+K-1, clamped in the index map)
+    (eK, hK) = out_fields
+    for c in range(3):
+        outs[c][0] = eK[c].astype(storage_dtype)
+        outs[3 + c][0] = hK[c].astype(storage_dtype)
+
+    # update carries
+    for lvl in range(1, k_steps):
+        regs = c_lvl[lvl - 1]
+        ek, hk = new_carries[lvl]
+        for c in range(3):
+            regs[c][...] = ek[c]
+            regs[3 + c][...] = hk[c]
+    c_topy[...] = hK[1]
+    c_topz[...] = hK[2]
+
+
+@functools.lru_cache(maxsize=16)
+def _build_call(shape, inv_dx, n_src, k_steps, interpret, dtype_name):
+    storage_dtype = jnp.dtype(dtype_name)
+    nx, ny, nz = shape
+    plane = (1, ny, nz)
+
+    def in_idx(i):
+        return (jnp.maximum(nx - 1 - i, 0), 0, 0)
+
+    def halo_idx(i):
+        return (jnp.maximum(nx - 2 - i, 0), 0, 0)
+
+    def out_idx(i):
+        return (jnp.clip(nx - 1 - i + (k_steps - 1), 0, nx - 1), 0, 0)
+
+    in_spec = pl.BlockSpec(plane, in_idx, memory_space=pltpu.VMEM)
+    halo_spec = pl.BlockSpec(plane, halo_idx, memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(plane, out_idx, memory_space=pltpu.VMEM)
+
+    f32 = jnp.float32
+    plane_bytes = ny * nz * 4
+    n_scratch = 6 * (k_steps - 1) + 2
+    vmem_limit = min(
+        int(plane_bytes * (40 + n_scratch + 10 * k_steps) + (1 << 20)),
+        122 * (1 << 20),
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, inv_dx, nx, n_src, k_steps, storage_dtype),
+        grid=(nx + k_steps - 1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # coeff row (1, 4)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # sources (n_src, 3+3(K-1))
+            *([in_spec] * 6),
+            *([halo_spec] * 2),
+        ],
+        out_specs=tuple([out_spec] * 6),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(shape, storage_dtype) for _ in range(6)
+        ),
+        scratch_shapes=[pltpu.VMEM((ny, nz), f32) for _ in range(n_scratch)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )
+
+
+def pallas_stepk_fn(
+    shape: Tuple[int, int, int],
+    k_steps: int,
+    *,
+    inv_dx: Tuple[float, float, float],
+    dt: float,
+    bc: BoundaryConditions = BoundaryConditions(),
+    max_sources: int = 8,
+    interpret: bool = False,
+    dtype=jnp.float32,
+):
+    """Build stepk(state, coeffs, sources) advancing ``k_steps`` ticks."""
+    if not supports_k(shape, bc, k_steps, dtype=dtype):
+        raise ValueError(
+            f"{k_steps}-step kernel does not support {shape=} {bc=} {dtype=}"
+        )
+    inv_dx = tuple(float(v) for v in inv_dx)
+    call = _build_call(
+        tuple(shape), inv_dx, max_sources, k_steps, interpret,
+        jnp.dtype(dtype).name,
+    )
+    row_width = 3 + 3 * (k_steps - 1)
+
+    def stepk(state: SimState, coeffs, sources: Optional[SourceSet]) -> SimState:
+        row = jnp.stack(
+            [
+                jnp.asarray(coeffs.c_a, jnp.float32),
+                jnp.asarray(coeffs.c_b, jnp.float32),
+                jnp.asarray(coeffs.d_a, jnp.float32),
+                jnp.asarray(coeffs.d_b, jnp.float32),
+            ]
+        ).reshape(1, 4)
+
+        dtype_ = state.ex.dtype
+        src_rows = jnp.full((max_sources, row_width), -1.0, jnp.float32)
+        if sources is not None and sources.num_sources > 0:
+            n = sources.num_sources
+            if n > max_sources:
+                raise ValueError(f"{n} sources > max_sources={max_sources}")
+            src_rows = src_rows.at[:n, 0:3].set(
+                sources.points.astype(jnp.float32)
+            )
+            for lvl in range(1, k_steps):
+                t = (state.tick + lvl - 1).astype(jnp.float32) * jnp.float32(dt)
+                j, _ = sources.values(t)
+                src_rows = src_rows.at[:n, 3 + 3 * (lvl - 1): 3 + 3 * lvl].set(
+                    j.astype(jnp.float32)
+                )
+
+        outs = call(
+            row, src_rows,
+            state.ex, state.ey, state.ez, state.hx, state.hy, state.hz,
+            state.ey, state.ez,
+        )
+        e = list(outs[0:3])
+        h = outs[3:6]
+
+        if sources is not None and sources.num_sources > 0:
+            t = (state.tick + k_steps - 1).astype(jnp.float32) * jnp.float32(dt)
+            j, _ = sources.values(t)
+            px, py, pz = (
+                sources.points[:, 0],
+                sources.points[:, 1],
+                sources.points[:, 2],
+            )
+            cb = _cells(coeffs.c_b, px, py, pz, sources.num_sources, dtype_)
+            e = [
+                e[c].at[px, py, pz].add(
+                    -(cb * j[:, c]).astype(dtype_), mode="drop"
+                )
+                for c in range(3)
+            ]
+
+        return SimState(
+            ex=e[0], ey=e[1], ez=e[2], hx=h[0], hy=h[1], hz=h[2],
+            tick=state.tick + k_steps,
+        )
+
+    return stepk

@@ -1,0 +1,81 @@
+"""Temporally-blocked 2-step kernel vs two single-step kernel invocations
+(interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fdtd_tpu as ft
+from fdtd_tpu.solver.pallas_step import pallas_step_fn
+from fdtd_tpu.solver.pallas_step2 import pallas_step2_fn, supports2
+
+SHAPE = (10, 16, 128)
+INV_DX = (1.0, 1.0 / 0.7, 1.0 / 1.3)
+DT = 0.2
+
+
+def _state(rng, dtype=jnp.float32):
+    e = rng.standard_normal((3, *SHAPE))
+    h = rng.standard_normal((3, *SHAPE))
+    return ft.state_from_stacked(e, h, dtype=dtype)
+
+
+@pytest.mark.parametrize("with_sources", [False, True])
+def test_two_steps_match_single_kernel_twice(rng, with_sources):
+    state = _state(rng)
+    coeffs = ft.CellCoefficients.uniform((0.97, 0.21, 0.99, 0.18), jnp.float32)
+    srcs = None
+    if with_sources:
+        srcs = ft.SourceSet.build(
+            [
+                ft.PointSource((3, 5, 7), ft.GaussianPulse(2 * DT, DT), j=(0.5, 0, 2.0)),
+                ft.PointSource((0, 0, 0), ft.GaussianPulse(DT, DT), j=(1.0, 0.5, 0)),
+                ft.PointSource((9, 15, 127), ft.ContinuousWave(0.3), j=(0, 1.0, 0)),
+            ]
+        )
+
+    step1 = pallas_step_fn(SHAPE, inv_dx=INV_DX, dt=DT, interpret=True)
+    step2 = pallas_step2_fn(SHAPE, inv_dx=INV_DX, dt=DT, interpret=True)
+
+    ref = state
+    for _ in range(4):
+        ref = step1(ref, coeffs, srcs)
+    out = state
+    for _ in range(2):
+        out = step2(out, coeffs, srcs)
+
+    np.testing.assert_allclose(out.e_stacked(), ref.e_stacked(), rtol=3e-6, atol=3e-6)
+    np.testing.assert_allclose(out.h_stacked(), ref.h_stacked(), rtol=3e-6, atol=3e-6)
+    assert int(out.tick) == int(ref.tick) == 4
+
+
+def test_supports2():
+    assert supports2((8, 16, 128), ft.BoundaryConditions())
+    assert not supports2((2, 16, 128), ft.BoundaryConditions())
+
+
+@pytest.mark.parametrize("k", [2, 3, 4])
+def test_k_step_kernel_matches_single(rng, k):
+    from fdtd_tpu.solver.pallas_stepk import pallas_stepk_fn
+
+    state = _state(rng)
+    coeffs = ft.CellCoefficients.uniform((0.97, 0.21, 0.99, 0.18), jnp.float32)
+    srcs = ft.SourceSet.build(
+        [
+            ft.PointSource((3, 5, 7), ft.GaussianPulse(2 * DT, DT), j=(0.5, 0, 2.0)),
+            ft.PointSource((9, 15, 127), ft.ContinuousWave(0.3), j=(0, 1.0, 0)),
+        ]
+    )
+    step1 = pallas_step_fn(SHAPE, inv_dx=INV_DX, dt=DT, interpret=True)
+    stepk = pallas_stepk_fn(SHAPE, k, inv_dx=INV_DX, dt=DT, interpret=True)
+
+    ref = state
+    for _ in range(2 * k):
+        ref = step1(ref, coeffs, srcs)
+    out = state
+    for _ in range(2):
+        out = stepk(out, coeffs, srcs)
+
+    np.testing.assert_allclose(out.e_stacked(), ref.e_stacked(), rtol=5e-6, atol=5e-6)
+    np.testing.assert_allclose(out.h_stacked(), ref.h_stacked(), rtol=5e-6, atol=5e-6)
+    assert int(out.tick) == int(ref.tick)
