@@ -45,20 +45,25 @@ from .step import _cells
 __all__ = ["pallas_stepk_fn", "supports_k"]
 
 
-def supports_k(shape, bc, k: int, dtype=jnp.float32) -> bool:
+def supports_k(shape, bc, k: int, dtype=jnp.float32, n_materials: int = 1) -> bool:
     from .pallas_step import supports
 
     if not supports(shape, bc, dtype=dtype):
         return False
     if not (2 <= k <= 8):
         return False
+    if n_materials > 1 and shape[1] % 32 != 0:
+        return False  # uint8 matid planes need (32, 128) tiling
     return shape[0] >= 2 * k
 
 
-def _kernel(inv_dx, nx, n_src, k_steps, storage_dtype, *refs):
-    n_in = 2 + 8  # coef, src, 6 fields, 2 halos
+def _kernel(inv_dx, nx, n_src, k_steps, storage_dtype, n_materials, *refs):
+    n_in = 2 + 8  # coef/table, src, 6 fields, 2 halos
     (coef_ref, src_ref,
      ex_r, ey_r, ez_r, hx_r, hy_r, hz_r, eyl_r, ezl_r) = refs[:n_in]
+    if n_materials > 1:
+        mid_refs = refs[n_in:n_in + k_steps]
+        n_in += k_steps
     outs = refs[n_in:n_in + 6]
     scratch = refs[n_in + 6:]
     # carries: per level k = 1..K-1: [ex, ey, ez, hx, hy, hz]; plus final
@@ -70,11 +75,6 @@ def _kernel(inv_dx, nx, n_src, k_steps, storage_dtype, *refs):
     p = nx - 1 - i  # nx-1 .. -(K-1)
     inv_x, inv_y, inv_z = inv_dx
     f32 = jnp.float32
-
-    c_a = coef_ref[0, 0]
-    c_b = coef_ref[0, 1]
-    d_a = coef_ref[0, 2]
-    d_b = coef_ref[0, 3]
 
     ny, nz = ex_r.shape[1:]
     iy = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 0)
@@ -113,6 +113,25 @@ def _kernel(inv_dx, nx, n_src, k_steps, storage_dtype, *refs):
 
     for k in range(1, k_steps + 1):
         q = p + k - 1  # plane computed by this stage
+        # per-stage coefficients: scalars for uniform media, or selects from
+        # the (K_mat, 4) table driven by the stage's uint8 matid plane
+        if n_materials > 1:
+            mid = mid_refs[k - 1][0].astype(jnp.int32)
+            c_a = jnp.zeros((ny, nz), f32)
+            c_b = jnp.zeros((ny, nz), f32)
+            d_a = jnp.zeros((ny, nz), f32)
+            d_b = jnp.zeros((ny, nz), f32)
+            for m in range(n_materials):
+                sel = (mid == m).astype(f32)
+                c_a += sel * coef_ref[m, 0]
+                c_b += sel * coef_ref[m, 1]
+                d_a += sel * coef_ref[m, 2]
+                d_b += sel * coef_ref[m, 3]
+        else:
+            c_a = coef_ref[0, 0]
+            c_b = coef_ref[0, 1]
+            d_a = coef_ref[0, 2]
+            d_b = coef_ref[0, 3]
         if k == 1:
             e_here = below_e
             h_here = below_h
@@ -194,7 +213,8 @@ def _kernel(inv_dx, nx, n_src, k_steps, storage_dtype, *refs):
 
 
 @functools.lru_cache(maxsize=16)
-def _build_call(shape, inv_dx, n_src, k_steps, interpret, dtype_name):
+def _build_call(shape, inv_dx, n_src, k_steps, interpret, dtype_name,
+                n_materials=1):
     storage_dtype = jnp.dtype(dtype_name)
     nx, ny, nz = shape
     plane = (1, ny, nz)
@@ -212,6 +232,15 @@ def _build_call(shape, inv_dx, n_src, k_steps, interpret, dtype_name):
     halo_spec = pl.BlockSpec(plane, halo_idx, memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec(plane, out_idx, memory_space=pltpu.VMEM)
 
+    def stage_idx(j):
+        # stage j+1 consumes plane p+j = nx-1-i+j, clamped
+        return lambda i: (jnp.clip(nx - 1 - i + j, 0, nx - 1), 0, 0)
+
+    mid_specs = [
+        pl.BlockSpec(plane, stage_idx(j), memory_space=pltpu.VMEM)
+        for j in range(k_steps)
+    ]
+
     f32 = jnp.float32
     plane_bytes = ny * nz * 4
     n_scratch = 6 * (k_steps - 1) + 2
@@ -220,13 +249,16 @@ def _build_call(shape, inv_dx, n_src, k_steps, interpret, dtype_name):
         122 * (1 << 20),
     )
     return pl.pallas_call(
-        functools.partial(_kernel, inv_dx, nx, n_src, k_steps, storage_dtype),
+        functools.partial(
+            _kernel, inv_dx, nx, n_src, k_steps, storage_dtype, n_materials
+        ),
         grid=(nx + k_steps - 1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # coeff row (1, 4)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # coeff table (K_mat, 4)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # sources (n_src, 3+3(K-1))
             *([in_spec] * 6),
             *([halo_spec] * 2),
+            *(mid_specs if n_materials > 1 else []),
         ],
         out_specs=tuple([out_spec] * 6),
         out_shape=tuple(
@@ -248,28 +280,43 @@ def pallas_stepk_fn(
     max_sources: int = 8,
     interpret: bool = False,
     dtype=jnp.float32,
+    matid=None,
+    n_materials: int = 1,
 ):
-    """Build stepk(state, coeffs, sources) advancing ``k_steps`` ticks."""
-    if not supports_k(shape, bc, k_steps, dtype=dtype):
+    """Build stepk(state, coeffs, sources) advancing ``k_steps`` ticks.
+
+    Uniform media: ``coeffs`` = CellCoefficients of scalars. Compressed
+    multi-material: pass ``matid`` (uint8 (nx, ny, nz)) and ``n_materials``;
+    ``coeffs`` then is the (K_mat, 4) coefficient table array.
+    """
+    n_mat = n_materials if matid is not None else 1
+    if not supports_k(shape, bc, k_steps, dtype=dtype, n_materials=n_mat):
         raise ValueError(
             f"{k_steps}-step kernel does not support {shape=} {bc=} {dtype=}"
         )
     inv_dx = tuple(float(v) for v in inv_dx)
     call = _build_call(
         tuple(shape), inv_dx, max_sources, k_steps, interpret,
-        jnp.dtype(dtype).name,
+        jnp.dtype(dtype).name, n_mat,
     )
     row_width = 3 + 3 * (k_steps - 1)
 
     def stepk(state: SimState, coeffs, sources: Optional[SourceSet]) -> SimState:
-        row = jnp.stack(
-            [
-                jnp.asarray(coeffs.c_a, jnp.float32),
-                jnp.asarray(coeffs.c_b, jnp.float32),
-                jnp.asarray(coeffs.d_a, jnp.float32),
-                jnp.asarray(coeffs.d_b, jnp.float32),
-            ]
-        ).reshape(1, 4)
+        if matid is not None:
+            row = jnp.asarray(coeffs, jnp.float32)  # (K_mat, 4) table
+            cb_of = lambda px, py, pz, n, dt_: jnp.take(
+                row[:, 1], matid[px, py, pz].astype(jnp.int32)
+            )
+        else:
+            row = jnp.stack(
+                [
+                    jnp.asarray(coeffs.c_a, jnp.float32),
+                    jnp.asarray(coeffs.c_b, jnp.float32),
+                    jnp.asarray(coeffs.d_a, jnp.float32),
+                    jnp.asarray(coeffs.d_b, jnp.float32),
+                ]
+            ).reshape(1, 4)
+            cb_of = None
 
         dtype_ = state.ex.dtype
         src_rows = jnp.full((max_sources, row_width), -1.0, jnp.float32)
@@ -287,10 +334,14 @@ def pallas_stepk_fn(
                     j.astype(jnp.float32)
                 )
 
+        extra = []
+        if matid is not None:
+            extra = [matid] * k_steps  # per-stage plane windows via index maps
         outs = call(
             row, src_rows,
             state.ex, state.ey, state.ez, state.hx, state.hy, state.hz,
             state.ey, state.ez,
+            *extra,
         )
         e = list(outs[0:3])
         h = outs[3:6]
@@ -303,7 +354,10 @@ def pallas_stepk_fn(
                 sources.points[:, 1],
                 sources.points[:, 2],
             )
-            cb = _cells(coeffs.c_b, px, py, pz, sources.num_sources, dtype_)
+            if matid is not None:
+                cb = cb_of(px, py, pz, sources.num_sources, dtype_).astype(dtype_)
+            else:
+                cb = _cells(coeffs.c_b, px, py, pz, sources.num_sources, dtype_)
             e = [
                 e[c].at[px, py, pz].add(
                     -(cb * j[:, c]).astype(dtype_), mode="drop"

@@ -145,9 +145,39 @@ class Simulation:
         probe_stacks is a tuple of (n_steps // probe_every, ...) arrays.
         ``probe_every`` is the on-device counterpart of the reference's
         observation throttle (cem-app/src/solver/runner.rs:464).
+
+        When no accumulators ride the scan and the probe cadence permits,
+        eligible configurations use the K-step temporally-blocked kernel
+        (~4x the single-step kernel's throughput); accumulators need every
+        intermediate state, so they force single-stepping.
         """
-        fn = _compiled(self._step, tuple(probes), tuple(accumulators),
-                       probe_every, n_steps, self.grid.dt)
+        step, k = self._step, 1
+        if (
+            self.backend == "auto"
+            and not accumulators
+            and self._pallas_eligible()
+        ):
+            from .pallas_stepk import pallas_stepk_fn, supports_k
+
+            for cand in (6, 4, 3, 2):
+                cadence = probe_every if probes else n_steps
+                if (
+                    n_steps % cand == 0
+                    and cadence % cand == 0
+                    and supports_k(self.grid.shape, self.bc, cand,
+                                   dtype=self.dtype)
+                ):
+                    inv_dx = tuple(1.0 / d for d in self.grid.dx)
+                    step = pallas_stepk_fn(
+                        self.grid.shape, cand, inv_dx=inv_dx,
+                        dt=self.grid.dt, bc=self.bc, dtype=self.dtype,
+                    )
+                    k = cand
+                    break
+
+        fn = _compiled(step, tuple(probes), tuple(accumulators),
+                       max(probe_every // k, 1) if probes else 1,
+                       n_steps // k, self.grid.dt)
         return fn(state, self.coeffs, self.sources)
 
     # -- reporting -----------------------------------------------------------

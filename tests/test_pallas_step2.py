@@ -79,3 +79,35 @@ def test_k_step_kernel_matches_single(rng, k):
     np.testing.assert_allclose(out.e_stacked(), ref.e_stacked(), rtol=5e-6, atol=5e-6)
     np.testing.assert_allclose(out.h_stacked(), ref.h_stacked(), rtol=5e-6, atol=5e-6)
     assert int(out.tick) == int(ref.tick)
+
+
+def test_k_step_matid_matches_single(rng):
+    """K-step temporal blocking with the compressed material-index buffer."""
+    from fdtd_tpu.solver.pallas_step import pallas_step_fn as _p1
+    from fdtd_tpu.solver.pallas_stepk import pallas_stepk_fn
+
+    shape = (12, 32, 128)  # ny % 32 for uint8 planes
+    table = jnp.asarray(
+        [[1.0, DT, 1.0, DT], [0.9, 0.1, 0.95, 0.12], [0.5, 0.4, 0.7, 0.3]],
+        jnp.float32,
+    )
+    matid = jnp.asarray(rng.integers(0, 3, shape), jnp.uint8)
+    e = rng.standard_normal((3, *shape))
+    h = rng.standard_normal((3, *shape))
+    state = ft.state_from_stacked(e, h, dtype=jnp.float32)
+    srcs = ft.SourceSet.build(
+        [ft.PointSource((5, 10, 60), ft.GaussianPulse(2 * DT, DT), j=(0, 0, 1.0))]
+    )
+
+    step1 = _p1(shape, inv_dx=INV_DX, dt=DT, matid=matid, n_materials=3,
+                interpret=True)
+    step3 = pallas_stepk_fn(shape, 3, inv_dx=INV_DX, dt=DT, matid=matid,
+                            n_materials=3, interpret=True)
+
+    ref = state
+    for _ in range(3):
+        ref = step1(ref, table, srcs)
+    out = step3(state, table, srcs)
+
+    np.testing.assert_allclose(out.e_stacked(), ref.e_stacked(), rtol=5e-6, atol=5e-6)
+    np.testing.assert_allclose(out.h_stacked(), ref.h_stacked(), rtol=5e-6, atol=5e-6)
