@@ -222,10 +222,14 @@ def compile_scene(
     ctable = coefficient_table(table.materials, resolution, constants)
     if len(table) == 1:
         coeffs = CellCoefficients.uniform(ctable[0], dtype)
+        sim_matid = sim_table = None
     else:
         coeffs = CellCoefficients.from_table(
             jnp.asarray(ctable, dtype), jnp.asarray(matid)
         )
+        # keep the compressed form so the Pallas kernels can stream the
+        # 1 B/cell index instead of 16 B/cell dense coefficients
+        sim_matid, sim_table = matid, ctable
 
     # sources: posed entities -> nearest lattice cell (runner.rs:820-869)
     point_sources: List[PointSource] = []
@@ -254,7 +258,8 @@ def compile_scene(
     )
 
     sim = Simulation(
-        grid=grid, coeffs=coeffs, sources=sources, bc=bc, dtype=dtype, cpml=cpml
+        grid=grid, coeffs=coeffs, sources=sources, bc=bc, dtype=dtype,
+        cpml=cpml, matid=sim_matid, table=sim_table,
     )
     return CompiledScene(
         simulation=sim,

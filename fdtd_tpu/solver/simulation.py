@@ -51,9 +51,16 @@ class Simulation:
     # Optional TF/SF plane-wave source (see tfsf.py).
     tfsf: Any = None
     # "auto" uses the fused Pallas kernel on TPU when the configuration
-    # allows (uniform scalar coefficients, Neumann(0) edges, no CPML/TFSF,
-    # J-only sources); "xla" forces the reference path; "pallas" asserts.
+    # allows (uniform scalar coefficients or a compressed material table,
+    # Neumann(0) edges, no CPML/TFSF, J-only sources); "xla" forces the
+    # reference path; "pallas" asserts.
     backend: str = "auto"
+    # compressed-material mode: per-cell uint8/uint16 index + (K, 4) table.
+    # When set, the Pallas kernels stream the 1 B/cell index instead of
+    # dense coefficients (coeffs should still hold the gathered dense form
+    # for the XLA fallback, e.g. CellCoefficients.from_table).
+    matid: Any = None
+    table: Any = None
 
     # -- construction -------------------------------------------------------
 
@@ -66,6 +73,10 @@ class Simulation:
             )
         return zero_state(self.grid.shape, self.dtype)
 
+    @property
+    def _n_materials(self) -> int:
+        return 0 if self.table is None else int(self.table.shape[0])
+
     def _pallas_eligible(self) -> bool:
         import jax
 
@@ -77,9 +88,13 @@ class Simulation:
             return False
         if not supports(self.grid.shape, self.bc, dtype=self.dtype):
             return False
-        # uniform scalar coefficients only (the matid kernel mode is wired
-        # separately via pallas_step_fn(matid=...))
-        if any(jnp.ndim(c) != 0 for c in self.coeffs):
+        if self.matid is not None:
+            # compressed-material mode: uint8 planes need ny % 32 == 0 and
+            # at most 256 materials
+            if self.grid.shape[1] % 32 != 0 or self._n_materials > 256:
+                return False
+        elif any(jnp.ndim(c) != 0 for c in self.coeffs):
+            # dense per-cell coefficients without an index buffer: XLA path
             return False
         # M-type sources change H mid-tick; only J sources are exact
         # post-kernel (see pallas_step.py docstring)
@@ -109,6 +124,19 @@ class Simulation:
         if self.backend in ("auto", "pallas") and self._pallas_eligible():
             from .pallas_step import pallas_step_fn
 
+            if self.matid is not None:
+                kernel = pallas_step_fn(
+                    self.grid.shape, inv_dx=inv_dx, dt=self.grid.dt,
+                    bc=self.bc, dtype=self.dtype,
+                    matid=jnp.asarray(self.matid),
+                    n_materials=self._n_materials,
+                )
+                table = jnp.asarray(self.table, jnp.float32)
+
+                def step(state, coeffs, sources):
+                    return kernel(state, table, sources)
+
+                return step
             return pallas_step_fn(
                 self.grid.shape, inv_dx=inv_dx, dt=self.grid.dt, bc=self.bc,
                 dtype=self.dtype,
@@ -159,19 +187,32 @@ class Simulation:
         ):
             from .pallas_stepk import pallas_stepk_fn, supports_k
 
+            n_mat = self._n_materials if self.matid is not None else 1
             for cand in (6, 4, 3, 2):
                 cadence = probe_every if probes else n_steps
                 if (
                     n_steps % cand == 0
                     and cadence % cand == 0
                     and supports_k(self.grid.shape, self.bc, cand,
-                                   dtype=self.dtype)
+                                   dtype=self.dtype, n_materials=n_mat)
                 ):
                     inv_dx = tuple(1.0 / d for d in self.grid.dx)
-                    step = pallas_stepk_fn(
-                        self.grid.shape, cand, inv_dx=inv_dx,
-                        dt=self.grid.dt, bc=self.bc, dtype=self.dtype,
-                    )
+                    if self.matid is not None:
+                        kernel = pallas_stepk_fn(
+                            self.grid.shape, cand, inv_dx=inv_dx,
+                            dt=self.grid.dt, bc=self.bc, dtype=self.dtype,
+                            matid=jnp.asarray(self.matid),
+                            n_materials=n_mat,
+                        )
+                        table = jnp.asarray(self.table, jnp.float32)
+
+                        def step(state, coeffs, sources, _k=kernel, _t=table):
+                            return _k(state, _t, sources)
+                    else:
+                        step = pallas_stepk_fn(
+                            self.grid.shape, cand, inv_dx=inv_dx,
+                            dt=self.grid.dt, bc=self.bc, dtype=self.dtype,
+                        )
                     k = cand
                     break
 
