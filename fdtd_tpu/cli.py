@@ -105,7 +105,18 @@ def cmd_run(args) -> int:
         observers=observers,
         ticks_per_dispatch=args.ticks_per_dispatch or app_cfg.ticks_per_dispatch,
     )
-    runner.start(paused=False)
+    if args.resume:
+        from fdtd_tpu.io import load_checkpoint
+
+        runner._sim_state, meta = load_checkpoint(args.resume, template=sim.init())
+        print(f"resumed from {args.resume} at tick "
+              f"{int(runner._sim_state.tick)}", file=sys.stderr)
+        runner.state.paused = False
+        runner._thread = __import__("threading").Thread(
+            target=runner._loop, name="solver", daemon=True)
+        runner._thread.start()
+    else:
+        runner.start(paused=False)
     t0 = time.perf_counter()
     try:
         while True:
@@ -127,6 +138,12 @@ def cmd_run(args) -> int:
         c.close()
     if runner.error is not None:
         raise runner.error
+    if args.save_checkpoint:
+        from fdtd_tpu.io import save_checkpoint
+
+        save_checkpoint(args.save_checkpoint, runner.sim_state,
+                        metadata={"shape": list(compiled.grid.shape)})
+        print(f"checkpoint written to {args.save_checkpoint}", file=sys.stderr)
     st = runner.stats()
     wall = time.perf_counter() - t0
     rate = st.sim_tick * compiled.grid.num_cells / max(st.total_running_time, 1e-9)
@@ -228,6 +245,10 @@ def main(argv=None) -> int:
     run.add_argument("--config", help="config file path")
     run.add_argument("--ignore-config", action="store_true")
     run.add_argument("--ticks-per-dispatch", type=int, default=None)
+    run.add_argument("--save-checkpoint", metavar="PATH",
+                     help="write the final state to PATH (.npz)")
+    run.add_argument("--resume", metavar="PATH",
+                     help="resume from a checkpoint written by --save-checkpoint")
     run.set_defaults(fn=cmd_run)
 
     dump = sub.add_parser("dump-default-config")
