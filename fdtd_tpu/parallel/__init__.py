@@ -1,11 +1,19 @@
 from .topology import make_mesh, choose_mesh_shape
 from .pallas_sharded import make_pallas_sharded_step
+from .pallas_sharded_k import (
+    collapse_state,
+    extend_state,
+    make_pallas_sharded_stepk,
+)
 from .sharded import make_sharded_step, shard_state, state_sharding
 
 __all__ = [
     "make_mesh",
     "choose_mesh_shape",
     "make_pallas_sharded_step",
+    "make_pallas_sharded_stepk",
+    "extend_state",
+    "collapse_state",
     "make_sharded_step",
     "shard_state",
     "state_sharding",

@@ -1,0 +1,234 @@
+"""Temporally-blocked fused kernel under shard_map: K ticks per pass per chip.
+
+Combines the two performance pillars for BASELINE config 5: the K-step
+wavefront kernel (solver/pallas_stepk.py, ~26 Gcell/s/chip at K=6) and 1-D
+domain decomposition. The trick that makes them compose is a PERSISTENT
+EXTENDED state: each shard's arrays carry K halo planes on both sides
+(layout [halo_lo(K) | owned(nl) | halo_hi(K)]), and each pass
+
+  1. refreshes the halos with one ppermute phase (the neighbors' outermost
+     OWNED K planes — 6 fields x K planes each way over ICI),
+  2. runs the unmodified K-step kernel over the whole extended array.
+
+Validity: the level-K output at plane q depends on level-0 data within K
+planes of q. Halo level-0 data is exact after the refresh, so outputs are
+exact exactly on the owned region [K, nl+K) — the halo-region outputs are
+garbage, and that's fine because the next pass overwrites them with the
+neighbors' (exact) data before anything reads them. Redundant compute is
+2K/(nl+2K) of the lattice (~2% at nl=512, K=6).
+
+Global Neumann edges are enforced by per-shard edge-plane operands: the
+first/last shards mask at extended planes K / nl+K-1; interior shards
+disable the masks entirely (their extended edges are halo garbage).
+
+Point sources are translated to extended coordinates WITHOUT clipping to
+the owned region, so a source within K planes of a boundary also injects
+into the neighbor's halo copy — required for the redundant recompute to
+agree. The final step's post-kernel scatter targets only the owned copy
+(halos are refreshed anyway).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..solver.boundary import BoundaryConditions
+from ..solver.sources import SourceSet
+from ..solver.state import SimState
+
+__all__ = [
+    "make_pallas_sharded_stepk",
+    "extend_state",
+    "collapse_state",
+]
+
+_FIELDS = ("ex", "ey", "ez", "hx", "hy", "hz")
+
+
+def extend_state(
+    state: SimState, mesh: Mesh, k: int, axis: str = "x"
+) -> SimState:
+    """Global (nx, ny, nz) state -> extended sharded layout
+    (n_dev*(nl+2k), ny, nz). Halo planes start zero; the first pass
+    refreshes them before any compute reads them."""
+    n_dev = mesh.shape[axis]
+    nx, ny, nz = state.ex.shape
+    assert nx % n_dev == 0, (nx, n_dev)
+    nl = nx // n_dev
+    nle = nl + 2 * k
+
+    def ext(f):
+        host = np.asarray(f)
+        out = np.zeros((n_dev * nle, ny, nz), host.dtype)
+        for d in range(n_dev):
+            out[d * nle + k: d * nle + k + nl] = host[d * nl: (d + 1) * nl]
+        return jnp.asarray(out)
+
+    fs = NamedSharding(mesh, P(axis, None, None))
+    r = NamedSharding(mesh, P())
+    new = SimState(
+        **{name: ext(getattr(state, name)) for name in _FIELDS},
+        tick=state.tick,
+    )
+    return jax.device_put(
+        new, SimState(**{n: fs for n in _FIELDS}, tick=r)
+    )
+
+
+def collapse_state(
+    state_ext: SimState, mesh: Mesh, k: int, axis: str = "x"
+) -> SimState:
+    """Extended sharded layout -> plain global state (host round-trip)."""
+    n_dev = mesh.shape[axis]
+    nxe, ny, nz = state_ext.ex.shape
+    nle = nxe // n_dev
+    nl = nle - 2 * k
+
+    def col(f):
+        host = np.asarray(f)
+        out = np.concatenate(
+            [host[d * nle + k: d * nle + k + nl] for d in range(n_dev)]
+        )
+        return jnp.asarray(out)
+
+    return SimState(
+        **{name: col(getattr(state_ext, name)) for name in _FIELDS},
+        tick=state_ext.tick,
+    )
+
+
+def make_pallas_sharded_stepk(
+    mesh: Mesh,
+    k_steps: int,
+    nl: int,
+    *,
+    inv_dx: Tuple[float, float, float],
+    dt: float,
+    bc: BoundaryConditions = BoundaryConditions(),
+    max_sources: int = 8,
+    interpret: bool = False,
+    dtype=jnp.float32,
+):
+    """Build step(state_ext, coeffs, sources) advancing ``k_steps`` ticks on
+    an extended sharded state (see extend_state). ``nl`` is the owned plane
+    count per shard; coeffs must be uniform scalars."""
+    from ..solver.pallas_stepk import _build_call, supports_k
+
+    axis = "x"
+    n_dev = mesh.shape[axis]
+    k = k_steps
+    nle = nl + 2 * k
+    local_shape = None  # fixed at first call
+
+    def local_step(state: SimState, coeffs, sources) -> SimState:
+        ny, nz = state.ex.shape[1:]
+        shape_ext = (nle, ny, nz)
+        if not supports_k(shape_ext, bc, k, dtype=dtype):
+            raise ValueError(f"unsupported extended shape {shape_ext}")
+        idx = lax.axis_index(axis)
+
+        up = [(i, i + 1) for i in range(n_dev - 1)]
+        down = [(i + 1, i) for i in range(n_dev - 1)]
+
+        fields = {}
+        for name in _FIELDS:
+            f = getattr(state, name)
+            # my outermost OWNED planes -> neighbors' halos
+            recv_lo = lax.ppermute(f[nl: nl + k], axis, up)  # from below
+            recv_hi = lax.ppermute(f[k: 2 * k], axis, down)  # from above
+            f = f.at[0:k].set(recv_lo)
+            f = f.at[nl + k:].set(recv_hi)
+            fields[name] = f
+
+        # per-shard global-edge planes (disable with sentinels off the grid)
+        lo_edge = jnp.where(idx == 0, k, -(2**30))
+        hi_edge = jnp.where(idx == n_dev - 1, nl + k - 1, 2**30)
+        edges = jnp.stack([lo_edge, hi_edge]).astype(jnp.int32).reshape(1, 2)
+
+        row = jnp.stack(
+            [
+                jnp.asarray(coeffs.c_a, jnp.float32),
+                jnp.asarray(coeffs.c_b, jnp.float32),
+                jnp.asarray(coeffs.d_a, jnp.float32),
+                jnp.asarray(coeffs.d_b, jnp.float32),
+            ]
+        ).reshape(1, 4)
+
+        row_width = 3 + 3 * (k - 1)
+        src_rows = jnp.full((max_sources, row_width), -(2.0**24), jnp.float32)
+        if sources is not None and sources.num_sources > 0:
+            n = sources.num_sources
+            if n > max_sources:
+                raise ValueError(f"{n} sources > max_sources={max_sources}")
+            # global -> extended-local x; halo copies included (NOT clipped)
+            px_ext = (
+                sources.points[:, 0] - idx * nl + k
+            ).astype(jnp.float32)
+            src_rows = src_rows.at[:n, 0].set(px_ext)
+            src_rows = src_rows.at[:n, 1:3].set(
+                sources.points[:, 1:3].astype(jnp.float32)
+            )
+            for lvl in range(1, k):
+                t = (state.tick + lvl - 1).astype(jnp.float32) * jnp.float32(dt)
+                j, _ = sources.values(t)
+                src_rows = src_rows.at[:n, 3 + 3 * (lvl - 1): 3 + 3 * lvl].set(
+                    j.astype(jnp.float32)
+                )
+
+        call = _build_call(
+            shape_ext, tuple(float(v) for v in inv_dx), max_sources, k,
+            interpret, jnp.dtype(dtype).name, 1,
+        )
+        outs = call(
+            row, src_rows, edges,
+            fields["ex"], fields["ey"], fields["ez"],
+            fields["hx"], fields["hy"], fields["hz"],
+            fields["ey"], fields["ez"],
+        )
+        e = list(outs[0:3])
+        h = outs[3:6]
+
+        # final-step J scatter into the owned region only
+        if sources is not None and sources.num_sources > 0:
+            t = (state.tick + k - 1).astype(jnp.float32) * jnp.float32(dt)
+            j, _ = sources.values(t)
+            px = sources.points[:, 0] - idx * nl + k
+            owned = jnp.logical_and(px >= k, px < nl + k)
+            px = jnp.where(owned, px, nle)  # drop out-of-owned rows
+            py, pz = sources.points[:, 1], sources.points[:, 2]
+            cb = jnp.full((sources.num_sources,), coeffs.c_b, dtype)
+            for c in range(3):
+                e[c] = e[c].at[px, py, pz].add(
+                    -(cb * j[:, c]).astype(dtype), mode="drop"
+                )
+
+        return SimState(
+            ex=e[0], ey=e[1], ez=e[2], hx=h[0], hy=h[1], hz=h[2],
+            tick=state.tick + k,
+        )
+
+    field_spec = P(axis, None, None)
+    state_spec = SimState(**{n: field_spec for n in _FIELDS}, tick=P())
+
+    def step(state: SimState, coeffs, sources) -> SimState:
+        in_specs = (
+            state_spec,
+            jax.tree.map(lambda _: P(), coeffs),
+            jax.tree.map(lambda _: P(), sources),
+        )
+        return jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=state_spec,
+            check_vma=False,
+        )(state, coeffs, sources)
+
+    return step

@@ -58,8 +58,8 @@ def supports_k(shape, bc, k: int, dtype=jnp.float32, n_materials: int = 1) -> bo
 
 
 def _kernel(inv_dx, nx, n_src, k_steps, storage_dtype, n_materials, *refs):
-    n_in = 2 + 8  # coef/table, src, 6 fields, 2 halos
-    (coef_ref, src_ref,
+    n_in = 3 + 8  # coef/table, src, edges, 6 fields, 2 halos
+    (coef_ref, src_ref, edge_ref,
      ex_r, ey_r, ez_r, hx_r, hy_r, hz_r, eyl_r, ezl_r) = refs[:n_in]
     if n_materials > 1:
         mid_refs = refs[n_in:n_in + k_steps]
@@ -75,6 +75,10 @@ def _kernel(inv_dx, nx, n_src, k_steps, storage_dtype, n_materials, *refs):
     p = nx - 1 - i  # nx-1 .. -(K-1)
     inv_x, inv_y, inv_z = inv_dx
     f32 = jnp.float32
+    # global-domain edge planes (in this array's coordinates); sharded
+    # callers move them so halo regions are computed unmasked
+    lo_edge = edge_ref[0, 0]
+    hi_edge = edge_ref[0, 1]
 
     ny, nz = ex_r.shape[1:]
     iy = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 0)
@@ -142,7 +146,7 @@ def _kernel(inv_dx, nx, n_src, k_steps, storage_dtype, n_materials, *refs):
             e_xm = (None, below_e[1], below_e[2])  # stage k-1's plane q-1
 
         # H^k[q]
-        at_lo = q <= 0
+        at_lo = q <= lo_edge
         dey_x = jnp.where(at_lo, zero, e_here[1] - e_xm[1]) * inv_x
         dez_x = jnp.where(at_lo, zero, e_here[2] - e_xm[2]) * inv_x
         ce_x = bdiff_y(e_here[2]) * inv_y - bdiff_z(e_here[1]) * inv_z
@@ -160,7 +164,7 @@ def _kernel(inv_dx, nx, n_src, k_steps, storage_dtype, n_materials, *refs):
             hy_top, hz_top = prev_h[k][1], prev_h[k][2]
         else:
             hy_top, hz_top = top_y, top_z
-        at_hi = q == nx - 1
+        at_hi = q == hi_edge
         dhy_x = jnp.where(at_hi, zero, hy_top - hk[1]) * inv_x
         dhz_x = jnp.where(at_hi, zero, hz_top - hk[2]) * inv_x
         ch_x = fdiff_y(hk[2]) * inv_y - fdiff_z(hk[1]) * inv_z
@@ -256,6 +260,7 @@ def _build_call(shape, inv_dx, n_src, k_steps, interpret, dtype_name,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # coeff table (K_mat, 4)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # sources (n_src, 3+3(K-1))
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # edge planes (1, 2) i32
             *([in_spec] * 6),
             *([halo_spec] * 2),
             *(mid_specs if n_materials > 1 else []),
@@ -282,12 +287,18 @@ def pallas_stepk_fn(
     dtype=jnp.float32,
     matid=None,
     n_materials: int = 1,
+    edge_planes=None,
 ):
     """Build stepk(state, coeffs, sources) advancing ``k_steps`` ticks.
 
     Uniform media: ``coeffs`` = CellCoefficients of scalars. Compressed
     multi-material: pass ``matid`` (uint8 (nx, ny, nz)) and ``n_materials``;
     ``coeffs`` then is the (K_mat, 4) coefficient table array.
+
+    ``edge_planes`` (lo, hi) moves the global Neumann-edge planes — used by
+    the sharded wrapper whose array carries halo regions; defaults to
+    (0, nx-1). Planes outside [lo, hi] compute unmasked (their output is
+    halo-region garbage by construction).
     """
     n_mat = n_materials if matid is not None else 1
     if not supports_k(shape, bc, k_steps, dtype=dtype, n_materials=n_mat):
@@ -300,6 +311,8 @@ def pallas_stepk_fn(
         jnp.dtype(dtype).name, n_mat,
     )
     row_width = 3 + 3 * (k_steps - 1)
+    lo_hi = edge_planes if edge_planes is not None else (0, shape[0] - 1)
+    edges_arr = jnp.asarray([list(lo_hi)], jnp.int32)
 
     def stepk(state: SimState, coeffs, sources: Optional[SourceSet]) -> SimState:
         if matid is not None:
@@ -338,7 +351,7 @@ def pallas_stepk_fn(
         if matid is not None:
             extra = [matid] * k_steps  # per-stage plane windows via index maps
         outs = call(
-            row, src_rows,
+            row, src_rows, edges_arr,
             state.ex, state.ey, state.ez, state.hx, state.hy, state.hz,
             state.ey, state.ez,
             *extra,

@@ -52,3 +52,50 @@ def test_pallas_sharded_matches_single(rng, n_dev):
     np.testing.assert_allclose(st.e_stacked(), ref.e_stacked(), rtol=2e-6, atol=2e-6)
     np.testing.assert_allclose(st.h_stacked(), ref.h_stacked(), rtol=2e-6, atol=2e-6)
     assert int(st.tick) == int(ref.tick)
+
+
+@pytest.mark.parametrize("n_dev,k", [(4, 2), (2, 3), (8, 2)])
+def test_sharded_k_step_matches_single(rng, n_dev, k):
+    """K-step temporal blocking under shard_map (extended-halo state) must
+    match the single-device K-step kernel, sources near boundaries included."""
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough devices")
+    from fdtd_tpu.parallel.pallas_sharded_k import (
+        collapse_state,
+        extend_state,
+        make_pallas_sharded_stepk,
+    )
+    from fdtd_tpu.solver.pallas_stepk import pallas_stepk_fn
+
+    shape = (16, 8, 128)
+    nl = shape[0] // n_dev
+    e = rng.standard_normal((3, *shape))
+    h = rng.standard_normal((3, *shape))
+    state = ft.state_from_stacked(e, h, dtype=jnp.float32)
+    coeffs = ft.CellCoefficients.uniform((0.97, 0.21, 0.99, 0.18), jnp.float32)
+    # sources straddling shard boundaries (planes 3/4 for n_dev=4, nl=4)
+    srcs = ft.SourceSet.build(
+        [
+            ft.PointSource((3, 5, 7), ft.GaussianPulse(2 * DT, DT), j=(0.5, 0, 2.0)),
+            ft.PointSource((4, 2, 100), ft.ContinuousWave(0.3), j=(0, 1.0, 0)),
+            ft.PointSource((15, 7, 127), ft.GaussianPulse(DT, DT), j=(1.0, 0, 0)),
+        ]
+    )
+
+    ref_step = pallas_stepk_fn(shape, k, inv_dx=INV_DX, dt=DT, interpret=True)
+    ref = state
+    for _ in range(2):
+        ref = ref_step(ref, coeffs, srcs)
+
+    mesh = make_mesh(n_dev, ("x",))
+    step = make_pallas_sharded_stepk(
+        mesh, k, nl, inv_dx=INV_DX, dt=DT, interpret=True
+    )
+    st = extend_state(state, mesh, k)
+    for _ in range(2):
+        st = step(st, coeffs, srcs)
+    out = collapse_state(st, mesh, k)
+
+    np.testing.assert_allclose(out.e_stacked(), ref.e_stacked(), rtol=5e-6, atol=5e-6)
+    np.testing.assert_allclose(out.h_stacked(), ref.h_stacked(), rtol=5e-6, atol=5e-6)
+    assert int(out.tick) == int(ref.tick)
