@@ -11,6 +11,7 @@ from .nec import (
 from .nec_scene import populate_scene_with_nec
 from .checkpoint import load_checkpoint, save_checkpoint
 from .formats import load_scene_file, register_format, supported_extensions
+from .obj import load_obj
 from .project import load_project, save_project
 
 __all__ = [
@@ -26,6 +27,7 @@ __all__ = [
     "load_checkpoint",
     "save_checkpoint",
     "load_scene_file",
+    "load_obj",
     "register_format",
     "supported_extensions",
     "load_project",

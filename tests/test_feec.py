@@ -72,3 +72,65 @@ def test_unstable_dt_blows_up():
     assert not np.isfinite(np.asarray(state.e)).all() or np.abs(
         np.asarray(state.e)
     ).max() > 1e6
+
+
+def test_load_obj_to_feec():
+    """OBJ meshes load into the FEEC solver (the reference's OBJ loader is
+    an unimplemented stub)."""
+    from fdtd_tpu.io import load_obj
+
+    obj = """
+# a unit square as two triangles plus a quad fan check
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+v 2 0 0
+v 2 1 0
+f 1 2 3
+f 1 3 4
+f 2/1/1 5/2/1 6/3/1 3/4/1
+"""
+    mesh = load_obj(obj)
+    assert mesh.num_faces == 4  # 2 + fan-triangulated quad
+    assert np.abs(mesh.d1 @ mesh.d0).max() == 0.0
+    sim = FeecSimulation(mesh=mesh, dt=0.1)
+    state = sim.run(sim.init(), 10)
+    assert np.isfinite(np.asarray(state.e)).all()
+
+
+def test_runner_error_path():
+    """A failing observation surfaces through on_error and stops the run
+    (UiErrorSink analog, cem-app/src/error.rs)."""
+    import jax.numpy as jnp
+
+    import fdtd_tpu as ft
+    from fdtd_tpu.runner import ObserverBinding, SolverRunner, StopCondition
+    from fdtd_tpu.viz.projection import ProjectionParameters
+
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    grid = ft.Grid(shape=(8, 8, 8), resolution=res, constants=ft.REDUCED)
+    table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+    sim = ft.Simulation(grid=grid,
+                        coeffs=ft.CellCoefficients.uniform(table[0], jnp.float32))
+
+    class Exploding:
+        def write(self, image, tick=0):
+            raise RuntimeError("target exploded")
+
+    errors = []
+    runner = SolverRunner(
+        sim,
+        stop_condition=StopCondition.steps(1000),
+        observers=[ObserverBinding(
+            params=ProjectionParameters(
+                projection=((1, 0, 0, 0), (0, 1, 0, 0), (0, 0, 1, 0.5), (0, 0, 0, 1))
+            ),
+            target=Exploding(), size=(8, 8),
+        )],
+    )
+    runner.set_throttles(step_delay=None, observation_delay=0.0)
+    runner.start(paused=False)
+    runner.join(30)
+    assert runner.stats().finished
+    assert isinstance(runner.error, RuntimeError)
