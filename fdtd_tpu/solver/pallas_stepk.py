@@ -1,6 +1,6 @@
 """K-step temporally-blocked Pallas kernel: K leapfrog ticks per pass.
 
-Generalizes pallas_step2.py's wavefront scheme to arbitrary depth K: HBM
+Wavefront temporal blocking at arbitrary depth K: HBM
 traffic is ~(48 + 8 halo)/K bytes per cell per STEP, so throughput scales
 nearly linearly in K until the VPU compute (K x the single-step work per
 pass) or VMEM carries (6(K-1)+2 planes) bind.

@@ -7,7 +7,11 @@ import pytest
 
 import fdtd_tpu as ft
 from fdtd_tpu.solver.pallas_step import pallas_step_fn
-from fdtd_tpu.solver.pallas_step2 import pallas_step2_fn, supports2
+from fdtd_tpu.solver.pallas_stepk import pallas_stepk_fn as _stepk, supports_k
+
+
+def pallas_step2_fn(shape, **kw):
+    return _stepk(shape, 2, **kw)
 
 SHAPE = (10, 16, 128)
 INV_DX = (1.0, 1.0 / 0.7, 1.0 / 1.3)
@@ -49,9 +53,10 @@ def test_two_steps_match_single_kernel_twice(rng, with_sources):
     assert int(out.tick) == int(ref.tick) == 4
 
 
-def test_supports2():
-    assert supports2((8, 16, 128), ft.BoundaryConditions())
-    assert not supports2((2, 16, 128), ft.BoundaryConditions())
+def test_supports_k():
+    assert supports_k((8, 16, 128), ft.BoundaryConditions(), 2)
+    assert not supports_k((2, 16, 128), ft.BoundaryConditions(), 2)
+    assert not supports_k((32, 16, 128), ft.BoundaryConditions(), 9)
 
 
 @pytest.mark.parametrize("k", [2, 3, 4])
