@@ -184,8 +184,9 @@ def main() -> None:
                 from fdtd_tpu.solver.pallas_stepk import pallas_stepk_fn
 
                 mstep = pallas_stepk_fn(
-                    shape, 6, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
+                    shape, 10, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
                     matid=jnp.asarray(matid), n_materials=len(tab),
+                    max_sources=1,
                 )
                 jtable = jnp.asarray(ctable, jnp.float32)
 
@@ -197,7 +198,7 @@ def main() -> None:
 
                 runm_j = jax.jit(run_m, static_argnums=1, donate_argnums=0)
                 state = ft.zero_state(shape)
-                mcalls = max(n_steps // 6, 1)
+                mcalls = max(n_steps // 10, 1)
                 state = runm_j(state, mcalls)
                 _sync(state)
                 t0 = time.perf_counter()
@@ -206,7 +207,7 @@ def main() -> None:
                 dt_wall = time.perf_counter() - t0 - _READBACK_S
                 print(
                     f"{n}^3 compressed-material ({len(tab)} materials, "
-                    f"K=6): {grid.num_cells*mcalls*6/dt_wall/1e9:.3f} Gcell/s",
+                    f"K=10): {grid.num_cells*mcalls*10/dt_wall/1e9:.3f} Gcell/s",
                     file=sys.stderr,
                 )
                 del state

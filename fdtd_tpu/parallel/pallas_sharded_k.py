@@ -115,6 +115,7 @@ def make_pallas_sharded_stepk(
     max_sources: int = 8,
     interpret: bool = False,
     dtype=jnp.float32,
+    with_m: bool = False,
 ):
     """Build step(state_ext, coeffs, sources) advancing ``k_steps`` ticks on
     an extended sharded state (see extend_state). ``nl`` is the owned plane
@@ -161,8 +162,9 @@ def make_pallas_sharded_stepk(
             ]
         ).reshape(1, 4)
 
-        row_width = 3 + 3 * (k - 1)
-        src_rows = jnp.full((max_sources, row_width), -(2.0**24), jnp.float32)
+        row_width = 3 + 3 * (k - 1) + (3 * k if with_m else 0)
+        src_rows = jnp.zeros((max_sources, row_width), jnp.float32)
+        src_rows = src_rows.at[:, 0].set(-(2.0**24))  # position sentinel
         if sources is not None and sources.num_sources > 0:
             n = sources.num_sources
             if n > max_sources:
@@ -175,16 +177,22 @@ def make_pallas_sharded_stepk(
             src_rows = src_rows.at[:n, 1:3].set(
                 sources.points[:, 1:3].astype(jnp.float32)
             )
-            for lvl in range(1, k):
+            mbase = 3 + 3 * (k - 1)
+            for lvl in range(1, k + 1):
                 t = (state.tick + lvl - 1).astype(jnp.float32) * jnp.float32(dt)
-                j, _ = sources.values(t)
-                src_rows = src_rows.at[:n, 3 + 3 * (lvl - 1): 3 + 3 * lvl].set(
-                    j.astype(jnp.float32)
-                )
+                j, m = sources.values(t)
+                if lvl < k:
+                    src_rows = src_rows.at[
+                        :n, 3 + 3 * (lvl - 1): 3 + 3 * lvl
+                    ].set(j.astype(jnp.float32))
+                if with_m:
+                    src_rows = src_rows.at[
+                        :n, mbase + 3 * (lvl - 1): mbase + 3 * lvl
+                    ].set(m.astype(jnp.float32))
 
         call = _build_call(
             shape_ext, tuple(float(v) for v in inv_dx), max_sources, k,
-            interpret, jnp.dtype(dtype).name, 1,
+            interpret, jnp.dtype(dtype).name, 1, with_m,
         )
         outs = call(
             row, src_rows, edges,

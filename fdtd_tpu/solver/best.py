@@ -25,12 +25,13 @@ def best_multi_step_fn(
     dt: float,
     bc: BoundaryConditions = BoundaryConditions(),
     dtype=None,
-    max_k: int = 6,
+    max_k: int = 10,
+    max_sources: int = 1,
 ):
     """Fastest (step_fn, k) advancing k ticks per call.
 
-    Prefers the K-step temporally-blocked kernel (K=6 is the measured sweet
-    spot at 512^3: ~26 Gcell/s f32 vs 6.5 for the single-step kernel);
+    Prefers the K-step temporally-blocked kernel (K=10 is the measured
+    sweet spot at 512^3: ~42 Gcell/s f32 vs 6.5 for the single-step kernel);
     falls back through smaller K and finally the single-step path. The
     returned function has signature step(state, coeffs, sources) and
     advances ``k`` ticks (tick += k).
@@ -48,7 +49,8 @@ def best_multi_step_fn(
                 if supports_k(shape, bc, k, dtype=dtype):
                     return (
                         pallas_stepk_fn(
-                            shape, k, inv_dx=inv_dx, dt=dt, bc=bc, dtype=dtype
+                            shape, k, inv_dx=inv_dx, dt=dt, bc=bc,
+                            dtype=dtype, max_sources=max_sources,
                         ),
                         k,
                     )

@@ -50,14 +50,14 @@ def supports_k(shape, bc, k: int, dtype=jnp.float32, n_materials: int = 1) -> bo
 
     if not supports(shape, bc, dtype=dtype):
         return False
-    if not (2 <= k <= 8):
+    if not (2 <= k <= 16):
         return False
     if n_materials > 1 and shape[1] % 32 != 0:
         return False  # uint8 matid planes need (32, 128) tiling
     return shape[0] >= 2 * k
 
 
-def _kernel(inv_dx, nx, n_src, k_steps, storage_dtype, n_materials, *refs):
+def _kernel(inv_dx, nx, n_src, k_steps, storage_dtype, n_materials, with_m, *refs):
     n_in = 3 + 8  # coef/table, src, edges, 6 fields, 2 halos
     (coef_ref, src_ref, edge_ref,
      ex_r, ey_r, ez_r, hx_r, hy_r, hz_r, eyl_r, ezl_r) = refs[:n_in]
@@ -152,11 +152,30 @@ def _kernel(inv_dx, nx, n_src, k_steps, storage_dtype, n_materials, *refs):
         ce_x = bdiff_y(e_here[2]) * inv_y - bdiff_z(e_here[1]) * inv_z
         ce_y = bdiff_z(e_here[0]) * inv_z - dez_x
         ce_z = dey_x - bdiff_y(e_here[0]) * inv_y
-        hk = (
+        hk = [
             d_a * h_here[0] - d_b * ce_x,
             d_a * h_here[1] - d_b * ce_y,
             d_a * h_here[2] - d_b * ce_z,
-        )
+        ]
+
+        # M (magnetic-current) injection for EVERY level: the same step's E
+        # update consumes curl of the M-corrected H, so M can never be a
+        # post-kernel scatter. Row layout: [px, py, pz,
+        # J levels 1..K-1 (3 each), M levels 1..K (3 each, only if with_m)].
+        # Statically skipped for J-only source sets — each masked select is
+        # a full-plane VPU op and they add up across stages.
+        for s_i in range(n_src if with_m else 0):
+            sp = src_ref[s_i, 0].astype(jnp.int32)
+            py_s = src_ref[s_i, 1].astype(jnp.int32)
+            pz_s = src_ref[s_i, 2].astype(jnp.int32)
+            mask = jnp.logical_and(
+                sp == q, jnp.logical_and(iy == py_s, iz == pz_s)
+            )
+            mbase = 3 + 3 * (k_steps - 1) + 3 * (k - 1)
+            hk[0] = jnp.where(mask, hk[0] - d_b * src_ref[s_i, mbase + 0], hk[0])
+            hk[1] = jnp.where(mask, hk[1] - d_b * src_ref[s_i, mbase + 1], hk[1])
+            hk[2] = jnp.where(mask, hk[2] - d_b * src_ref[s_i, mbase + 2], hk[2])
+        hk = tuple(hk)
 
         # E^k[q]: x-forward needs H^k[q+1] = the pre-overwrite carry of this
         # level (for k < K) or the dedicated top registers (k == K)
@@ -218,7 +237,7 @@ def _kernel(inv_dx, nx, n_src, k_steps, storage_dtype, n_materials, *refs):
 
 @functools.lru_cache(maxsize=16)
 def _build_call(shape, inv_dx, n_src, k_steps, interpret, dtype_name,
-                n_materials=1):
+                n_materials=1, with_m=False):
     storage_dtype = jnp.dtype(dtype_name)
     nx, ny, nz = shape
     plane = (1, ny, nz)
@@ -254,7 +273,8 @@ def _build_call(shape, inv_dx, n_src, k_steps, interpret, dtype_name,
     )
     return pl.pallas_call(
         functools.partial(
-            _kernel, inv_dx, nx, n_src, k_steps, storage_dtype, n_materials
+            _kernel, inv_dx, nx, n_src, k_steps, storage_dtype, n_materials,
+            with_m,
         ),
         grid=(nx + k_steps - 1,),
         in_specs=[
@@ -288,6 +308,7 @@ def pallas_stepk_fn(
     matid=None,
     n_materials: int = 1,
     edge_planes=None,
+    with_m: bool = False,
 ):
     """Build stepk(state, coeffs, sources) advancing ``k_steps`` ticks.
 
@@ -308,9 +329,9 @@ def pallas_stepk_fn(
     inv_dx = tuple(float(v) for v in inv_dx)
     call = _build_call(
         tuple(shape), inv_dx, max_sources, k_steps, interpret,
-        jnp.dtype(dtype).name, n_mat,
+        jnp.dtype(dtype).name, n_mat, with_m,
     )
-    row_width = 3 + 3 * (k_steps - 1)
+    row_width = 3 + 3 * (k_steps - 1) + (3 * k_steps if with_m else 0)
     lo_hi = edge_planes if edge_planes is not None else (0, shape[0] - 1)
     edges_arr = jnp.asarray([list(lo_hi)], jnp.int32)
 
@@ -332,7 +353,8 @@ def pallas_stepk_fn(
             cb_of = None
 
         dtype_ = state.ex.dtype
-        src_rows = jnp.full((max_sources, row_width), -1.0, jnp.float32)
+        src_rows = jnp.zeros((max_sources, row_width), jnp.float32)
+        src_rows = src_rows.at[:, 0].set(-(2.0**24))  # position sentinel
         if sources is not None and sources.num_sources > 0:
             n = sources.num_sources
             if n > max_sources:
@@ -340,12 +362,18 @@ def pallas_stepk_fn(
             src_rows = src_rows.at[:n, 0:3].set(
                 sources.points.astype(jnp.float32)
             )
-            for lvl in range(1, k_steps):
+            mbase = 3 + 3 * (k_steps - 1)
+            for lvl in range(1, k_steps + 1):
                 t = (state.tick + lvl - 1).astype(jnp.float32) * jnp.float32(dt)
-                j, _ = sources.values(t)
-                src_rows = src_rows.at[:n, 3 + 3 * (lvl - 1): 3 + 3 * lvl].set(
-                    j.astype(jnp.float32)
-                )
+                j, m = sources.values(t)
+                if lvl < k_steps:
+                    src_rows = src_rows.at[
+                        :n, 3 + 3 * (lvl - 1): 3 + 3 * lvl
+                    ].set(j.astype(jnp.float32))
+                if with_m:
+                    src_rows = src_rows.at[
+                        :n, mbase + 3 * (lvl - 1): mbase + 3 * lvl
+                    ].set(m.astype(jnp.float32))
 
         extra = []
         if matid is not None:

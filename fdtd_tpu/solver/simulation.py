@@ -96,14 +96,14 @@ class Simulation:
         elif any(jnp.ndim(c) != 0 for c in self.coeffs):
             # dense per-cell coefficients without an index buffer: XLA path
             return False
-        # M-type sources change H mid-tick; only J sources are exact
-        # post-kernel (see pallas_step.py docstring)
-        if self.sources is not None and self.sources.num_sources > 0:
-            import numpy as np
-
-            if np.any(np.asarray(self.sources.m_amp) != 0):
-                return False
         return True
+
+    def _has_m_sources(self) -> bool:
+        if self.sources is None or self.sources.num_sources == 0:
+            return False
+        import numpy as np
+
+        return bool(np.any(np.asarray(self.sources.m_amp) != 0))
 
     @cached_property
     def _step(self):
@@ -121,7 +121,13 @@ class Simulation:
                 cpml=self.cpml,
                 tfsf=self.tfsf,
             )
-        if self.backend in ("auto", "pallas") and self._pallas_eligible():
+        if (
+            self.backend in ("auto", "pallas")
+            and self._pallas_eligible()
+            # the single-step kernel applies J post-hoc and has no M path;
+            # M-source runs use the XLA step (or the K-step kernel in run())
+            and not self._has_m_sources()
+        ):
             from .pallas_step import pallas_step_fn
 
             if self.matid is not None:
@@ -144,8 +150,9 @@ class Simulation:
         if self.backend == "pallas":
             raise ValueError(
                 "backend='pallas' requested but the configuration is not "
-                "eligible (needs TPU, f32, Neumann(0) edges, uniform scalar "
-                "coefficients, J-only sources, no CPML/TFSF)"
+                "eligible for per-tick stepping (needs TPU, f32/bf16, "
+                "Neumann(0) edges, scalar or compressed-table coefficients, "
+                "J-only sources, no CPML/TFSF)"
             )
         return step_fn(inv_dx=inv_dx, dt=self.grid.dt, bc=self.bc)
 
@@ -188,7 +195,7 @@ class Simulation:
             from .pallas_stepk import pallas_stepk_fn, supports_k
 
             n_mat = self._n_materials if self.matid is not None else 1
-            for cand in (6, 4, 3, 2):
+            for cand in (10, 8, 6, 5, 4, 3, 2):
                 cadence = probe_every if probes else n_steps
                 if (
                     n_steps % cand == 0
@@ -197,22 +204,26 @@ class Simulation:
                                    dtype=self.dtype, n_materials=n_mat)
                 ):
                     inv_dx = tuple(1.0 / d for d in self.grid.dx)
+                    n_src = (
+                        self.sources.num_sources if self.sources is not None else 0
+                    )
+                    kw = dict(
+                        inv_dx=inv_dx, dt=self.grid.dt, bc=self.bc,
+                        dtype=self.dtype, max_sources=max(n_src, 1),
+                        with_m=self._has_m_sources(),
+                    )
                     if self.matid is not None:
                         kernel = pallas_stepk_fn(
-                            self.grid.shape, cand, inv_dx=inv_dx,
-                            dt=self.grid.dt, bc=self.bc, dtype=self.dtype,
+                            self.grid.shape, cand,
                             matid=jnp.asarray(self.matid),
-                            n_materials=n_mat,
+                            n_materials=n_mat, **kw,
                         )
                         table = jnp.asarray(self.table, jnp.float32)
 
                         def step(state, coeffs, sources, _k=kernel, _t=table):
                             return _k(state, _t, sources)
                     else:
-                        step = pallas_stepk_fn(
-                            self.grid.shape, cand, inv_dx=inv_dx,
-                            dt=self.grid.dt, bc=self.bc, dtype=self.dtype,
-                        )
+                        step = pallas_stepk_fn(self.grid.shape, cand, **kw)
                     k = cand
                     break
 

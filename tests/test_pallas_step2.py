@@ -56,7 +56,8 @@ def test_two_steps_match_single_kernel_twice(rng, with_sources):
 def test_supports_k():
     assert supports_k((8, 16, 128), ft.BoundaryConditions(), 2)
     assert not supports_k((2, 16, 128), ft.BoundaryConditions(), 2)
-    assert not supports_k((32, 16, 128), ft.BoundaryConditions(), 9)
+    assert not supports_k((32, 16, 128), ft.BoundaryConditions(), 17)
+    assert not supports_k((8, 16, 128), ft.BoundaryConditions(), 10)  # nx < 2k
 
 
 @pytest.mark.parametrize("k", [2, 3, 4])
@@ -113,6 +114,34 @@ def test_k_step_matid_matches_single(rng):
     for _ in range(3):
         ref = step1(ref, table, srcs)
     out = step3(state, table, srcs)
+
+    np.testing.assert_allclose(out.e_stacked(), ref.e_stacked(), rtol=5e-6, atol=5e-6)
+    np.testing.assert_allclose(out.h_stacked(), ref.h_stacked(), rtol=5e-6, atol=5e-6)
+
+
+def test_k_step_with_m_sources(rng):
+    """M (magnetic-current) sources are injected in-kernel at every level."""
+    from fdtd_tpu.solver.pallas_stepk import pallas_stepk_fn
+    from fdtd_tpu.solver.step import step_fn
+
+    state = _state(rng)
+    coeffs = ft.CellCoefficients.uniform((0.97, 0.21, 0.99, 0.18), jnp.float32)
+    srcs = ft.SourceSet.build(
+        [
+            ft.PointSource((3, 5, 7), ft.GaussianPulse(2 * DT, DT),
+                           j=(0.5, 0, 2.0), m=(0.0, 1.5, 0.25)),
+            ft.PointSource((9, 15, 127), ft.ContinuousWave(0.3),
+                           m=(1.0, 0, 0)),
+        ]
+    )
+    ref_step = step_fn(inv_dx=INV_DX, dt=DT)
+    ref = state
+    for _ in range(3):
+        ref = ref_step(ref, coeffs, srcs)
+
+    step3 = pallas_stepk_fn(SHAPE, 3, inv_dx=INV_DX, dt=DT, interpret=True,
+                            with_m=True, max_sources=2)
+    out = step3(state, coeffs, srcs)
 
     np.testing.assert_allclose(out.e_stacked(), ref.e_stacked(), rtol=5e-6, atol=5e-6)
     np.testing.assert_allclose(out.h_stacked(), ref.h_stacked(), rtol=5e-6, atol=5e-6)
