@@ -108,6 +108,13 @@ class Simulation:
     @cached_property
     def _step(self):
         inv_dx = tuple(1.0 / d for d in self.grid.dx)
+        if self.backend == "pallas" and (
+            self.cpml is not None or self.tfsf is not None
+        ):
+            raise ValueError(
+                "backend='pallas' cannot be combined with CPML/TFSF (the "
+                "composed engine step is XLA-only); use backend='auto'"
+            )
         if self.cpml is not None or self.tfsf is not None:
             from .engine import build_step
 

@@ -125,3 +125,35 @@ def test_sharded_dense_coefficients(rng):
 
     np.testing.assert_allclose(st.e_stacked(), ref.e_stacked(), rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(st.h_stacked(), ref.h_stacked(), rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_slice_extraction(rng):
+    """Config 5's live rendering path: slice probes and projections work on
+    sharded states (XLA gathers across shards)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from fdtd_tpu.parallel import make_mesh, make_sharded_step, shard_state
+    from fdtd_tpu.probes import SliceProbe
+    from fdtd_tpu.viz.projection import ProjectionParameters, axis_plane_projection, project
+
+    state, srcs = make_inputs(rng, dtype=jnp.float32)
+    coeffs = CellCoefficients.uniform((1.0, 0.2, 1.0, 0.2), jnp.float32)
+    mesh = make_mesh(8, ("x", "y"))
+    dims = ("x", "y", None)
+    step = jax.jit(make_sharded_step(mesh, dims, inv_dx=INV_DX, dt=DT))
+    st = shard_state(state, mesh, dims)
+    st = step(st, coeffs, srcs)
+
+    plane = SliceProbe(axis=2, index=5).sample(st, DT)
+    assert np.asarray(plane).shape == (3, 16, 8)
+
+    img = project(
+        st,
+        ProjectionParameters(
+            projection=tuple(map(tuple, np.asarray(
+                axis_plane_projection(2, 5, SHAPE))))
+        ),
+        size=(32, 32),
+    )
+    assert img.shape == (32, 32, 4)
+    assert np.isfinite(np.asarray(plane)).all()
