@@ -168,6 +168,41 @@ def main() -> None:
             )
             del state
 
+        # CPML (absorbing boundaries) via the composed XLA engine, 256^3 only
+        if n == 256 and dev.platform == "tpu":
+            from fdtd_tpu.solver.cpml import Cpml
+
+            csim_step = None
+            import fdtd_tpu.solver.engine as _eng
+
+            cstep = _eng.build_step(
+                shape, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
+                constants=ft.REDUCED, cpml=Cpml.uniform(10),
+            )
+            from fdtd_tpu.solver.engine import init_engine_state
+
+            cstate = init_engine_state(shape, cpml=Cpml.uniform(10))
+
+            def run_c(state, k: int):
+                def body(s, _):
+                    return cstep(s, coeffs, src), None
+
+                return jax.lax.scan(body, state, None, length=k)[0]
+
+            runc_j = jax.jit(run_c, static_argnums=1, donate_argnums=0)
+            cstate = runc_j(cstate, n_steps)
+            cstate.ex[1, 1, 1].item()
+            t0 = time.perf_counter()
+            cstate = runc_j(cstate, n_steps)
+            cstate.ex[1, 1, 1].item()
+            dt_wall = time.perf_counter() - t0 - _READBACK_S
+            print(
+                f"{n}^3 CPML all axes (XLA engine): "
+                f"{grid.num_cells*n_steps/dt_wall/1e9:.3f} Gcell/s",
+                file=sys.stderr,
+            )
+            del cstate
+
         # compressed-material mode (uint8 matid + K-row table), 256^3 only
         if n == 256:
             tab = ft.MaterialTable()
