@@ -350,7 +350,9 @@ def parse_nec(source: Union[str, io.TextIOBase]) -> NecFile:
             tag_inc, num_new = int(nums[0]), int(nums[1])
             rot = nums[2:5]
             trans = nums[5:8]
-            tag_start = int(nums[8]) if len(rest) > 8 and float(rest[8]) != 0 else None
+            tag_start = (
+                int(float(rest[8])) if len(rest) > 8 and float(rest[8]) != 0 else None
+            )
             if num_new > 0 or tag_start is not None:
                 interp.symmetry = "none"
             t = _rot_zyx_degrees(*rot)
@@ -368,11 +370,18 @@ def parse_nec(source: Union[str, io.TextIOBase]) -> NecFile:
             m = np.diag([s, s, s, 1.0])
             for g in interp.geometry.values():
                 g.transform = m @ g.transform
+                # NON-mutating spec replacement: GM/GR/GX copies share spec
+                # objects, so in-place scaling would compound once per copy
                 if isinstance(g.spec, Wire):
-                    g.spec.segments = g.spec.segments.scaled(s)
+                    g.spec = dataclasses.replace(
+                        g.spec, segments=g.spec.segments.scaled(s)
+                    )
                 elif isinstance(g.spec, WireArc):
-                    g.spec.arc_radius *= s
-                    g.spec.wire_radius *= s
+                    g.spec = dataclasses.replace(
+                        g.spec,
+                        arc_radius=g.spec.arc_radius * s,
+                        wire_radius=g.spec.wire_radius * s,
+                    )
         elif card == "GX":
             tag_inc = int(float(rest[0]))
             bits = rest[1].strip()

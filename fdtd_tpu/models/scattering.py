@@ -64,14 +64,17 @@ class _BoxFluxAccumulator:
                 total = total + sign * jnp.sum(s_n) * self.cell_areas[axis]
         return total
 
-    # hashability for the jit cache: identity is fine (config is static)
+    # hashable so it can key the jit cache; __eq__ and __hash__ must cover
+    # the SAME fields
+    def _key(self):
+        return (self.box, self.cell_areas, self.dt)
+
     def __hash__(self):
-        return hash((self.box, self.cell_areas, self.dt))
+        return hash(self._key())
 
     def __eq__(self, other):
         return (
-            type(other) is _BoxFluxAccumulator
-            and (self.box, self.cell_areas) == (other.box, other.cell_areas)
+            type(other) is _BoxFluxAccumulator and self._key() == other._key()
         )
 
 

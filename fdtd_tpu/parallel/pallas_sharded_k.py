@@ -120,7 +120,7 @@ def make_pallas_sharded_stepk(
     """Build step(state_ext, coeffs, sources) advancing ``k_steps`` ticks on
     an extended sharded state (see extend_state). ``nl`` is the owned plane
     count per shard; coeffs must be uniform scalars."""
-    from ..solver.pallas_stepk import _build_call, supports_k
+    from ..solver.pallas_stepk import _build_call, build_src_rows, supports_k
 
     axis = "x"
     n_dev = mesh.shape[axis]
@@ -162,33 +162,13 @@ def make_pallas_sharded_stepk(
             ]
         ).reshape(1, 4)
 
-        row_width = 3 + 3 * (k - 1) + (3 * k if with_m else 0)
-        src_rows = jnp.zeros((max_sources, row_width), jnp.float32)
-        src_rows = src_rows.at[:, 0].set(-(2.0**24))  # position sentinel
-        if sources is not None and sources.num_sources > 0:
-            n = sources.num_sources
-            if n > max_sources:
-                raise ValueError(f"{n} sources > max_sources={max_sources}")
-            # global -> extended-local x; halo copies included (NOT clipped)
-            px_ext = (
-                sources.points[:, 0] - idx * nl + k
-            ).astype(jnp.float32)
-            src_rows = src_rows.at[:n, 0].set(px_ext)
-            src_rows = src_rows.at[:n, 1:3].set(
-                sources.points[:, 1:3].astype(jnp.float32)
-            )
-            mbase = 3 + 3 * (k - 1)
-            for lvl in range(1, k + 1):
-                t = (state.tick + lvl - 1).astype(jnp.float32) * jnp.float32(dt)
-                j, m = sources.values(t)
-                if lvl < k:
-                    src_rows = src_rows.at[
-                        :n, 3 + 3 * (lvl - 1): 3 + 3 * lvl
-                    ].set(j.astype(jnp.float32))
-                if with_m:
-                    src_rows = src_rows.at[
-                        :n, mbase + 3 * (lvl - 1): mbase + 3 * lvl
-                    ].set(m.astype(jnp.float32))
+        # global -> extended-local x offset; halo copies included (the shared
+        # builder does NOT clip, which is exactly what the redundant
+        # recompute needs)
+        src_rows = build_src_rows(
+            sources, state.tick, k, max_sources, with_m, dt,
+            x_offset=(-idx * nl + k).astype(jnp.float32),
+        )
 
         call = _build_call(
             shape_ext, tuple(float(v) for v in inv_dx), max_sources, k,

@@ -224,11 +224,11 @@ def compile_scene(
         coeffs = CellCoefficients.uniform(ctable[0], dtype)
         sim_matid = sim_table = None
     else:
-        coeffs = CellCoefficients.from_table(
-            jnp.asarray(ctable, dtype), jnp.asarray(matid)
-        )
-        # keep the compressed form so the Pallas kernels can stream the
-        # 1 B/cell index instead of 16 B/cell dense coefficients
+        # compressed form only: the Pallas kernels stream the 1 B/cell
+        # index, and the XLA fallback gathers dense coefficients lazily
+        # INSIDE the traced step (Simulation._wrap_lazy_coeffs) — nothing
+        # dense stays resident
+        coeffs = None
         sim_matid, sim_table = matid, ctable
 
     # sources: posed entities -> nearest lattice cell (runner.rs:820-869)

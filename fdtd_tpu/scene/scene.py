@@ -43,8 +43,10 @@ class SourceSpec:
 @dataclasses.dataclass(frozen=True)
 class GradedPmlComponent:
     """Scene-embedded PML slab (GradedPml, cem-solver/src/fdtd/pml.rs:11-20).
-    ``normal`` points INTO the absorber. Prefer solver.cpml.Cpml boundary
-    slabs for production runs; this exists for reference-scene parity."""
+    ``normal`` points from the absorber INTO the domain interior (a slab at
+    the low-x edge has normal +x), matching the reference's depth ray cast
+    along +normal. Prefer solver.cpml.Cpml boundary slabs for production
+    runs; this exists for reference-scene parity."""
 
     spec: GradedPmlSpec
     normal: Tuple[float, float, float]

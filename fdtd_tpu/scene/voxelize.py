@@ -65,12 +65,12 @@ def voxelize_materials(
         world = transforms.solver_to_world(pts)
         assigned = np.zeros(world.shape[1:], bool)
         out = matid[x0:x1]
+        w_min = world.reshape(3, -1).min(axis=1)
+        w_max = world.reshape(3, -1).max(axis=1)
         for e, mid in zip(entities, mat_ids):
             # cheap reject: skip entities whose AABB misses the chunk
             ab = e.world_aabb()
             if ab is not None:
-                w_min = world.reshape(3, -1).min(axis=1)
-                w_max = world.reshape(3, -1).max(axis=1)
                 if np.any(ab[1] < w_min) or np.any(ab[0] > w_max):
                     continue
             mask = e.contains_world(world) & ~assigned

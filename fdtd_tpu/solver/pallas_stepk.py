@@ -42,7 +42,7 @@ from .sources import SourceSet
 from .state import SimState
 from .step import _cells
 
-__all__ = ["pallas_stepk_fn", "supports_k"]
+__all__ = ["pallas_stepk_fn", "supports_k", "build_src_rows"]
 
 
 def supports_k(shape, bc, k: int, dtype=jnp.float32, n_materials: int = 1) -> bool:
@@ -295,6 +295,48 @@ def _build_call(shape, inv_dx, n_src, k_steps, interpret, dtype_name,
     )
 
 
+def build_src_rows(
+    sources: Optional[SourceSet],
+    tick,
+    k_steps: int,
+    max_sources: int,
+    with_m: bool,
+    dt: float,
+    x_offset=0,
+):
+    """Pack the kernel's SMEM source rows:
+    [px(+x_offset), py, pz, J levels 1..K-1 (3 each), M levels 1..K
+    (3 each, only when with_m)]. Padded rows carry a far-negative position
+    sentinel and zero amplitudes. Shared by the single-device and sharded
+    K-step wrappers so the layout can't drift between them.
+    """
+    row_width = 3 + 3 * (k_steps - 1) + (3 * k_steps if with_m else 0)
+    src_rows = jnp.zeros((max_sources, row_width), jnp.float32)
+    src_rows = src_rows.at[:, 0].set(-(2.0**24))  # position sentinel
+    if sources is None or sources.num_sources == 0:
+        return src_rows
+    n = sources.num_sources
+    if n > max_sources:
+        raise ValueError(f"{n} sources > max_sources={max_sources}")
+    src_rows = src_rows.at[:n, 0].set(
+        sources.points[:, 0].astype(jnp.float32) + x_offset
+    )
+    src_rows = src_rows.at[:n, 1:3].set(sources.points[:, 1:3].astype(jnp.float32))
+    mbase = 3 + 3 * (k_steps - 1)
+    for lvl in range(1, k_steps + 1):
+        t = (tick + lvl - 1).astype(jnp.float32) * jnp.float32(dt)
+        j, m = sources.values(t)
+        if lvl < k_steps:
+            src_rows = src_rows.at[:n, 3 + 3 * (lvl - 1): 3 + 3 * lvl].set(
+                j.astype(jnp.float32)
+            )
+        if with_m:
+            src_rows = src_rows.at[
+                :n, mbase + 3 * (lvl - 1): mbase + 3 * lvl
+            ].set(m.astype(jnp.float32))
+    return src_rows
+
+
 def pallas_stepk_fn(
     shape: Tuple[int, int, int],
     k_steps: int,
@@ -331,7 +373,6 @@ def pallas_stepk_fn(
         tuple(shape), inv_dx, max_sources, k_steps, interpret,
         jnp.dtype(dtype).name, n_mat, with_m,
     )
-    row_width = 3 + 3 * (k_steps - 1) + (3 * k_steps if with_m else 0)
     lo_hi = edge_planes if edge_planes is not None else (0, shape[0] - 1)
     edges_arr = jnp.asarray([list(lo_hi)], jnp.int32)
 
@@ -353,27 +394,9 @@ def pallas_stepk_fn(
             cb_of = None
 
         dtype_ = state.ex.dtype
-        src_rows = jnp.zeros((max_sources, row_width), jnp.float32)
-        src_rows = src_rows.at[:, 0].set(-(2.0**24))  # position sentinel
-        if sources is not None and sources.num_sources > 0:
-            n = sources.num_sources
-            if n > max_sources:
-                raise ValueError(f"{n} sources > max_sources={max_sources}")
-            src_rows = src_rows.at[:n, 0:3].set(
-                sources.points.astype(jnp.float32)
-            )
-            mbase = 3 + 3 * (k_steps - 1)
-            for lvl in range(1, k_steps + 1):
-                t = (state.tick + lvl - 1).astype(jnp.float32) * jnp.float32(dt)
-                j, m = sources.values(t)
-                if lvl < k_steps:
-                    src_rows = src_rows.at[
-                        :n, 3 + 3 * (lvl - 1): 3 + 3 * lvl
-                    ].set(j.astype(jnp.float32))
-                if with_m:
-                    src_rows = src_rows.at[
-                        :n, mbase + 3 * (lvl - 1): mbase + 3 * lvl
-                    ].set(m.astype(jnp.float32))
+        src_rows = build_src_rows(
+            sources, state.tick, k_steps, max_sources, with_m, dt
+        )
 
         extra = []
         if matid is not None:

@@ -93,7 +93,7 @@ class Simulation:
             # at most 256 materials
             if self.grid.shape[1] % 32 != 0 or self._n_materials > 256:
                 return False
-        elif any(jnp.ndim(c) != 0 for c in self.coeffs):
+        elif self.coeffs is None or any(jnp.ndim(c) != 0 for c in self.coeffs):
             # dense per-cell coefficients without an index buffer: XLA path
             return False
         return True
@@ -104,6 +104,23 @@ class Simulation:
         import numpy as np
 
         return bool(np.any(np.asarray(self.sources.m_amp) != 0))
+
+    def _wrap_lazy_coeffs(self, base):
+        """When compiled scenes carry only (matid, table), gather the dense
+        coefficients INSIDE the traced step (XLA fuses the gather; nothing
+        dense stays resident in HBM)."""
+        if self.coeffs is not None:
+            return base
+        if self.matid is None or self.table is None:
+            raise ValueError("Simulation needs coeffs or (matid, table)")
+        table = jnp.asarray(self.table, self.dtype)
+        mid = jnp.asarray(self.matid)
+
+        def step(state, coeffs, sources):
+            cc = CellCoefficients.from_table(table, mid)
+            return base(state, cc, sources)
+
+        return step
 
     @cached_property
     def _step(self):
@@ -118,15 +135,17 @@ class Simulation:
         if self.cpml is not None or self.tfsf is not None:
             from .engine import build_step
 
-            return build_step(
-                self.grid.shape,
-                inv_dx=inv_dx,
-                dt=self.grid.dt,
-                bc=self.bc,
-                constants=self.grid.constants,
-                dtype=self.dtype,
-                cpml=self.cpml,
-                tfsf=self.tfsf,
+            return self._wrap_lazy_coeffs(
+                build_step(
+                    self.grid.shape,
+                    inv_dx=inv_dx,
+                    dt=self.grid.dt,
+                    bc=self.bc,
+                    constants=self.grid.constants,
+                    dtype=self.dtype,
+                    cpml=self.cpml,
+                    tfsf=self.tfsf,
+                )
             )
         if (
             self.backend in ("auto", "pallas")
@@ -161,7 +180,15 @@ class Simulation:
                 "Neumann(0) edges, scalar or compressed-table coefficients, "
                 "J-only sources, no CPML/TFSF)"
             )
-        return step_fn(inv_dx=inv_dx, dt=self.grid.dt, bc=self.bc)
+        return self._wrap_lazy_coeffs(
+            step_fn(inv_dx=inv_dx, dt=self.grid.dt, bc=self.bc)
+        )
+
+    @cached_property
+    def _multi_step_cache(self) -> dict:
+        # per-instance memo for K-step kernels: rebuilding the closure per
+        # run() call would defeat the compiled-scan cache and recompile
+        return {}
 
     # -- stepping ------------------------------------------------------------
 
@@ -211,6 +238,10 @@ class Simulation:
                                    dtype=self.dtype, n_materials=n_mat)
                 ):
                     inv_dx = tuple(1.0 / d for d in self.grid.dx)
+                    if cand in self._multi_step_cache:
+                        step = self._multi_step_cache[cand]
+                        k = cand
+                        break
                     n_src = (
                         self.sources.num_sources if self.sources is not None else 0
                     )
@@ -231,6 +262,7 @@ class Simulation:
                             return _k(state, _t, sources)
                     else:
                         step = pallas_stepk_fn(self.grid.shape, cand, **kw)
+                    self._multi_step_cache[cand] = step
                     k = cand
                     break
 

@@ -21,6 +21,7 @@ u8 image crosses to the host.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -99,15 +100,14 @@ def _sample_indices(params: ProjectionParameters, shape, size) -> Tuple[np.ndarr
     return lattice, valid
 
 
-def project(
-    state,
-    params: ProjectionParameters,
-    size: Tuple[int, int] = (256, 256),
-) -> np.ndarray:
-    """Render a (h, w, 4) uint8 RGBA image of the projected field."""
-    shape = state.shape
+@functools.lru_cache(maxsize=64)
+def _renderer(params: ProjectionParameters, shape, size):
+    """Build (jitted render fn, validity mask) once per projection setup.
+
+    Hoisted out of project(): a per-call jit closure would miss the jit
+    cache and recompile every observation frame (the runner targets 25 FPS).
+    """
     lattice, valid = _sample_indices(params, shape, size)
-    f3 = state.e if params.field == "e" else state.h
 
     @jax.jit
     def _render(fx, fy, fz):
@@ -127,7 +127,18 @@ def project(
         rgba = jnp.clip(rgba, 0.0, 1.0)
         return jnp.round(rgba * 255.0).astype(jnp.uint8)
 
-    img = np.array(_render(*f3))  # copy: device buffers are read-only views
+    return _render, valid
+
+
+def project(
+    state,
+    params: ProjectionParameters,
+    size: Tuple[int, int] = (256, 256),
+) -> np.ndarray:
+    """Render a (h, w, 4) uint8 RGBA image of the projected field."""
+    render, valid = _renderer(params, tuple(state.shape), tuple(size))
+    f3 = state.e if params.field == "e" else state.h
+    img = np.array(render(*f3))  # copy: device buffers are read-only views
     # magenta for out-of-domain pixels (fdtd/cpu/project.rs:162)
     img[~valid] = np.array([255, 0, 255, 255], np.uint8)
     return img

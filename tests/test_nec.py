@@ -144,3 +144,30 @@ def test_nec_voxelizes_to_pec():
     pec_cells = int((compiled.matid > 0).sum())
     # ~wire length (2.0) / dx (0.1) = 20 cells of at least 1 cell cross-section
     assert pec_cells >= 20
+
+
+def test_gs_after_copies_scales_once():
+    """GS after GR copies must scale each wire once — shared spec objects
+    used to compound the factor per copy (review finding)."""
+    deck = "CE\nGW 1 1 1 0 0 2 0 0 0.01\nGR 10 4\nGS 0 0 2.0\nGE\n"
+    nec = parse_nec(deck)
+    assert len(nec.geometry) == 4
+    for _, g in nec.geometry:
+        assert g.spec.segments.radius == pytest.approx(0.02)  # not 0.16
+
+
+def test_gm_with_tag_start_field():
+    """A 9-field GM card (ITS/tag_start) must parse, not IndexError."""
+    deck = (
+        "CE\n"
+        "GW 1 1 0 0 0 1 0 0 0.01\n"
+        "GW 5 1 0 0 1 1 0 1 0.01\n"
+        "GM 0 0 0 0 0 0 0 1 5\n"  # move only tags >= 5 by +z
+        "GE\n"
+    )
+    nec = parse_nec(deck)
+    by_tag = dict(nec.geometry)
+    e1, _ = by_tag[1].spec.world_ends(by_tag[1].transform)
+    e5, _ = by_tag[5].spec.world_ends(by_tag[5].transform)
+    assert e1[2] == pytest.approx(0.0)  # untouched
+    assert e5[2] == pytest.approx(2.0)  # 1 + 1
