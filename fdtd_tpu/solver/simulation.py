@@ -229,7 +229,12 @@ class Simulation:
             from .pallas_stepk import pallas_stepk_fn, supports_k
 
             n_mat = self._n_materials if self.matid is not None else 1
-            for cand in (10, 8, 6, 5, 4, 3, 2):
+            # matid-mode kernels unroll K stages x K_mat selects: K=10
+            # compiles ~2 minutes in Mosaic for ~25% over K=6 — cap it
+            k_candidates = (6, 5, 4, 3, 2) if self.matid is not None else (
+                10, 8, 6, 5, 4, 3, 2
+            )
+            for cand in k_candidates:
                 cadence = probe_every if probes else n_steps
                 if (
                     n_steps % cand == 0
