@@ -37,7 +37,13 @@ _TERMS = ((2, 1), (1, 2), (0, 2), (2, 0), (1, 0), (0, 1))
 
 
 class EngineState(NamedTuple):
-    """SimState-compatible state + CPML psi + TF/SF auxiliary grid."""
+    """SimState-compatible state + CPML psi + TF/SF auxiliary grid.
+
+    psi entries are SLAB-resident: per _TERMS entry, a (lo_slab, hi_slab)
+    pair of arrays covering only the absorber thickness along the term's
+    axis (a scalar 0 placeholder when that axis has no CPML). Full-domain
+    psi at 512^3 would cost 12 extra fields (6.4 GB); slabs cost the
+    thickness fraction (~4%)."""
 
     ex: jax.Array
     ey: jax.Array
@@ -46,8 +52,8 @@ class EngineState(NamedTuple):
     hy: jax.Array
     hz: jax.Array
     tick: jax.Array
-    psi_h: Tuple[jax.Array, ...]  # one per _TERMS entry (scalar 0 if unused)
-    psi_e: Tuple[jax.Array, ...]
+    psi_h: Tuple[Tuple[jax.Array, jax.Array], ...]
+    psi_e: Tuple[Tuple[jax.Array, jax.Array], ...]
     aux_e: jax.Array  # () if no TF/SF
     aux_h: jax.Array
 
@@ -74,12 +80,43 @@ class EngineState(NamedTuple):
         return np.stack([np.asarray(c) for c in self.h])
 
 
+def _slab_extents(n, lo, hi, half):
+    """In-slab index ranges along an axis of length n.
+
+    Integer-sampled profiles (H update) are nonzero on [0, lo) and
+    [n-hi, n); half-sampled ones (E update, positions i+0.5) reach one
+    plane further inward on the HIGH side: depth(i+0.5) > 0 already at
+    i = n-hi-1."""
+    lo_range = (0, lo)
+    if half and hi > 0:
+        hi_range = (n - hi - 1, n)
+    else:
+        hi_range = (n - hi, n)
+    return lo_range, hi_range
+
+
 def init_engine_state(shape, dtype=jnp.float32, cpml=None, tfsf=None) -> EngineState:
     z = lambda: jnp.zeros(shape, dtype)
     zs = lambda: jnp.zeros((), dtype)
     active = set(cpml.active_axes()) if cpml is not None else set()
-    psi_h = tuple(z() if axis in active else zs() for _, axis in _TERMS)
-    psi_e = tuple(z() if axis in active else zs() for _, axis in _TERMS)
+
+    def slab_pair(axis, half):
+        lo, hi = cpml.thickness[axis]
+        (l0, l1), (h0, h1) = _slab_extents(shape[axis], lo, hi, half)
+        shp_lo = list(shape)
+        shp_lo[axis] = l1 - l0
+        shp_hi = list(shape)
+        shp_hi[axis] = h1 - h0
+        return (jnp.zeros(shp_lo, dtype), jnp.zeros(shp_hi, dtype))
+
+    psi_h = tuple(
+        slab_pair(axis, False) if axis in active else (zs(), zs())
+        for _, axis in _TERMS
+    )
+    psi_e = tuple(
+        slab_pair(axis, True) if axis in active else (zs(), zs())
+        for _, axis in _TERMS
+    )
     if tfsf is not None:
         aux_e, aux_h = tfsf.init_aux(shape[0], dtype)
     else:
@@ -114,12 +151,20 @@ def build_step(
             dx = 1.0 / inv_dx[axis]
             for half, key in ((False, "h"), (True, "e")):
                 ik, b, c = _profiles_1d(n, lo, hi, cpml.spec, dx, dt, constants, half)
-                bshape = [1, 1, 1]
-                bshape[axis] = n
+                (l0, l1), (h0, h1) = _slab_extents(n, lo, hi, half)
+
+                def slab(arr1d, a, bnd):
+                    bshape = [1, 1, 1]
+                    v = arr1d[a:bnd]
+                    bshape[axis] = len(v)
+                    return jnp.asarray(v, dtype).reshape(bshape)
+
+                # slab-local profile slices (lo and hi ends) + the inverse
+                # kappa stretch for the slabs (interior kappa == 1)
                 profs[(key, axis)] = (
-                    jnp.asarray(ik, dtype).reshape(bshape),
-                    jnp.asarray(b, dtype).reshape(bshape),
-                    jnp.asarray(c, dtype).reshape(bshape),
+                    (slab(ik, l0, l1), slab(b, l0, l1), slab(c, l0, l1)),
+                    (slab(ik, h0, h1), slab(b, h0, h1), slab(c, h0, h1)),
+                    ((l0, l1), (h0, h1)),
                 )
 
     if tfsf is not None:
@@ -137,15 +182,37 @@ def build_step(
             raise ValueError(f"TF/SF span {tfsf.span} must be inside (0, {shape[0]-1})")
 
     def curl_with_psi(f3, psi, diff, key):
+        """CPML-stretched curl with SLAB-resident psi: the recurrence and
+        stretch touch only the absorber thickness along each term's axis
+        (the interior passes through untouched — kappa there is 1 and psi
+        is identically 0)."""
         d = {}
         new_psi = list(psi)
         for idx, (comp, axis) in enumerate(_TERMS):
             raw = diff(f3[comp], axis, bc.axis(axis), comp) * inv_dx[axis]
             if axis in active:
-                ik, b, c = profs[(key, axis)]
-                p = b * psi[idx] + c * raw
-                new_psi[idx] = p
-                raw = ik * raw + p
+                (lo_prof, hi_prof, ((l0, l1), (h0, h1))) = profs[(key, axis)]
+                psi_lo, psi_hi = psi[idx]
+                pieces = []
+                if l1 > l0:
+                    ik, b, c = lo_prof
+                    raw_lo = jax.lax.slice_in_dim(raw, l0, l1, axis=axis)
+                    p_lo = b * psi_lo + c * raw_lo
+                    psi_lo = p_lo
+                    pieces.append(ik * raw_lo + p_lo)
+                pieces.append(jax.lax.slice_in_dim(raw, l1, h0, axis=axis))
+                if h1 > h0:
+                    ik, b, c = hi_prof
+                    raw_hi = jax.lax.slice_in_dim(raw, h0, h1, axis=axis)
+                    p_hi = b * psi_hi + c * raw_hi
+                    psi_hi = p_hi
+                    pieces.append(ik * raw_hi + p_hi)
+                new_psi[idx] = (psi_lo, psi_hi)
+                raw = (
+                    jnp.concatenate(pieces, axis=axis)
+                    if len(pieces) > 1
+                    else pieces[0]
+                )
             d[(comp, axis)] = raw
         cx = d[(2, 1)] - d[(1, 2)]
         cy = d[(0, 2)] - d[(2, 0)]
