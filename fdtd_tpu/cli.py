@@ -87,8 +87,11 @@ def cmd_run(args) -> int:
     observers = []
     closers = []
     for i, ro in enumerate(compiled.observers):
-        if args.gif:
-            target = GifTarget(str(out / f"observer{i}.gif"), fps=25)
+        gif_path = ro.entity.observer.write_to_gif  # per-observer override
+        if gif_path or args.gif:
+            target = GifTarget(
+                str(out / (gif_path or f"observer{i}.gif")), fps=25
+            )
             closers.append(target)
         else:
             target = PngTarget(str(out / f"observer{i}_{{tick}}.png"))

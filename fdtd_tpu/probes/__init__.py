@@ -1,6 +1,7 @@
 from .farfield import BoxDft, radiation_pattern
 from .probes import (
     DftProbe,
+    LineProbe,
     EnergyProbe,
     FieldComponent,
     PointProbe,
@@ -12,6 +13,7 @@ __all__ = [
     "BoxDft",
     "radiation_pattern",
     "DftProbe",
+    "LineProbe",
     "EnergyProbe",
     "FieldComponent",
     "PointProbe",

@@ -28,6 +28,7 @@ from ..solver.state import SimState
 __all__ = [
     "FieldComponent",
     "PointProbe",
+    "LineProbe",
     "SliceProbe",
     "EnergyProbe",
     "DftProbe",
@@ -59,6 +60,31 @@ class PointProbe:
         return jnp.stack(
             [f[c][pts[:, 0], pts[:, 1], pts[:, 2]] for c in range(3)], axis=-1
         )
+
+
+@dataclasses.dataclass(frozen=True)
+class LineProbe:
+    """Sample the field along a lattice-axis line -> (n, 3). The
+    counterpart of the reference's range-based Field readback
+    (Field::field(range), cem-solver/src/lib.rs:97-136 with
+    Strider::contiguous_index_range)."""
+
+    axis: int
+    start: Tuple[int, int, int]
+    length: int
+    component: FieldComponent = FieldComponent.E
+
+    def sample(self, state: SimState, dt) -> jax.Array:
+        f = _field(state, self.component)
+        idx = [self.start[0], self.start[1], self.start[2]]
+        out = []
+        for c in range(3):
+            sl = [slice(v, v + 1) for v in idx]
+            sl[self.axis] = slice(
+                self.start[self.axis], self.start[self.axis] + self.length
+            )
+            out.append(f[c][tuple(sl)].reshape(self.length))
+        return jnp.stack(out, axis=-1)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -171,3 +171,17 @@ def test_gm_with_tag_start_field():
     e5, _ = by_tag[5].spec.world_ends(by_tag[5].transform)
     assert e1[2] == pytest.approx(0.0)  # untouched
     assert e5[2] == pytest.approx(2.0)  # 1 + 1
+
+
+def test_wire_arc_populates_scene():
+    """GA arcs polyline into oriented cylinder segments."""
+    deck = "CE\nGA 1 8 2.0 0 180 0.05\nGE\n"
+    nec = parse_nec(deck)
+    scene = Scene()
+    n = populate_scene_with_nec(scene, nec)
+    assert n == 8
+    # arc of radius 2 in the y=0 plane: the point (0, 0, 2) (90 deg) lies on it
+    pts = np.array([[0.0], [0.0], [2.0]])
+    assert any(e.contains_world(pts)[0] for e in scene.entities)
+    # and the center does not
+    assert not any(e.contains_world(np.zeros((3, 1)))[0] for e in scene.entities)

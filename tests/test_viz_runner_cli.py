@@ -158,3 +158,15 @@ def test_cli_run_example(tmp_path, monkeypatch):
     assert rc == 0
     gifs = list((tmp_path / "out").glob("*.gif"))
     assert gifs and gifs[0].stat().st_size > 0
+
+
+def test_line_probe():
+    from fdtd_tpu.probes import LineProbe
+
+    sim = _small_sim()
+    state = sim.init()
+    state = state._replace(ez=state.ez.at[4, 8, :].set(np.arange(16.0)))
+    line = LineProbe(axis=2, start=(4, 8, 2), length=10)
+    out = np.asarray(line.sample(state, 0.1))
+    assert out.shape == (10, 3)
+    np.testing.assert_allclose(out[:, 2], np.arange(2.0, 12.0))
