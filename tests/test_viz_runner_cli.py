@@ -165,7 +165,7 @@ def test_line_probe():
 
     sim = _small_sim()
     state = sim.init()
-    state = state._replace(ez=state.ez.at[4, 8, :].set(np.arange(16.0)))
+    state = state._replace(ez=state.ez.at[4, 8, :].set(np.arange(16.0, dtype=np.float32)))
     line = LineProbe(axis=2, start=(4, 8, 2), length=10)
     out = np.asarray(line.sample(state, 0.1))
     assert out.shape == (10, 3)
