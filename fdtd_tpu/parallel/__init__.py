@@ -6,8 +6,18 @@ from .pallas_sharded_k import (
     make_pallas_sharded_stepk,
 )
 from .sharded import make_sharded_step, shard_state, state_sharding
+from .sharded_engine import (
+    ShardedEngineState,
+    init_sharded_engine_state,
+    make_sharded_engine_step,
+    sharded_engine_state_sharding,
+)
 
 __all__ = [
+    "ShardedEngineState",
+    "init_sharded_engine_state",
+    "make_sharded_engine_step",
+    "sharded_engine_state_sharding",
     "make_mesh",
     "choose_mesh_shape",
     "make_pallas_sharded_step",
