@@ -3,6 +3,7 @@ from .pallas_sharded import make_pallas_sharded_step
 from .pallas_sharded_k import (
     collapse_state,
     extend_state,
+    extract_slice,
     make_pallas_sharded_stepk,
 )
 from .sharded import make_sharded_step, shard_state, state_sharding
@@ -23,6 +24,7 @@ __all__ = [
     "make_pallas_sharded_step",
     "make_pallas_sharded_stepk",
     "extend_state",
+    "extract_slice",
     "collapse_state",
     "make_sharded_step",
     "shard_state",

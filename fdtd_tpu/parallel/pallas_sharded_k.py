@@ -47,6 +47,7 @@ __all__ = [
     "make_pallas_sharded_stepk",
     "extend_state",
     "collapse_state",
+    "extract_slice",
 ]
 
 _FIELDS = ("ex", "ey", "ez", "hx", "hy", "hz")
@@ -102,6 +103,56 @@ def collapse_state(
         **{name: col(getattr(state_ext, name)) for name in _FIELDS},
         tick=state_ext.tick,
     )
+
+
+def extract_slice(
+    state_ext: SimState,
+    mesh: Mesh,
+    k: int,
+    nl: int,
+    axis: int,
+    index: int,
+    component: str = "e",
+    mesh_axis: str = "x",
+) -> jax.Array:
+    """Live slice extraction from the EXTENDED sharded layout, on device —
+    BASELINE config 5's observation path (the analog of the reference's
+    staged Field readback, cem-solver/src/fdtd/wgpu/mod.rs:451-578, but
+    without collapsing or copying the full lattice).
+
+    Returns the (3, n_a, n_b) GLOBAL lattice plane ``axis = index`` of the
+    E or H field. Halo planes are skipped: each shard contributes only its
+    owned region. For axis 0 the owner shard's plane is psum-broadcast; for
+    axes 1/2 the per-shard strips concatenate along the sharded x axis.
+    Jittable; only the final plane crosses to the host.
+    """
+    n_dev = mesh.shape[mesh_axis]
+    names = ("ex", "ey", "ez") if component == "e" else ("hx", "hy", "hz")
+    fields = tuple(getattr(state_ext, n) for n in names)
+
+    def local(f3):
+        idx = lax.axis_index(mesh_axis)
+        owned = tuple(f[k: k + nl] for f in f3)
+        if axis == 0:
+            d = index // nl
+            loc = index - d * nl
+            planes = tuple(
+                jnp.where(idx == d, lax.index_in_dim(f, loc, 0, keepdims=False), 0)
+                for f in owned
+            )
+            return jnp.stack([lax.psum(p, mesh_axis) for p in planes])
+        return jnp.stack(
+            [lax.index_in_dim(f, index, axis, keepdims=False) for f in owned]
+        )
+
+    out_spec = P() if axis == 0 else P(None, mesh_axis, None)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=((P(mesh_axis, None, None),) * 3,),
+        out_specs=out_spec,
+        check_vma=False,
+    )(fields)
 
 
 def make_pallas_sharded_stepk(

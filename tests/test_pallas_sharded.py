@@ -99,3 +99,34 @@ def test_sharded_k_step_matches_single(rng, n_dev, k):
     np.testing.assert_allclose(out.e_stacked(), ref.e_stacked(), rtol=5e-6, atol=5e-6)
     np.testing.assert_allclose(out.h_stacked(), ref.h_stacked(), rtol=5e-6, atol=5e-6)
     assert int(out.tick) == int(ref.tick)
+
+
+def test_extract_slice_from_extended_state(rng):
+    """Live slice extraction (config 5): planes pulled from the extended
+    sharded layout on device must equal global-state slices, halos skipped."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from fdtd_tpu.parallel.pallas_sharded_k import extend_state, extract_slice
+
+    shape, k, n_dev = (16, 8, 128), 3, 8
+    nl = shape[0] // n_dev
+    e = rng.standard_normal((3, *shape))
+    h = rng.standard_normal((3, *shape))
+    state = ft.state_from_stacked(e, h, dtype=jnp.float32)
+    mesh = make_mesh(n_dev, ("x",))
+    st = extend_state(state, mesh, k)
+    # poison the halos: extraction must never read them
+    st = st._replace(
+        ex=st.ex.at[:: nl + 2 * k].set(jnp.nan),
+        hy=st.hy.at[nl + k :: nl + 2 * k].set(jnp.nan),
+    )
+
+    for axis, index, comp in [(0, 5, "e"), (0, 12, "h"), (1, 3, "e"), (2, 100, "h")]:
+        got = np.asarray(
+            jax.jit(
+                lambda s: extract_slice(s, mesh, k, nl, axis, index, comp)
+            )(st)
+        )
+        f3 = e if comp == "e" else h
+        want = np.take(f3.astype(np.float32), index, axis=1 + axis)
+        np.testing.assert_array_equal(got, want)
