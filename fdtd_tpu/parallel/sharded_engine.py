@@ -186,9 +186,13 @@ def make_sharded_engine_step(
             VACUUM, Resolution(spatial=(dx0,) * 3, temporal=dt), constants
         )
         aux_coeffs = tfsf.build_aux(shape[0], vacuum_row, dt, dx0, constants, dtype)
+        tfsf.validate(shape)
+        if tfsf.is_box:
+            raise NotImplementedError(
+                "sharded engine supports slab TF/SF only (box mode's lateral-face "
+                "corrections are not yet translated to shard-local coordinates)"
+            )
         tf_lo, tf_hi = tfsf.span
-        if not (0 < tf_lo <= tf_hi < shape[0] - 1):
-            raise ValueError(f"TF/SF span {tfsf.span} must be inside (0, {shape[0]-1})")
 
     def _x_offset(local_nx):
         if dims[0] is None or n_devs[0] == 1:

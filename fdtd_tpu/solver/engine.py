@@ -177,9 +177,13 @@ def build_step(
             VACUUM, Resolution(spatial=(dx0,) * 3, temporal=dt), constants
         )
         aux_coeffs = tfsf.build_aux(shape[0], vacuum_row, dt, dx0, constants, dtype)
+        tfsf.validate(shape)
         lo, hi = tfsf.span
-        if not (0 < lo <= hi < shape[0] - 1):
-            raise ValueError(f"TF/SF span {tfsf.span} must be inside (0, {shape[0]-1})")
+        if tfsf.is_box:
+            (ylo, yhi), (zlo, zhi) = tfsf.span_y, tfsf.span_z
+            xs, ys, zs = slice(lo, hi + 1), slice(ylo, yhi + 1), slice(zlo, zhi + 1)
+        else:
+            xs, ys, zs = slice(lo, hi + 1), slice(None), slice(None)
 
     def curl_with_psi(f3, psi, diff, key):
         """CPML-stretched curl with SLAB-resident psi: the recurrence and
@@ -219,8 +223,8 @@ def build_step(
         cz = d[(1, 0)] - d[(0, 1)]
         return (cx, cy, cz), tuple(new_psi)
 
-    def _coef_plane(coef, x):
-        return coef if jnp.ndim(coef) == 0 else coef[x]
+    def _coef_block(coef, *idx):
+        return coef if jnp.ndim(coef) == 0 else coef[idx]
 
     def step(
         state: EngineState,
@@ -245,15 +249,29 @@ def build_step(
 
         aux_e, aux_h = state.aux_e, state.aux_h
         if tfsf is not None:
-            # incident E at the old time level (aux not yet stepped)
+            # incident E at the old time level (aux not yet stepped).
+            # x faces: the Hy update's +d_b*dEz/dx reads the cross-boundary
+            # incident Ez (restricted to the box's lateral extent).
             hy = h[1]
-            hy = hy.at[lo].add(
-                -_coef_plane(coeffs.d_b, lo) * aux_e[lo - 1] * inv_dx[0]
+            hy = hy.at[lo, ys, zs].add(
+                -_coef_block(coeffs.d_b, lo, ys, zs) * aux_e[lo - 1] * inv_dx[0]
             )
-            hy = hy.at[hi + 1].add(
-                _coef_plane(coeffs.d_b, hi + 1) * aux_e[hi] * inv_dx[0]
+            hy = hy.at[hi + 1, ys, zs].add(
+                _coef_block(coeffs.d_b, hi + 1, ys, zs) * aux_e[hi] * inv_dx[0]
             )
             h[1] = hy
+            if tfsf.is_box:
+                # y faces: the Hx update's -d_b*dEz/dy reads incident
+                # Ez = aux_e[x] across the boundary (varies along x only)
+                ez_inc = aux_e[xs][:, None] * inv_dx[1]
+                hx = h[0]
+                hx = hx.at[xs, ylo, zs].add(
+                    _coef_block(coeffs.d_b, xs, ylo, zs) * ez_inc
+                )
+                hx = hx.at[xs, yhi + 1, zs].add(
+                    -_coef_block(coeffs.d_b, xs, yhi + 1, zs) * ez_inc
+                )
+                h[0] = hx
             aux_e, aux_h = tfsf.aux_step(aux_e, aux_h, aux_coeffs, t, inv_dx[0], dtype)
 
         if m_vals is not None:
@@ -270,15 +288,28 @@ def build_step(
         e = [coeffs.c_a * state.e[c] + coeffs.c_b * ch[c] for c in range(3)]
 
         if tfsf is not None:
-            # incident H at the new time level (aux just stepped)
+            # incident H at the new time level (aux just stepped).
+            # x faces: the Ez update's +c_b*dHy/dx reads incident Hy.
             ez = e[2]
-            ez = ez.at[lo - 1].add(
-                -_coef_plane(coeffs.c_b, lo - 1) * aux_h[lo] * inv_dx[0]
+            ez = ez.at[lo - 1, ys, zs].add(
+                -_coef_block(coeffs.c_b, lo - 1, ys, zs) * aux_h[lo] * inv_dx[0]
             )
-            ez = ez.at[hi].add(
-                _coef_plane(coeffs.c_b, hi) * aux_h[hi + 1] * inv_dx[0]
+            ez = ez.at[hi, ys, zs].add(
+                _coef_block(coeffs.c_b, hi, ys, zs) * aux_h[hi + 1] * inv_dx[0]
             )
             e[2] = ez
+            if tfsf.is_box:
+                # z faces: the Ex update's -c_b*dHy/dz reads incident
+                # Hy = aux_h[x] across the boundary
+                hy_inc = aux_h[xs][:, None] * inv_dx[2]
+                ex = e[0]
+                ex = ex.at[xs, ys, zlo - 1].add(
+                    _coef_block(coeffs.c_b, xs, ys, zlo - 1) * hy_inc
+                )
+                ex = ex.at[xs, ys, zhi].add(
+                    -_coef_block(coeffs.c_b, xs, ys, zhi) * hy_inc
+                )
+                e[0] = ex
 
         if j_vals is not None:
             cb = _cells(coeffs.c_b, px, py, pz, sources.num_sources, dtype)

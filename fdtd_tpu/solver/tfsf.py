@@ -19,8 +19,21 @@ curl of the new H, matching cpu/mod.rs:412-516),
     Ez[lo-1] -= c_b * Hy_inc[lo]   / dx
     Ez[hi]   += c_b * Hy_inc[hi+1] / dx
 
-v1 scope: propagation along +x, polarization E = z. The slab spans the full
-y/z extent (a closed 6-face box is a later round). The auxiliary grid has a
+Two geometries share the same aux grid:
+
+- SLAB (``span_y``/``span_z`` = None): the total-field region spans the full
+  y/z extent; only the two x faces carry corrections.
+- CLOSED BOX (both given): the standard Taflove 3D TF/SF box. The four
+  lateral faces gain corrections for the stencil terms whose incident
+  component is nonzero: the backward-diff dEz/dy in the Hx update (y faces,
+  incident Ez = aux_e[x]) and the forward-diff dHy/dz in the Ex update
+  (z faces, incident Hy = aux_h[x]). Incident Ey/Ex/Hx/Hz are identically
+  zero for +x propagation with E = z, so no other face terms exist. Every
+  correction injects the incident value of the exact stencil NEIGHBOR that
+  sits across the boundary (no interpolation), so leakage stays at
+  slab-level rounding (tests/test_tfsf.py::test_tfsf_box_leakage).
+
+Propagation is along +x, polarization E = z. The auxiliary grid has a
 graded impedance-matched lossy ramp at its far end (a 1D PML) so nothing
 re-enters, and a hard source at index 0.
 """
@@ -28,7 +41,7 @@ re-enters, and a hard source at index 0.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +64,30 @@ class Tfsf:
     amplitude: float = 1.0
     aux_margin: int = 64
     absorber_cells: int = 48
+    # closed-box mode: inclusive total-field cell ranges along y and z.
+    # Both None -> slab (full lateral extent, x faces only).
+    span_y: Optional[Tuple[int, int]] = None
+    span_z: Optional[Tuple[int, int]] = None
+
+    @property
+    def is_box(self) -> bool:
+        return self.span_y is not None or self.span_z is not None
+
+    def validate(self, shape: Tuple[int, int, int]) -> None:
+        lo, hi = self.span
+        if not (0 < lo <= hi < shape[0] - 1):
+            raise ValueError(f"TF/SF span {self.span} must be inside (0, {shape[0]-1})")
+        if self.is_box:
+            if self.span_y is None or self.span_z is None:
+                raise ValueError(
+                    "TF/SF box mode needs BOTH span_y and span_z (or neither for a slab)"
+                )
+            for name, (a, b), n in (
+                ("span_y", self.span_y, shape[1]),
+                ("span_z", self.span_z, shape[2]),
+            ):
+                if not (0 < a <= b < n - 1):
+                    raise ValueError(f"TF/SF {name} ({a}, {b}) must be inside (0, {n-1})")
 
     def aux_length(self, nx: int) -> int:
         return nx + self.aux_margin + self.absorber_cells

@@ -83,3 +83,72 @@ def test_tfsf_span_validation():
     )
     with pytest.raises(ValueError, match="span"):
         sim.step(sim.init())
+
+
+def _box_run(n=360, shape=(64, 24, 24)):
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    grid = ft.Grid(shape=shape, resolution=res, constants=ft.REDUCED)
+    table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+    coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
+    wf = ft.GaussianDerivative(time=25 * grid.dt, duration=8 * grid.dt)
+    tfsf = Tfsf(span=(16, 48), waveform=wf, span_y=(6, 17), span_z=(6, 17))
+    sim = ft.Simulation(grid=grid, coeffs=coeffs, tfsf=tfsf)
+    from fdtd_tpu.probes import SliceProbe, FieldComponent
+
+    state, _, _ = sim.run(sim.init(), n)
+    return grid, wf, np.stack([np.asarray(c) for c in state.e])
+
+
+def test_tfsf_box_leakage():
+    """Closed box: with no scatterer the wave must exist ONLY inside the box
+    — it is injected at the lo-x face, carried across, and exactly removed
+    at the other five faces. No absorber anywhere: any leakage would stay
+    in the domain and be caught."""
+    _, _, e = _box_run()
+    inside = np.abs(e[:, 17:48, 7:17, 7:17]).max()
+    mask = np.ones(e.shape[1:], bool)
+    mask[14:51, 4:20, 4:20] = False  # box + 2-cell margin
+    outside = np.abs(e[:, mask]).max()
+    # the pulse has fully exited by now: even INSIDE should be quiet
+    assert outside < 1e-5, f"TF/SF box leakage {outside:.2e}"
+    assert inside < 1e-4, f"wave not absorbed at exit faces: {inside:.2e}"
+
+
+def test_tfsf_box_interior_matches_slab():
+    """In vacuum the total field inside the box equals the incident wave —
+    i.e. the same trace the validated slab geometry produces at the same
+    point (both reduce to the 1D aux solution on the same lattice)."""
+    shape = (64, 24, 24)
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    grid = ft.Grid(shape=shape, resolution=res, constants=ft.REDUCED)
+    table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+    coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
+    wf = ft.GaussianDerivative(time=25 * grid.dt, duration=8 * grid.dt)
+    probes = (PointProbe(points=((32, 12, 12),)),)
+
+    traces = {}
+    for name, tf in (
+        ("slab", Tfsf(span=(16, 48), waveform=wf)),
+        ("box", Tfsf(span=(16, 48), waveform=wf, span_y=(3, 20), span_z=(3, 20))),
+    ):
+        sim = ft.Simulation(grid=grid, coeffs=coeffs, tfsf=tf)
+        _, (tr,), _ = sim.run(sim.init(), 140, probes=probes)
+        traces[name] = np.asarray(tr)[:, 0, 2]
+    peak = np.abs(traces["slab"]).max()
+    assert peak > 0.1
+    np.testing.assert_allclose(traces["box"], traces["slab"], atol=2e-5 * peak)
+
+
+def test_tfsf_box_span_validation():
+    import pytest
+
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    grid = ft.Grid(shape=(32, 8, 8), resolution=res, constants=ft.REDUCED)
+    table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+    sim = ft.Simulation(
+        grid=grid,
+        coeffs=ft.CellCoefficients.uniform(table[0], jnp.float32),
+        tfsf=Tfsf(span=(4, 28), waveform=ft.GaussianPulse(1, 1), span_y=(0, 7), span_z=(2, 5)),
+    )
+    with pytest.raises(ValueError, match="span_y"):
+        sim.step(sim.init())
