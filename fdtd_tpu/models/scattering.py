@@ -1,9 +1,12 @@
 """Scattering workflow: TF/SF plane wave + DFT probes -> cross-sections.
 
-BASELINE config 3 end-to-end: a CPML-bounded domain, a TF/SF slab injecting
-a plane wave, a scatterer compiled from the scene, and Poynting-flux
-integration over a box in the scattered-field region giving the scattering
-cross-section. Time-domain flux is integrated per-step on device via
+BASELINE config 3 end-to-end: a CPML-bounded domain, a CLOSED TF/SF box
+injecting a plane wave, a scatterer compiled from the scene, and
+Poynting-flux integration over a box fully in the scattered-field region
+giving the scattering cross-section. With the closed TF/SF box the flux
+surface sees ONLY the scattered wave on every face (the incident wave
+exists solely inside the TF box), so no incident-flux cancellation is
+relied on. Time-domain flux is integrated per-step on device via
 accumulators; sigma_scat = (scattered energy flux) / (incident fluence).
 """
 
@@ -108,8 +111,17 @@ def scattering_cross_section(
     waveform = GaussianDerivative(
         time=3 * pulse_duration_steps * dt, duration=pulse_duration_steps * dt
     )
-    span = (cpml_cells + 6, nx - 1 - (cpml_cells + 6))
-    tfsf = Tfsf(span=span, waveform=waveform)
+    pad = cpml_cells + 6
+    # lateral TF faces hug the absorber (scatterers need the room); the
+    # flux faces sit 1 cell outside them, in the first clean scattered cell
+    lat = cpml_cells + 2
+    span = (pad, nx - 1 - pad)
+    tfsf = Tfsf(
+        span=span,
+        waveform=waveform,
+        span_y=(lat, shape[1] - 1 - lat),
+        span_z=(lat, shape[2] - 1 - lat),
+    )
     sim = dataclasses.replace(compiled.simulation, tfsf=tfsf)
 
     if n_steps is None:
@@ -117,13 +129,12 @@ def scattering_cross_section(
         n_steps = int(4 * nx / (constants.speed_of_light * dt / dx))
         n_steps = min(n_steps, 6000)
 
-    # scattered-field flux box: just outside the TF slab along x, full-ish
-    # cross-section in y/z — it sees only scattered fields
-    pad = cpml_cells + 2
+    # flux box just outside the closed TF box: every face sits in the
+    # scattered-field region and sees only the scattered wave
     box = (
         (span[0] - 3, span[1] + 3),
-        (pad, shape[1] - 1 - pad),
-        (pad, shape[2] - 1 - pad),
+        (lat - 1, shape[1] - lat),
+        (lat - 1, shape[2] - lat),
     )
     dxs = compiled.grid.dx
     areas = (dxs[1] * dxs[2], dxs[0] * dxs[2], dxs[0] * dxs[1])

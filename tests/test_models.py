@@ -42,9 +42,56 @@ def test_antenna_dipole_pattern():
     assert (np.abs(u - u_theta[:, None]) / u.max() < 0.35).all()
 
 
+_KWARGS = dict(
+    domain_half_extents=(22.0, 16.0, 16.0),
+    dx=1.0,
+    pulse_duration_steps=8,
+    n_steps=400,
+    cpml_cells=8,
+)
+
+
+def _weighted_rayleigh(radius, eps, n_steps, dt, duration_steps):
+    """Spectrum-weighted Rayleigh cross-section of a dielectric sphere for
+    the EXACT GaussianDerivative pulse the workflow injects (c = 1 in
+    REDUCED; the k^4 weighting is hypersensitive to the pulse shape, so we
+    sample the library waveform rather than re-deriving it)."""
+    wf = ft.GaussianDerivative(
+        time=3 * duration_steps * dt, duration=duration_steps * dt
+    )
+    ts = np.arange(n_steps) * dt
+    e = np.asarray([float(wf(t)) for t in ts])
+    k = np.fft.rfftfreq(n_steps, dt) * 2 * np.pi
+    w = np.abs(np.fft.rfft(e)) ** 2
+    sig = (8 * np.pi / 3) * k**4 * radius**6 * ((eps - 1) / (eps + 2)) ** 2
+    return float(np.sum(sig * w) / np.sum(w))
+
+
+def test_scattering_cross_section_dielectric_vs_rayleigh():
+    """Quantitative gate: a weakly-scattering dielectric sphere's broadband
+    sigma_scat must match the spectrum-weighted Rayleigh formula (the exact
+    small-ka limit). Measured agreement is ~5% at this resolution."""
+    radius, eps = 3.0, 2.0
+    scene = Scene()
+    scene.spawn(
+        shape=Ball(radius),
+        pose=Isometry.from_translation((0.0, 0.0, 0.0)),
+        material=ft.Material(relative_permittivity=eps),
+    )
+    res = scattering_cross_section(scene, **_KWARGS)
+    dt = res.grid.dt
+    theory = _weighted_rayleigh(radius, eps, _KWARGS["n_steps"], dt,
+                                _KWARGS["pulse_duration_steps"])
+    assert abs(res.sigma_scat - theory) < 0.2 * theory, (res.sigma_scat, theory)
+
+
 def test_scattering_cross_section_pec_sphere():
-    """sigma_scat of a PEC sphere ~ its geometric scale; an empty domain
-    scatters ~nothing (TF/SF leakage only)."""
+    """PEC sphere scatters strongly; an empty domain scatters ~nothing
+    (TF/SF box leakage only). The PEC bound is deliberately loose: a 6-cell
+    staircased PEC sphere over-scatters the pulse's under-resolved spectral
+    tail by ~3x (185 -> 93 when dx is halved; weighted Mie says 34-56),
+    so this is a smoke test — the dielectric/Rayleigh test above is the
+    quantitative one."""
     radius = 3.0
     scene = Scene()
     scene.spawn(
@@ -52,18 +99,11 @@ def test_scattering_cross_section_pec_sphere():
         pose=Isometry.from_translation((0.0, 0.0, 0.0)),
         material=ft.PEC,
     )
-    kwargs = dict(
-        domain_half_extents=(22.0, 14.0, 14.0),
-        dx=1.0,
-        pulse_duration_steps=8,
-        n_steps=400,
-        cpml_cells=8,
-    )
-    res = scattering_cross_section(scene, **kwargs)
+    res = scattering_cross_section(scene, **_KWARGS)
     geo = np.pi * radius**2
-    assert 0.5 * geo < res.sigma_scat < 6.0 * geo, res
+    assert 0.5 * geo < res.sigma_scat < 8.0 * geo, res
 
-    empty = scattering_cross_section(Scene([ 
+    empty = scattering_cross_section(Scene([
         # a vacuum marker so the volume resolves; material == background
-    ]), **{**kwargs, "domain_half_extents": (22.0, 14.0, 14.0)})
+    ]), **_KWARGS)
     assert empty.sigma_scat < 0.05 * geo, empty
