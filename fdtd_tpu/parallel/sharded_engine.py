@@ -187,32 +187,46 @@ def make_sharded_engine_step(
         )
         aux_coeffs = tfsf.build_aux(shape[0], vacuum_row, dt, dx0, constants, dtype)
         tfsf.validate(shape)
-        if tfsf.is_box:
-            raise NotImplementedError(
-                "sharded engine supports slab TF/SF only (box mode's lateral-face "
-                "corrections are not yet translated to shard-local coordinates)"
-            )
         tf_lo, tf_hi = tfsf.span
+        if tfsf.is_box:
+            if dims[1] is not None or dims[2] is not None:
+                raise NotImplementedError(
+                    "sharded box TF/SF supports x-axis decomposition only "
+                    "(the lateral faces sit at static y/z indices)"
+                )
+            (tf_ylo, tf_yhi), (tf_zlo, tf_zhi) = tfsf.span_y, tfsf.span_z
+            ys = slice(tf_ylo, tf_yhi + 1)
+            zs = slice(tf_zlo, tf_zhi + 1)
+        else:
+            ys = zs = slice(None)
 
     def _x_offset(local_nx):
         if dims[0] is None or n_devs[0] == 1:
             return jnp.zeros((), jnp.int32)
         return (lax.axis_index(dims[0]) * local_nx).astype(jnp.int32)
 
-    def _plane_add(f, coef, g_idx, off, val_scalar):
-        """f[g_idx (global x-plane)] += coef_plane * val_scalar, shard-local:
-        masked to zero on shards that don't own the plane."""
+    def _plane_add(f, coef, g_idx, off, val_scalar, ys, zs):
+        """f[g_idx (global x-plane), ys, zs] += coef_block * val_scalar,
+        shard-local: masked to zero on shards that don't own the plane."""
         nl = f.shape[0]
         loc = jnp.asarray(g_idx, jnp.int32) - off
         ok = jnp.logical_and(loc >= 0, loc < nl)
         locc = jnp.clip(loc, 0, nl - 1)
         plane = lax.dynamic_slice_in_dim(f, locc, 1, axis=0)
         if jnp.ndim(coef) == 0:
-            cplane = coef
+            cblock = coef
         else:
-            cplane = lax.dynamic_slice_in_dim(coef, locc, 1, axis=0)
-        add = jnp.where(ok, jnp.asarray(val_scalar, f.dtype), 0) * cplane
-        return lax.dynamic_update_slice_in_dim(f, plane + add, locc, axis=0)
+            cblock = lax.dynamic_slice_in_dim(coef, locc, 1, axis=0)[:, ys, zs]
+        add = jnp.where(ok, jnp.asarray(val_scalar, f.dtype), 0) * cblock
+        plane = plane.at[:, ys, zs].add(add)
+        return lax.dynamic_update_slice_in_dim(f, plane, locc, axis=0)
+
+    def _lateral_coef(coef, ax1_idx_or_slice, ax2_idx_or_slice):
+        return (
+            coef
+            if jnp.ndim(coef) == 0
+            else coef[:, ax1_idx_or_slice, ax2_idx_or_slice]
+        )
 
     def local_step(state, coeffs, sources, lprofs):
         local_shape = state.ex.shape
@@ -259,11 +273,26 @@ def make_sharded_engine_step(
             off = _x_offset(local_shape[0])
             # incident E at the old time level (aux not yet stepped)
             h[1] = _plane_add(
-                h[1], coeffs.d_b, tf_lo, off, -aux_e[tf_lo - 1] * inv_dx[0]
+                h[1], coeffs.d_b, tf_lo, off, -aux_e[tf_lo - 1] * inv_dx[0], ys, zs
             )
             h[1] = _plane_add(
-                h[1], coeffs.d_b, tf_hi + 1, off, aux_e[tf_hi] * inv_dx[0]
+                h[1], coeffs.d_b, tf_hi + 1, off, aux_e[tf_hi] * inv_dx[0], ys, zs
             )
+            if tfsf.is_box:
+                # y faces: incident Ez = aux_e[global x], masked to this
+                # shard's rows inside the box x-span (solver/engine.py order)
+                gx = off + jnp.arange(local_shape[0])
+                in_x = jnp.logical_and(gx >= tf_lo, gx <= tf_hi)
+                ez_inc = (
+                    jnp.where(in_x, aux_e[jnp.clip(gx, 0, shape[0] - 1)], 0)
+                    * inv_dx[1]
+                )[:, None].astype(dtype)
+                h[0] = h[0].at[:, tf_ylo, zs].add(
+                    _lateral_coef(coeffs.d_b, tf_ylo, zs) * ez_inc
+                )
+                h[0] = h[0].at[:, tf_yhi + 1, zs].add(
+                    -_lateral_coef(coeffs.d_b, tf_yhi + 1, zs) * ez_inc
+                )
             aux_e, aux_h = tfsf.aux_step(aux_e, aux_h, aux_coeffs, t, inv_dx[0], dtype)
 
         if m_vals is not None:
@@ -282,11 +311,23 @@ def make_sharded_engine_step(
         if tfsf is not None:
             # incident H at the new time level (aux just stepped)
             e[2] = _plane_add(
-                e[2], coeffs.c_b, tf_lo - 1, off, -aux_h[tf_lo] * inv_dx[0]
+                e[2], coeffs.c_b, tf_lo - 1, off, -aux_h[tf_lo] * inv_dx[0], ys, zs
             )
             e[2] = _plane_add(
-                e[2], coeffs.c_b, tf_hi, off, aux_h[tf_hi + 1] * inv_dx[0]
+                e[2], coeffs.c_b, tf_hi, off, aux_h[tf_hi + 1] * inv_dx[0], ys, zs
             )
+            if tfsf.is_box:
+                # z faces: incident Hy = aux_h[global x], same x-mask
+                hy_inc = (
+                    jnp.where(in_x, aux_h[jnp.clip(gx, 0, shape[0] - 1)], 0)
+                    * inv_dx[2]
+                )[:, None].astype(dtype)
+                e[0] = e[0].at[:, ys, tf_zlo - 1].add(
+                    _lateral_coef(coeffs.c_b, ys, tf_zlo - 1) * hy_inc
+                )
+                e[0] = e[0].at[:, ys, tf_zhi].add(
+                    -_lateral_coef(coeffs.c_b, ys, tf_zhi) * hy_inc
+                )
 
         if j_vals is not None:
             cb = _cells(coeffs.c_b, px, py, pz, sources.num_sources, dtype)

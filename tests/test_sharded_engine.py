@@ -103,3 +103,27 @@ def test_sharded_full_engine():
     st = _run_pair(cpml, tfsf, _sources(), ("x", None, None), ("x",))
     # fields actually nonzero (the test isn't vacuously comparing zeros)
     assert float(jnp.max(jnp.abs(st.ez))) > 1e-8
+
+
+def test_sharded_tfsf_box_matches_engine():
+    """Closed-box TF/SF under x-decomposition: lateral-face corrections use
+    per-shard x-masked incident rows; must match the single-device engine."""
+    tfsf = Tfsf(span=(8, 24), waveform=ft.GaussianPulse(10 * DT, 4 * DT),
+                span_y=(4, 11), span_z=(4, 11))
+    cpml = Cpml(thickness=((5, 5), (0, 0), (0, 0)))
+    _run_pair(cpml, tfsf, _sources(), ("x", None, None), ("x",))
+
+
+def test_sharded_tfsf_box_rejects_lateral_sharding():
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    tfsf = Tfsf(span=(8, 24), waveform=ft.GaussianPulse(10 * DT, 4 * DT),
+                span_y=(4, 11), span_z=(4, 11))
+    mesh = make_mesh(8, ("x", "y"))
+    with pytest.raises(NotImplementedError, match="x-axis decomposition"):
+        make_sharded_engine_step(
+            mesh, SHAPE, ("x", "y", None), inv_dx=INV_DX, dt=DT,
+            constants=ft.REDUCED, dtype=jnp.float64, tfsf=tfsf,
+        )
