@@ -1,0 +1,599 @@
+"""Fused Pallas kernel with IN-KERNEL CPML (+ slab TF/SF): one absorbing
+leapfrog tick in a single lattice pass.
+
+The composed XLA engine (engine.py) runs absorbing-boundary simulations at
+~1.9 Gcell/s: every stretched derivative materializes slices and concats in
+HBM. This kernel keeps the whole CPML recurrence inside the fused
+descending-x sweep of pallas_step.py, so an absorbing tick costs the same
+HBM traffic as a free-space tick plus the (small) psi slabs:
+
+    psi <- b * psi + c * dF        dF~ = dF / kappa + psi
+
+- psi lives in SLAB tensors, not full fields. x-axis terms: (Tlo+Thi+1,
+  ny, nz) with one TRASH plane — interior iterations' block index maps to
+  the trash plane, and since the 1D profiles are 0 there (b = c = 0,
+  1/kappa = 1) the kernel writes psi_new = 0 to it unconditionally: no
+  masked stores, correctness comes from profile zeros + the trash slot.
+- y/z-axis terms are PLANE-LOCAL (their recurrence never crosses x), so
+  their slabs are (nx, T_pad, nz) / (nx, ny, T_pad) strips updated as the
+  sweep passes each plane. Strip thicknesses are padded to the TPU tile
+  (8 sublanes / 128 lanes) so the strip slice + concat stay aligned.
+- The E-half's half-integer sampling extends the hi-side slab one plane
+  inward (engine.py::_slab_extents) — slab extents here reuse the same
+  helper, so kernel and engine agree to rounding.
+
+TF/SF slab corrections are four PLANE-UNIFORM scalar adds (the incident
+values come from the 1D aux grid, stepped outside in XLA and handed in as
+SMEM scalars), applied between the H and E half-updates exactly like
+engine.py. J point sources scatter post-kernel (exact). Box TF/SF, M
+sources and dense/matid coefficients stay on the engine path.
+
+Validated against engine.build_step in interpret mode
+(tests/test_pallas_cpml.py); reflection physics inherited from the engine's
+CPML tests (identical arithmetic).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import SI, PhysicalConstants
+from .boundary import BoundaryConditions
+from .engine import _slab_extents
+from .sources import SourceSet
+
+__all__ = ["PmlKernelState", "init_pml_kernel_state", "pallas_cpml_step_fn",
+           "supports_cpml"]
+
+# stretched-derivative terms per axis: axis -> the two E/H components whose
+# derivative along that axis enters a curl (solver/engine.py _TERMS regrouped)
+_AXIS_COMPS = {0: (2, 1), 1: (2, 0), 2: (1, 0)}
+
+
+def _pad8(n):
+    return 0 if n == 0 else -(-n // 8) * 8
+
+
+def _pad128(n):
+    return 0 if n == 0 else -(-n // 128) * 128
+
+
+class PmlKernelState(NamedTuple):
+    """Fields + slab psi tensors + TF/SF aux grid for the CPML kernel."""
+
+    ex: jax.Array
+    ey: jax.Array
+    ez: jax.Array
+    hx: jax.Array
+    hy: jax.Array
+    hz: jax.Array
+    tick: jax.Array
+    psi: Tuple[jax.Array, ...]  # ordered per _psi_layout
+    aux_e: jax.Array  # () when no TF/SF
+    aux_h: jax.Array
+
+    @property
+    def e(self):
+        return (self.ex, self.ey, self.ez)
+
+    @property
+    def h(self):
+        return (self.hx, self.hy, self.hz)
+
+    @property
+    def shape(self):
+        return self.ex.shape
+
+
+def _psi_layout(shape, cpml):
+    """Ordered psi tensor descriptors: (half, axis, comp, tensor_shape,
+    (Tlo, Thi, Tlo_pad, Thi_pad)). Two tensors per (half, active axis)."""
+    nx, ny, nz = shape
+    out = []
+    active = set(cpml.active_axes())
+    for half in ("h", "e"):
+        for axis in (0, 1, 2):
+            if axis not in active:
+                continue
+            lo, hi = cpml.thickness[axis]
+            n = shape[axis]
+            (l0, l1), (h0, h1) = _slab_extents(n, lo, hi, half == "e")
+            t_lo, t_hi = l1 - l0, h1 - h0
+            if axis == 0:
+                # two tensors (lo/hi ends) with PURE min/max clamp index
+                # maps — conditional (where/rem) index maps de-pipeline the
+                # Mosaic DMA schedule. Block 't' (lo) / 0 (hi) is the trash
+                # plane interior iterations clamp onto; the SMEM profiles
+                # are zero there so the kernel writes psi_new = 0 to it.
+                for comp in _AXIS_COMPS[axis]:
+                    out.append((half, 0, comp, "lo",
+                                (t_lo + 1, ny, nz), (t_lo, t_hi, t_lo, t_hi)))
+                    out.append((half, 0, comp, "hi",
+                                (t_hi + 1, ny, nz), (t_lo, t_hi, t_lo, t_hi)))
+                continue
+            if axis == 1:
+                plo, phi = _pad8(t_lo), _pad8(t_hi)
+                tshape = (nx, plo + phi, nz)
+                pads = (t_lo, t_hi, plo, phi)
+            else:
+                plo, phi = _pad128(t_lo), _pad128(t_hi)
+                tshape = (nx, ny, plo + phi)
+                pads = (t_lo, t_hi, plo, phi)
+            for comp in _AXIS_COMPS[axis]:
+                out.append((half, axis, comp, None, tshape, pads))
+    return out
+
+
+def _profiles(shape, cpml, inv_dx, dt, constants):
+    """1D profile arrays per (half, axis): full-length (3, n) for x (SMEM),
+    padded strip (T_pad_total, 1) triples for y/z (VMEM)."""
+    from .cpml import _profiles_1d
+
+    profs = {}
+    for half in ("h", "e"):
+        for axis in set(cpml.active_axes()):
+            lo, hi = cpml.thickness[axis]
+            n = shape[axis]
+            dx = 1.0 / inv_dx[axis]
+            ik, b, c = _profiles_1d(n, lo, hi, cpml.spec, dx, dt, constants,
+                                    half == "e")
+            (l0, l1), (h0, h1) = _slab_extents(n, lo, hi, half == "e")
+            if axis == 0:
+                # (5, nx): ik shared; b/c gated separately per end so the
+                # inactive end's psi recurrence writes zeros
+                in_lo = np.zeros(n)
+                in_lo[l0:l1] = 1.0
+                in_hi = np.zeros(n)
+                in_hi[h0:h1] = 1.0
+                profs[(half, 0)] = np.stack(
+                    [ik, b * in_lo, c * in_lo, b * in_hi, c * in_hi]
+                ).astype(np.float32)
+            else:
+                pad = _pad8 if axis == 1 else _pad128
+                plo, phi = pad(l1 - l0), pad(h1 - h0)
+
+                def strip(arr, fill):
+                    s_lo = np.full(plo, fill)
+                    s_lo[: l1 - l0] = arr[l0:l1]
+                    s_hi = np.full(phi, fill)
+                    # REAL rows at the END of the hi pad so they line up with
+                    # the plane's last rows when slicing raw[n-phi:]
+                    s_hi[phi - (h1 - h0):] = arr[h0:h1]
+                    return np.concatenate([s_lo, s_hi]).astype(np.float32)
+
+                stacked = np.stack([strip(ik, 1.0), strip(b, 0.0), strip(c, 0.0)])
+                # lane-axis (z) strips are stored PRE-ORIENTED (T on lanes)
+                # and PRE-BROADCAST over ny sublanes: an in-kernel (T,1) ->
+                # (1,T) reshape is a lane transpose, and Mosaic rejects
+                # broadcasting a 1-sublane vector — a few KB of profile
+                # buys layout-clean elementwise ops
+                profs[(half, axis)] = (
+                    stacked.reshape(3, plo + phi, 1)
+                    if axis == 1
+                    else np.ascontiguousarray(
+                        np.broadcast_to(
+                            stacked.reshape(3, 1, plo + phi),
+                            (3, shape[1], plo + phi),
+                        )
+                    )
+                )
+    return profs
+
+
+def init_pml_kernel_state(shape, dtype=jnp.float32, *, cpml, tfsf=None):
+    z = lambda s: jnp.zeros(s, jnp.float32)
+    psi = tuple(z(ts) for *_, ts, _ in _psi_layout(shape, cpml))
+    if tfsf is not None:
+        aux_e, aux_h = tfsf.init_aux(shape[0], dtype)
+    else:
+        aux_e = aux_h = jnp.zeros((), dtype)
+    return PmlKernelState(
+        ex=jnp.zeros(shape, dtype), ey=jnp.zeros(shape, dtype),
+        ez=jnp.zeros(shape, dtype), hx=jnp.zeros(shape, dtype),
+        hy=jnp.zeros(shape, dtype), hz=jnp.zeros(shape, dtype),
+        tick=jnp.zeros((), jnp.int32), psi=psi, aux_e=aux_e, aux_h=aux_h,
+    )
+
+
+def supports_cpml(shape, bc, cpml, dtype=jnp.float32) -> bool:
+    from .boundary import Neumann
+
+    nx, ny, nz = shape
+    if dtype != jnp.float32:
+        return False
+    if nx < 2 or ny % 8 != 0 or nz % 128 != 0:
+        return False
+    for cond in (bc.x, bc.y, bc.z):
+        if not isinstance(cond, Neumann):
+            return False
+        if any(a != 0.0 for a in cond.alpha) or any(b != 0.0 for b in cond.beta):
+            return False
+    for axis in set(cpml.active_axes()):
+        lo, hi = cpml.thickness[axis]
+        n = shape[axis]
+        if axis == 1 and _pad8(lo) + _pad8(hi + 1) > ny:
+            return False
+        if axis == 2 and _pad128(lo) + _pad128(hi + 1) > nz:
+            return False
+        if axis == 0 and lo + hi + 2 > nx:
+            return False
+    return True
+
+
+def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes):
+    inv_x, inv_y, inv_z = inv_dx
+    n_psi = len(layout)
+
+    def kernel(*refs):
+        k = 0
+        coef_ref = refs[k]; k += 1
+        xprof_ref = None
+        if any(axis == 0 for _, axis, *_ in layout):
+            xprof_ref = refs[k]; k += 1
+        if with_tfsf:
+            tfsf_ref = refs[k]; k += 1
+        # y/z strip profiles, one (3, Tpad, 1) input per (half, axis) present
+        strip_prof = {}
+        for half in ("h", "e"):
+            for axis in (1, 2):
+                if any(h == half and a == axis for h, a, *_ in layout):
+                    strip_prof[(half, axis)] = refs[k]; k += 1
+        ex_r, ey_r, ez_r, hx_r, hy_r, hz_r, eyl_r, ezl_r = refs[k: k + 8]
+        k += 8
+        psi_in = refs[k: k + n_psi]; k += n_psi
+        outs = refs[k: k + 6]; k += 6
+        psi_out = refs[k: k + n_psi]; k += n_psi
+        s_hy, s_hz = refs[k], refs[k + 1]
+
+        i = pl.program_id(0)
+        p = nx - 1 - i
+        f32 = jnp.float32
+        ex = ex_r[0].astype(f32)
+        ey = ey_r[0].astype(f32)
+        ez = ez_r[0].astype(f32)
+        hx = hx_r[0].astype(f32)
+        hy = hy_r[0].astype(f32)
+        hz = hz_r[0].astype(f32)
+        ny, nz = ex.shape
+
+        c_a = coef_ref[0, 0]
+        c_b = coef_ref[0, 1]
+        d_a = coef_ref[0, 2]
+        d_b = coef_ref[0, 3]
+
+        iy = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 0)
+        iz = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 1)
+
+        def bdiff_y(f):
+            return jnp.where(iy == 0, 0.0, f - pltpu.roll(f, 1, axis=0))
+
+        def bdiff_z(f):
+            return jnp.where(iz == 0, 0.0, f - pltpu.roll(f, 1, axis=1))
+
+        def fdiff_y(f):
+            return jnp.where(iy == ny - 1, 0.0, pltpu.roll(f, ny - 1, axis=0) - f)
+
+        def fdiff_z(f):
+            return jnp.where(iz == nz - 1, 0.0, pltpu.roll(f, nz - 1, axis=1) - f)
+
+        psi_slot = {}
+        for idx, (half, axis, comp, end, _, pads) in enumerate(layout):
+            psi_slot[(half, axis, comp, end)] = (idx, pads)
+
+        half_idx = {"h": 0, "e": 1}
+
+        def stretch(half, axis, comp, raw):
+            """Apply the CPML recurrence to a raw (already * inv_dx)
+            derivative plane; returns the stretched plane and writes psi."""
+            if axis == 0:
+                key = (half, 0, comp, "lo")
+                if key not in psi_slot:
+                    return raw
+                hi_ = half_idx[half]
+                ik = xprof_ref[hi_, 0, p]
+                idx_lo, _ = psi_slot[(half, 0, comp, "lo")]
+                idx_hi, _ = psi_slot[(half, 0, comp, "hi")]
+                # lo/hi ends each keep their own psi; b/c are zero for the
+                # end (and interior) the plane doesn't belong to, so exactly
+                # one recurrence is live and the other writes 0 to trash
+                p_lo = (xprof_ref[hi_, 1, p] * psi_in[idx_lo][0]
+                        + xprof_ref[hi_, 2, p] * raw)
+                p_hi = (xprof_ref[hi_, 3, p] * psi_in[idx_hi][0]
+                        + xprof_ref[hi_, 4, p] * raw)
+                psi_out[idx_lo][0] = p_lo
+                psi_out[idx_hi][0] = p_hi
+                return ik * raw + p_lo + p_hi
+            key = (half, axis, comp, None)
+            if key not in psi_slot:
+                return raw
+            idx, (t_lo, t_hi, plo, phi) = psi_slot[key]
+            prof = strip_prof[(half, axis)]
+            psi_old = psi_in[idx][0]
+            n_lat = ny if axis == 1 else nz
+
+            def seg(arr, a, b):
+                return arr[a:b] if axis == 1 else arr[:, a:b]
+
+            # axis 1: (T, 1) broadcast over lanes; axis 2: (ny, T) exact
+            ik_s, b_s, c_s = prof[0], prof[1], prof[2]
+            psi_pieces, out_pieces = [], []
+            if plo > 0:
+                r_lo = seg(raw, 0, plo)
+                p_lo = seg(b_s, 0, plo) * seg(psi_old, 0, plo) + seg(c_s, 0, plo) * r_lo
+                psi_pieces.append(p_lo)
+                out_pieces.append(seg(ik_s, 0, plo) * r_lo + p_lo)
+            if n_lat - phi > plo:
+                out_pieces.append(seg(raw, plo, n_lat - phi))
+            if phi > 0:
+                r_hi = seg(raw, n_lat - phi, n_lat)
+                p_hi = (seg(b_s, plo, plo + phi) * seg(psi_old, plo, plo + phi)
+                        + seg(c_s, plo, plo + phi) * r_hi)
+                psi_pieces.append(p_hi)
+                out_pieces.append(seg(ik_s, plo, plo + phi) * r_hi + p_hi)
+            cat_ax = 0 if axis == 1 else 1
+            psi_out[idx][0] = (
+                psi_pieces[0]
+                if len(psi_pieces) == 1
+                else jnp.concatenate(psi_pieces, axis=cat_ax)
+            )
+            return (
+                out_pieces[0]
+                if len(out_pieces) == 1
+                else jnp.concatenate(out_pieces, axis=cat_ax)
+            )
+
+        zero = jnp.zeros_like(ex)
+        at_x_lo = p == 0
+        at_x_hi = p == nx - 1
+
+        # ---- H half-update --------------------------------------------
+        dez_x = stretch("h", 0, 2,
+                        jnp.where(at_x_lo, zero, ez - ezl_r[0].astype(f32)) * inv_x)
+        dey_x = stretch("h", 0, 1,
+                        jnp.where(at_x_lo, zero, ey - eyl_r[0].astype(f32)) * inv_x)
+        dez_y = stretch("h", 1, 2, bdiff_y(ez) * inv_y)
+        dex_y = stretch("h", 1, 0, bdiff_y(ex) * inv_y)
+        dey_z = stretch("h", 2, 1, bdiff_z(ey) * inv_z)
+        dex_z = stretch("h", 2, 0, bdiff_z(ex) * inv_z)
+
+        hn_x = d_a * hx - d_b * (dez_y - dey_z)
+        hn_y = d_a * hy - d_b * (dex_z - dez_x)
+        hn_z = d_a * hz - d_b * (dey_x - dex_y)
+
+        if with_tfsf:
+            tf_lo, tf_hi = tfsf_planes
+            # incident E at the old time level (aux not yet stepped)
+            amp = jnp.where(p == tf_lo, -d_b * tfsf_ref[0, 0] * inv_x, 0.0)
+            amp = amp + jnp.where(p == tf_hi + 1, d_b * tfsf_ref[0, 1] * inv_x, 0.0)
+            hn_y = hn_y + amp
+
+        # ---- E half-update (uses the new H) -----------------------------
+        hy_top = s_hy[...]
+        hz_top = s_hz[...]
+        dhz_x = stretch("e", 0, 2, jnp.where(at_x_hi, zero, hz_top - hn_z) * inv_x)
+        dhy_x = stretch("e", 0, 1, jnp.where(at_x_hi, zero, hy_top - hn_y) * inv_x)
+        dhz_y = stretch("e", 1, 2, fdiff_y(hn_z) * inv_y)
+        dhx_y = stretch("e", 1, 0, fdiff_y(hn_x) * inv_y)
+        dhy_z = stretch("e", 2, 1, fdiff_z(hn_y) * inv_z)
+        dhx_z = stretch("e", 2, 0, fdiff_z(hn_x) * inv_z)
+
+        en_x = c_a * ex + c_b * (dhz_y - dhy_z)
+        en_y = c_a * ey + c_b * (dhx_z - dhz_x)
+        en_z = c_a * ez + c_b * (dhy_x - dhx_y)
+
+        if with_tfsf:
+            # incident H at the new time level
+            amp = jnp.where(p == tf_lo - 1, -c_b * tfsf_ref[0, 2] * inv_x, 0.0)
+            amp = amp + jnp.where(p == tf_hi, c_b * tfsf_ref[0, 3] * inv_x, 0.0)
+            en_z = en_z + amp
+
+        outs[0][0] = en_x
+        outs[1][0] = en_y
+        outs[2][0] = en_z
+        outs[3][0] = hn_x
+        outs[4][0] = hn_y
+        outs[5][0] = hn_z
+        s_hy[...] = hn_y
+        s_hz[...] = hn_z
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def _build_call(shape, inv_dx, cpml, with_tfsf, tfsf_planes, dt, constants_key,
+                interpret):
+    constants = SI if constants_key == "si" else _REDUCED()
+    nx, ny, nz = shape
+    layout = _psi_layout(shape, cpml)
+    profs = _profiles(shape, cpml, inv_dx, dt, constants)
+    plane = (1, ny, nz)
+    f32 = jnp.float32
+
+    def main_idx(i):
+        return (nx - 1 - i, 0, 0)
+
+    def halo_idx(i):
+        return (jnp.maximum(nx - 2 - i, 0), 0, 0)
+
+    main_spec = pl.BlockSpec(plane, main_idx, memory_space=pltpu.VMEM)
+    halo_spec = pl.BlockSpec(plane, halo_idx, memory_space=pltpu.VMEM)
+
+    psi_specs = []
+    for half, axis, comp, end, tshape, (t_lo, t_hi, plo, phi) in layout:
+        if axis == 0:
+            # pure min/max clamp maps (a where/rem map de-pipelines DMA)
+            if end == "lo":
+
+                def xpsi_idx(i, t_lo=t_lo):
+                    return (jnp.minimum(nx - 1 - i, t_lo), 0, 0)
+
+            else:
+
+                def xpsi_idx(i, t_hi=t_hi):
+                    return (jnp.maximum(nx - 1 - i - (nx - t_hi - 1), 0), 0, 0)
+
+            psi_specs.append(
+                pl.BlockSpec((1, ny, nz), xpsi_idx, memory_space=pltpu.VMEM)
+            )
+        elif axis == 1:
+            psi_specs.append(
+                pl.BlockSpec((1, plo + phi, nz), main_idx, memory_space=pltpu.VMEM)
+            )
+        else:
+            psi_specs.append(
+                pl.BlockSpec((1, ny, plo + phi), main_idx, memory_space=pltpu.VMEM)
+            )
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]  # coef row (1, 4)
+    static_inputs = []
+    if any(axis == 0 for _, axis, *_ in layout):
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # (2, 5, nx)
+        static_inputs.append(
+            np.stack([profs[("h", 0)], profs[("e", 0)]])
+        )
+    if with_tfsf:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # (1, 4) amps
+    strip_inputs = []
+    for half in ("h", "e"):
+        for axis in (1, 2):
+            if (half, axis) in profs:
+                in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+                strip_inputs.append(profs[(half, axis)])
+    in_specs += [main_spec] * 6 + [halo_spec] * 2
+    in_specs += psi_specs
+
+    out_specs = tuple([main_spec] * 6 + psi_specs)
+    out_shape = tuple(
+        [jax.ShapeDtypeStruct(shape, f32) for _ in range(6)]
+        + [jax.ShapeDtypeStruct(ts, f32) for *_, ts, _ in layout]
+    )
+
+    kernel = _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes)
+    # ~26 per-plane pipeline buffers double-buffered (6 field in + 2 halo +
+    # 12 psi in/out + 6 out) + strip/temporary headroom; measured 31 MB at a
+    # 64 KB plane -> scale ~500 plane-equivalents, capped at physical VMEM
+    plane_bytes = ny * nz * 4
+    vmem_limit = min(int(plane_bytes * 500 + (8 << 20)), 110 * (1 << 20))
+    call = pl.pallas_call(
+        kernel,
+        grid=(nx,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((ny, nz), f32), pltpu.VMEM((ny, nz), f32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )
+    return call, [jnp.asarray(a) for a in static_inputs], \
+        [jnp.asarray(a) for a in strip_inputs], layout
+
+
+def _REDUCED():
+    from ..constants import REDUCED
+
+    return REDUCED
+
+
+def pallas_cpml_step_fn(
+    shape: Tuple[int, int, int],
+    *,
+    inv_dx: Tuple[float, float, float],
+    dt: float,
+    bc: BoundaryConditions = BoundaryConditions(),
+    constants: PhysicalConstants = SI,
+    cpml,
+    tfsf=None,
+    interpret: bool = False,
+):
+    """Build step(state: PmlKernelState, coeffs, sources) with CPML (and
+    optionally slab TF/SF) applied inside the fused kernel. Uniform scalar
+    coefficients and J-only point sources."""
+    if not supports_cpml(shape, bc, cpml):
+        raise ValueError(f"CPML kernel does not support {shape=} {cpml=}")
+    if tfsf is not None and tfsf.is_box:
+        raise ValueError("in-kernel TF/SF is slab-only; box mode uses the engine")
+    nx = shape[0]
+    inv_dx = tuple(float(v) for v in inv_dx)
+    from ..constants import REDUCED
+
+    constants_key = "si" if constants is SI or constants == SI else "reduced"
+    tfsf_planes = tuple(tfsf.span) if tfsf is not None else (0, 0)
+    if tfsf is not None:
+        tfsf.validate(shape)
+        from ..coefficients import update_coefficients
+        from ..grid import Resolution
+        from ..material import VACUUM
+
+        dx0 = 1.0 / inv_dx[0]
+        vacuum_row = update_coefficients(
+            VACUUM, Resolution(spatial=(dx0,) * 3, temporal=dt), constants
+        )
+        aux_coeffs = tfsf.build_aux(
+            nx, vacuum_row, dt, dx0, constants, jnp.float32
+        )
+
+    call, x_inputs, strip_inputs, layout = _build_call(
+        tuple(shape), inv_dx, cpml, tfsf is not None, tfsf_planes,
+        float(dt), constants_key, interpret,
+    )
+
+    def step(state: PmlKernelState, coeffs, sources) -> PmlKernelState:
+        row = jnp.stack(
+            [
+                jnp.asarray(coeffs.c_a, jnp.float32),
+                jnp.asarray(coeffs.c_b, jnp.float32),
+                jnp.asarray(coeffs.d_a, jnp.float32),
+                jnp.asarray(coeffs.d_b, jnp.float32),
+            ]
+        ).reshape(1, 4)
+        args = [row]
+        args += x_inputs
+        aux_e, aux_h = state.aux_e, state.aux_h
+        if tfsf is not None:
+            t = state.tick.astype(jnp.float32) * jnp.float32(dt)
+            lo, hi = tfsf.span
+            # aux is stepped OUTSIDE the kernel; the E-pass amplitudes use
+            # the NEW aux_h, matching engine.py's order
+            new_aux_e, new_aux_h = tfsf.aux_step(
+                aux_e, aux_h, aux_coeffs, t, inv_dx[0], jnp.float32
+            )
+            amps = jnp.stack(
+                [aux_e[lo - 1], aux_e[hi], new_aux_h[lo], new_aux_h[hi + 1]]
+            ).reshape(1, 4)
+            args.append(amps)
+            aux_e, aux_h = new_aux_e, new_aux_h
+        args += strip_inputs
+        args += [state.ex, state.ey, state.ez, state.hx, state.hy, state.hz,
+                 state.ey, state.ez]
+        args += list(state.psi)
+        outs = call(*args)
+        e = outs[0:3]
+        h = outs[3:6]
+        psi = tuple(outs[6:])
+
+        if sources is not None and sources.num_sources > 0:
+            t = state.tick.astype(jnp.float32) * jnp.float32(dt)
+            j_vals, _ = sources.values(t)
+            px, py, pz = (sources.points[:, 0], sources.points[:, 1],
+                          sources.points[:, 2])
+            cb = jnp.full((sources.num_sources,), coeffs.c_b, jnp.float32)
+            e = tuple(
+                e[c].at[px, py, pz].add(
+                    -(cb * j_vals[:, c]).astype(e[c].dtype), mode="drop"
+                )
+                for c in range(3)
+            )
+
+        return PmlKernelState(
+            ex=e[0], ey=e[1], ez=e[2], hx=h[0], hy=h[1], hz=h[2],
+            tick=state.tick + 1, psi=psi, aux_e=aux_e, aux_h=aux_h,
+        )
+
+    return step

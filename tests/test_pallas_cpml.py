@@ -1,0 +1,107 @@
+"""In-kernel CPML (+ TF/SF) fused kernel vs the composed XLA engine.
+
+The equivalence gate for solver/pallas_cpml.py: the kernel applies the
+identical psi recurrence and stretched derivatives inside the descending
+sweep, so interpret-mode runs must match engine.build_step at f32 rounding.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fdtd_tpu as ft
+from fdtd_tpu.solver.cpml import Cpml
+from fdtd_tpu.solver.engine import build_step, init_engine_state
+from fdtd_tpu.solver.pallas_cpml import (
+    init_pml_kernel_state,
+    pallas_cpml_step_fn,
+    supports_cpml,
+)
+from fdtd_tpu.solver.tfsf import Tfsf
+
+INV_DX = (1.0, 1.0, 1.0)
+DT = 0.25
+
+
+def _sources(dtype=jnp.float32):
+    return ft.SourceSet.build(
+        [
+            ft.PointSource((8, 10, 60), ft.GaussianPulse(6 * DT, 2 * DT),
+                           j=(0.3, 0, 1.0)),
+            ft.PointSource((3, 4, 100), ft.GaussianDerivative(5 * DT, 2 * DT),
+                           j=(0, 1.0, 0)),
+        ],
+        dtype=dtype,
+    )
+
+
+def _compare(shape, cpml, tfsf, sources, steps=24, rtol=2e-5):
+    coeffs = ft.CellCoefficients.uniform((1.0, 0.25, 1.0, 0.25), jnp.float32)
+
+    ref_step = jax.jit(build_step(
+        shape, inv_dx=INV_DX, dt=DT, constants=ft.REDUCED,
+        dtype=jnp.float32, cpml=cpml, tfsf=tfsf,
+    ))
+    ref = init_engine_state(shape, jnp.float32, cpml=cpml, tfsf=tfsf)
+
+    k_step = pallas_cpml_step_fn(
+        shape, inv_dx=INV_DX, dt=DT, constants=ft.REDUCED,
+        cpml=cpml, tfsf=tfsf, interpret=True,
+    )
+    st = init_pml_kernel_state(shape, jnp.float32, cpml=cpml, tfsf=tfsf)
+
+    for _ in range(steps):
+        ref = ref_step(ref, coeffs, sources)
+        st = k_step(st, coeffs, sources)
+
+    scale = max(float(jnp.max(jnp.abs(ref.ez))), 1e-12)
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(st.e[c]), np.asarray(ref.e[c]),
+            rtol=rtol, atol=rtol * scale,
+        )
+        np.testing.assert_allclose(
+            np.asarray(st.h[c]), np.asarray(ref.h[c]),
+            rtol=rtol, atol=rtol * scale,
+        )
+    assert scale > 1e-6, "fields are vacuously zero"
+    return st
+
+
+def test_kernel_cpml_x_only():
+    """x slabs exercise the trash-plane block mapping."""
+    cpml = Cpml(thickness=((4, 5), (0, 0), (0, 0)))
+    _compare((16, 16, 128), cpml, None, _sources())
+
+
+def test_kernel_cpml_xy():
+    """y strips exercise the padded sublane slices (incl. half-staggered
+    hi slab = thickness+1)."""
+    cpml = Cpml(thickness=((4, 4), (4, 3), (0, 0)))
+    _compare((16, 24, 128), cpml, None, _sources())
+
+
+def test_kernel_cpml_all_axes():
+    """All-axis absorber: z strips need nz >= 2*128 lanes."""
+    cpml = Cpml.uniform(4)
+    _compare((16, 24, 256), cpml, None, _sources(), steps=12)
+
+
+def test_kernel_cpml_tfsf():
+    """CPML + slab TF/SF: the four plane-uniform in-kernel corrections and
+    the XLA-side aux tick must reproduce the engine's order exactly."""
+    cpml = Cpml(thickness=((4, 4), (0, 0), (0, 0)))
+    tfsf = Tfsf(span=(7, 11), waveform=ft.GaussianPulse(8 * DT, 3 * DT))
+    st = _compare((16, 16, 128), cpml, tfsf, _sources(), steps=20)
+    assert float(jnp.max(jnp.abs(st.ez))) > 1e-4
+
+
+def test_kernel_cpml_rejects_unsupported():
+    cpml = Cpml.uniform(4)
+    assert not supports_cpml((16, 16, 128), ft.BoundaryConditions(), cpml)
+    with pytest.raises(ValueError):
+        pallas_cpml_step_fn(
+            (16, 16, 128), inv_dx=INV_DX, dt=DT, constants=ft.REDUCED,
+            cpml=cpml, interpret=True,
+        )
