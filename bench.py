@@ -168,20 +168,20 @@ def main() -> None:
             )
             del state
 
-        # CPML (absorbing boundaries) via the composed XLA engine, 256^3 only
+        # CPML (absorbing boundaries) via the in-kernel CPML Pallas kernel
+        # (BASELINE config 3 path; ~3.5x the composed XLA engine), 256^3 only
         if n == 256 and dev.platform == "tpu":
             from fdtd_tpu.solver.cpml import Cpml
+            from fdtd_tpu.solver.pallas_cpml import (
+                init_pml_kernel_state,
+                pallas_cpml_step_fn,
+            )
 
-            csim_step = None
-            import fdtd_tpu.solver.engine as _eng
-
-            cstep = _eng.build_step(
+            cstep = pallas_cpml_step_fn(
                 shape, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
                 constants=ft.REDUCED, cpml=Cpml.uniform(10),
             )
-            from fdtd_tpu.solver.engine import init_engine_state
-
-            cstate = init_engine_state(shape, cpml=Cpml.uniform(10))
+            cstate = init_pml_kernel_state(shape, cpml=Cpml.uniform(10))
 
             def run_c(state, k: int):
                 def body(s, _):
@@ -197,7 +197,7 @@ def main() -> None:
             cstate.ex[1, 1, 1].item()
             dt_wall = time.perf_counter() - t0 - _READBACK_S
             print(
-                f"{n}^3 CPML all axes (XLA engine): "
+                f"{n}^3 CPML all axes (in-kernel): "
                 f"{grid.num_cells*n_steps/dt_wall/1e9:.3f} Gcell/s",
                 file=sys.stderr,
             )

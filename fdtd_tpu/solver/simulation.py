@@ -65,6 +65,13 @@ class Simulation:
     # -- construction -------------------------------------------------------
 
     def init(self) -> SimState:
+        if self._cpml_kernel_eligible():
+            from .pallas_cpml import init_pml_kernel_state
+
+            return init_pml_kernel_state(
+                self.grid.shape, self.dtype, cpml=self._cpml_or_empty,
+                tfsf=self.tfsf,
+            )
         if self.cpml is not None or self.tfsf is not None:
             from .engine import init_engine_state
 
@@ -98,6 +105,39 @@ class Simulation:
             return False
         return True
 
+    def _cpml_kernel_eligible(self) -> bool:
+        """Absorbing runs dispatch to the in-kernel CPML Pallas kernel
+        (solver/pallas_cpml.py, ~3.5x the XLA engine) when the config fits:
+        TPU, f32, uniform scalar coefficients, Neumann(0) edges, slab (not
+        box) TF/SF, J-only sources."""
+        import jax
+
+        from .pallas_cpml import supports_cpml
+
+        if (self.cpml is None and self.tfsf is None) or self.backend == "xla":
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        if self.matid is not None or self.coeffs is None:
+            return False
+        if any(jnp.ndim(c) != 0 for c in self.coeffs):
+            return False
+        if self.tfsf is not None and self.tfsf.is_box:
+            return False
+        if self._has_m_sources():
+            return False
+        return supports_cpml(self.grid.shape, self.bc, self._cpml_or_empty,
+                             self.dtype)
+
+    @property
+    def _cpml_or_empty(self):
+        """TF/SF-only runs ride the CPML kernel with an empty absorber."""
+        if self.cpml is not None:
+            return self.cpml
+        from .cpml import Cpml
+
+        return Cpml(thickness=((0, 0), (0, 0), (0, 0)))
+
     def _has_m_sources(self) -> bool:
         if self.sources is None or self.sources.num_sources == 0:
             return False
@@ -125,12 +165,22 @@ class Simulation:
     @cached_property
     def _step(self):
         inv_dx = tuple(1.0 / d for d in self.grid.dx)
+        if self._cpml_kernel_eligible():
+            from .pallas_cpml import pallas_cpml_step_fn
+
+            return pallas_cpml_step_fn(
+                self.grid.shape, inv_dx=inv_dx, dt=self.grid.dt, bc=self.bc,
+                constants=self.grid.constants, cpml=self._cpml_or_empty,
+                tfsf=self.tfsf,
+            )
         if self.backend == "pallas" and (
             self.cpml is not None or self.tfsf is not None
         ):
             raise ValueError(
-                "backend='pallas' cannot be combined with CPML/TFSF (the "
-                "composed engine step is XLA-only); use backend='auto'"
+                "backend='pallas' with CPML/TFSF needs the in-kernel CPML "
+                "configuration (TPU, f32, uniform scalar coefficients, "
+                "Neumann(0) edges, slab TF/SF, J-only sources); this setup "
+                "falls back to the XLA engine — use backend='auto'"
             )
         if self.cpml is not None or self.tfsf is not None:
             from .engine import build_step
