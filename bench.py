@@ -189,7 +189,9 @@ def main() -> None:
 
                 return jax.lax.scan(body, state, None, length=k)[0]
 
-            runc_j = jax.jit(run_c, static_argnums=1, donate_argnums=0)
+            # donating PmlKernelState flakes on the axon runtime; carries
+            # still alias in place inside the scan
+            runc_j = jax.jit(run_c, static_argnums=1)
             cstate = runc_j(cstate, n_steps)
             cstate.ex[1, 1, 1].item()
             t0 = time.perf_counter()

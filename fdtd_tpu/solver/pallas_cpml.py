@@ -476,6 +476,15 @@ def _build_call(shape, inv_dx, cpml, with_tfsf, tfsf_planes, dt, constants_key,
     )
 
     kernel = _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes)
+    # alias field/psi inputs to their outputs: the descending sweep never
+    # re-reads a written plane (subsequent reads are p-1, p-2, ... and the
+    # halo reads trail one plane behind), so in-place update is race-free.
+    # This keeps XLA's donation well-defined (un-aliased donation of this
+    # many same-shaped custom-call operands hit TPU INVALID_ARGUMENT).
+    n_small = len(in_specs) - 8 - len(psi_specs)
+    io_aliases = {n_small + f: f for f in range(6)}
+    for j in range(len(psi_specs)):
+        io_aliases[n_small + 8 + j] = 6 + j
     # ~26 per-plane pipeline buffers double-buffered (6 field in + 2 halo +
     # 12 psi in/out + 6 out) + strip/temporary headroom; measured 31 MB at a
     # 64 KB plane -> scale ~500 plane-equivalents, capped at physical VMEM
@@ -489,6 +498,7 @@ def _build_call(shape, inv_dx, cpml, with_tfsf, tfsf_planes, dt, constants_key,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((ny, nz), f32), pltpu.VMEM((ny, nz), f32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        input_output_aliases=io_aliases,
         interpret=interpret,
     )
     return call, [jnp.asarray(a) for a in static_inputs], \

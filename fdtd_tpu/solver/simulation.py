@@ -248,7 +248,12 @@ class Simulation:
 
     @cached_property
     def jit_step(self):
-        return jax.jit(self._step, donate_argnums=(0,))
+        # donating the CPML-kernel state flakes on the axon TPU runtime
+        # (INVALID_ARGUMENT on the aliased custom call); scan carries still
+        # update in place internally, so skipping donation costs only one
+        # extra state copy at entry
+        donate = () if self._cpml_kernel_eligible() else (0,)
+        return jax.jit(self._step, donate_argnums=donate)
 
     def run(
         self,
@@ -323,7 +328,8 @@ class Simulation:
 
         fn = _compiled(step, tuple(probes), tuple(accumulators),
                        max(probe_every // k, 1) if probes else 1,
-                       n_steps // k, self.grid.dt)
+                       n_steps // k, self.grid.dt,
+                       donate=not self._cpml_kernel_eligible())
         return fn(state, self.coeffs, self.sources)
 
     # -- reporting -----------------------------------------------------------
@@ -380,8 +386,9 @@ def _run_scan(step, probes, accums, probe_every, n_steps, dt,
 
 
 @lru_cache(maxsize=128)
-def _compiled(step, probes, accums, probe_every, n_steps, dt):
+def _compiled(step, probes, accums, probe_every, n_steps, dt, donate=True):
     return jax.jit(
         partial(_run_scan, step, probes, accums, probe_every, n_steps, dt),
-        donate_argnums=(0,),
+        # PmlKernelState donation flakes on the axon TPU runtime
+        donate_argnums=(0,) if donate else (),
     )
