@@ -227,7 +227,7 @@ def supports_cpml(shape, bc, cpml, dtype=jnp.float32) -> bool:
     return True
 
 
-def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes):
+def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes, n_src):
     inv_x, inv_y, inv_z = inv_dx
     n_psi = len(layout)
 
@@ -239,6 +239,8 @@ def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes):
             xprof_ref = refs[k]; k += 1
         if with_tfsf:
             tfsf_ref = refs[k]; k += 1
+        if n_src > 0:
+            src_ref = refs[k]; k += 1
         # y/z strip profiles, one (3, Tpad, 1) input per (half, axis) present
         strip_prof = {}
         for half in ("h", "e"):
@@ -394,6 +396,19 @@ def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes):
             amp = amp + jnp.where(p == tf_hi, c_b * tfsf_ref[0, 3] * inv_x, 0.0)
             en_z = en_z + amp
 
+        # in-kernel J injection (a post-kernel scatter would re-walk the E
+        # fields: ~20% of the tick for even one source). Row layout:
+        # [px, py, pz, j_x, j_y, j_z] with j evaluated at the tick's time.
+        en = [en_x, en_y, en_z]
+        for s_i in range(n_src):
+            sp = src_ref[s_i, 0].astype(jnp.int32)
+            py_s = src_ref[s_i, 1].astype(jnp.int32)
+            pz_s = src_ref[s_i, 2].astype(jnp.int32)
+            mask = jnp.logical_and(sp == p, jnp.logical_and(iy == py_s, iz == pz_s))
+            for c in range(3):
+                en[c] = jnp.where(mask, en[c] - c_b * src_ref[s_i, 3 + c], en[c])
+        en_x, en_y, en_z = en
+
         outs[0][0] = en_x
         outs[1][0] = en_y
         outs[2][0] = en_z
@@ -408,7 +423,7 @@ def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes):
 
 @functools.lru_cache(maxsize=16)
 def _build_call(shape, inv_dx, cpml, with_tfsf, tfsf_planes, dt, constants_key,
-                interpret):
+                interpret, n_src=0):
     constants = SI if constants_key == "si" else _REDUCED()
     nx, ny, nz = shape
     layout = _psi_layout(shape, cpml)
@@ -460,6 +475,8 @@ def _build_call(shape, inv_dx, cpml, with_tfsf, tfsf_planes, dt, constants_key,
         )
     if with_tfsf:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # (1, 4) amps
+    if n_src > 0:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # (n_src, 6)
     strip_inputs = []
     for half in ("h", "e"):
         for axis in (1, 2):
@@ -475,7 +492,7 @@ def _build_call(shape, inv_dx, cpml, with_tfsf, tfsf_planes, dt, constants_key,
         + [jax.ShapeDtypeStruct(ts, f32) for *_, ts, _ in layout]
     )
 
-    kernel = _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes)
+    kernel = _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes, n_src)
     # alias field/psi inputs to their outputs: the descending sweep never
     # re-reads a written plane (subsequent reads are p-1, p-2, ... and the
     # halo reads trail one plane behind), so in-place update is race-free.
@@ -521,10 +538,14 @@ def pallas_cpml_step_fn(
     cpml,
     tfsf=None,
     interpret: bool = False,
+    max_sources: int = 0,
 ):
     """Build step(state: PmlKernelState, coeffs, sources) with CPML (and
     optionally slab TF/SF) applied inside the fused kernel. Uniform scalar
-    coefficients and J-only point sources."""
+    coefficients and J-only point sources. ``max_sources`` > 0 injects J
+    IN-KERNEL (masked row adds; a post-kernel scatter re-walks the E fields
+    for ~20%/tick) — it must equal the real source count; with 0, sources
+    scatter post-kernel."""
     if not supports_cpml(shape, bc, cpml):
         raise ValueError(f"CPML kernel does not support {shape=} {cpml=}")
     if tfsf is not None and tfsf.is_box:
@@ -551,7 +572,7 @@ def pallas_cpml_step_fn(
 
     call, x_inputs, strip_inputs, layout = _build_call(
         tuple(shape), inv_dx, cpml, tfsf is not None, tfsf_planes,
-        float(dt), constants_key, interpret,
+        float(dt), constants_key, interpret, int(max_sources),
     )
 
     def step(state: PmlKernelState, coeffs, sources) -> PmlKernelState:
@@ -579,6 +600,20 @@ def pallas_cpml_step_fn(
             ).reshape(1, 4)
             args.append(amps)
             aux_e, aux_h = new_aux_e, new_aux_h
+        if max_sources > 0:
+            if sources is None or sources.num_sources != max_sources:
+                raise ValueError(
+                    f"kernel built for {max_sources} in-kernel sources, got "
+                    f"{0 if sources is None else sources.num_sources}"
+                )
+            t = state.tick.astype(jnp.float32) * jnp.float32(dt)
+            j_vals, _ = sources.values(t)
+            args.append(
+                jnp.concatenate(
+                    [sources.points.astype(jnp.float32),
+                     j_vals.astype(jnp.float32)], axis=1,
+                )
+            )
         args += strip_inputs
         args += [state.ex, state.ey, state.ez, state.hx, state.hy, state.hz,
                  state.ey, state.ez]
@@ -588,7 +623,7 @@ def pallas_cpml_step_fn(
         h = outs[3:6]
         psi = tuple(outs[6:])
 
-        if sources is not None and sources.num_sources > 0:
+        if max_sources == 0 and sources is not None and sources.num_sources > 0:
             t = state.tick.astype(jnp.float32) * jnp.float32(dt)
             j_vals, _ = sources.values(t)
             px, py, pz = (sources.points[:, 0], sources.points[:, 1],

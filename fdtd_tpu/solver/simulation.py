@@ -168,10 +168,11 @@ class Simulation:
         if self._cpml_kernel_eligible():
             from .pallas_cpml import pallas_cpml_step_fn
 
+            n_src = self.sources.num_sources if self.sources is not None else 0
             return pallas_cpml_step_fn(
                 self.grid.shape, inv_dx=inv_dx, dt=self.grid.dt, bc=self.bc,
                 constants=self.grid.constants, cpml=self._cpml_or_empty,
-                tfsf=self.tfsf,
+                tfsf=self.tfsf, max_sources=n_src,
             )
         if self.backend == "pallas" and (
             self.cpml is not None or self.tfsf is not None

@@ -105,3 +105,30 @@ def test_kernel_cpml_rejects_unsupported():
             (16, 16, 128), inv_dx=INV_DX, dt=DT, constants=ft.REDUCED,
             cpml=cpml, interpret=True,
         )
+
+
+def test_kernel_cpml_inkernel_sources():
+    """max_sources > 0 injects J inside the kernel (masked row adds) —
+    must match the post-kernel-scatter build exactly."""
+    cpml = Cpml(thickness=((4, 4), (3, 3), (0, 0)))
+    shape = (16, 24, 128)
+    coeffs = ft.CellCoefficients.uniform((1.0, 0.25, 1.0, 0.25), jnp.float32)
+    srcs = _sources()
+    ref_step = pallas_cpml_step_fn(
+        shape, inv_dx=INV_DX, dt=DT, constants=ft.REDUCED,
+        cpml=cpml, interpret=True,
+    )
+    k_step = pallas_cpml_step_fn(
+        shape, inv_dx=INV_DX, dt=DT, constants=ft.REDUCED,
+        cpml=cpml, interpret=True, max_sources=srcs.num_sources,
+    )
+    ref = init_pml_kernel_state(shape, jnp.float32, cpml=cpml)
+    st = init_pml_kernel_state(shape, jnp.float32, cpml=cpml)
+    for _ in range(20):
+        ref = ref_step(ref, coeffs, srcs)
+        st = k_step(st, coeffs, srcs)
+    assert float(jnp.max(jnp.abs(ref.ez))) > 1e-6
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(st.e[c]), np.asarray(ref.e[c]), rtol=1e-6, atol=1e-8
+        )
