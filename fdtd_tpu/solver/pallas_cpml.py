@@ -227,13 +227,14 @@ def supports_cpml(shape, bc, cpml, dtype=jnp.float32) -> bool:
     return True
 
 
-def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes, n_src):
+def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes, n_src,
+                 n_materials):
     inv_x, inv_y, inv_z = inv_dx
     n_psi = len(layout)
 
     def kernel(*refs):
         k = 0
-        coef_ref = refs[k]; k += 1
+        coef_ref = refs[k]; k += 1  # (1,4) SMEM row, or (K,4) VMEM table
         xprof_ref = None
         if any(axis == 0 for _, axis, *_ in layout):
             xprof_ref = refs[k]; k += 1
@@ -247,6 +248,8 @@ def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes, n_src):
             for axis in (1, 2):
                 if any(h == half and a == axis for h, a, *_ in layout):
                     strip_prof[(half, axis)] = refs[k]; k += 1
+        if n_materials > 1:
+            mid_r = refs[k]; k += 1
         ex_r, ey_r, ez_r, hx_r, hy_r, hz_r, eyl_r, ezl_r = refs[k: k + 8]
         k += 8
         psi_in = refs[k: k + n_psi]; k += n_psi
@@ -265,10 +268,25 @@ def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes, n_src):
         hz = hz_r[0].astype(f32)
         ny, nz = ex.shape
 
-        c_a = coef_ref[0, 0]
-        c_b = coef_ref[0, 1]
-        d_a = coef_ref[0, 2]
-        d_b = coef_ref[0, 3]
+        if n_materials > 1:
+            # compressed materials: uint8 plane -> one-hot selects from the
+            # (K, 4) table (int8 vector compares don't lower in Mosaic)
+            mid = mid_r[0].astype(jnp.int32)
+            c_a = jnp.zeros_like(ex)
+            c_b = jnp.zeros_like(ex)
+            d_a = jnp.zeros_like(ex)
+            d_b = jnp.zeros_like(ex)
+            for m in range(n_materials):
+                sel = (mid == m).astype(f32)
+                c_a += sel * coef_ref[m, 0]
+                c_b += sel * coef_ref[m, 1]
+                d_a += sel * coef_ref[m, 2]
+                d_b += sel * coef_ref[m, 3]
+        else:
+            c_a = coef_ref[0, 0]
+            c_b = coef_ref[0, 1]
+            d_a = coef_ref[0, 2]
+            d_b = coef_ref[0, 3]
 
         iy = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 0)
         iz = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 1)
@@ -423,7 +441,7 @@ def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes, n_src):
 
 @functools.lru_cache(maxsize=16)
 def _build_call(shape, inv_dx, cpml, with_tfsf, tfsf_planes, dt, constants_key,
-                interpret, n_src=0):
+                interpret, n_src=0, n_materials=1):
     constants = SI if constants_key == "si" else _REDUCED()
     nx, ny, nz = shape
     layout = _psi_layout(shape, cpml)
@@ -466,7 +484,11 @@ def _build_call(shape, inv_dx, cpml, with_tfsf, tfsf_planes, dt, constants_key,
                 pl.BlockSpec((1, ny, plo + phi), main_idx, memory_space=pltpu.VMEM)
             )
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]  # coef row (1, 4)
+    if n_materials > 1:
+        # (K, 4) coefficient table, unblocked in VMEM
+        in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    else:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]  # coef row (1, 4)
     static_inputs = []
     if any(axis == 0 for _, axis, *_ in layout):
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # (2, 5, nx)
@@ -483,6 +505,8 @@ def _build_call(shape, inv_dx, cpml, with_tfsf, tfsf_planes, dt, constants_key,
             if (half, axis) in profs:
                 in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
                 strip_inputs.append(profs[(half, axis)])
+    if n_materials > 1:
+        in_specs.append(main_spec)  # uint8 matid plane
     in_specs += [main_spec] * 6 + [halo_spec] * 2
     in_specs += psi_specs
 
@@ -492,7 +516,8 @@ def _build_call(shape, inv_dx, cpml, with_tfsf, tfsf_planes, dt, constants_key,
         + [jax.ShapeDtypeStruct(ts, f32) for *_, ts, _ in layout]
     )
 
-    kernel = _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes, n_src)
+    kernel = _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes,
+                          n_src, n_materials)
     # alias field/psi inputs to their outputs: the descending sweep never
     # re-reads a written plane (subsequent reads are p-1, p-2, ... and the
     # halo reads trail one plane behind), so in-place update is race-free.
@@ -539,6 +564,8 @@ def pallas_cpml_step_fn(
     tfsf=None,
     interpret: bool = False,
     max_sources: int = 0,
+    matid=None,
+    n_materials: int = 1,
 ):
     """Build step(state: PmlKernelState, coeffs, sources) with CPML (and
     optionally slab TF/SF) applied inside the fused kernel. Uniform scalar
@@ -570,20 +597,27 @@ def pallas_cpml_step_fn(
             nx, vacuum_row, dt, dx0, constants, jnp.float32
         )
 
+    if matid is not None and shape[1] % 32 != 0:
+        raise ValueError("matid mode needs ny % 32 == 0 (uint8 tile)")
+    n_mat = n_materials if matid is not None else 1
     call, x_inputs, strip_inputs, layout = _build_call(
         tuple(shape), inv_dx, cpml, tfsf is not None, tfsf_planes,
-        float(dt), constants_key, interpret, int(max_sources),
+        float(dt), constants_key, interpret, int(max_sources), n_mat,
     )
 
     def step(state: PmlKernelState, coeffs, sources) -> PmlKernelState:
-        row = jnp.stack(
-            [
-                jnp.asarray(coeffs.c_a, jnp.float32),
-                jnp.asarray(coeffs.c_b, jnp.float32),
-                jnp.asarray(coeffs.d_a, jnp.float32),
-                jnp.asarray(coeffs.d_b, jnp.float32),
-            ]
-        ).reshape(1, 4)
+        if matid is not None:
+            # coeffs IS the (K, 4) table in matid mode
+            row = jnp.asarray(coeffs, jnp.float32)
+        else:
+            row = jnp.stack(
+                [
+                    jnp.asarray(coeffs.c_a, jnp.float32),
+                    jnp.asarray(coeffs.c_b, jnp.float32),
+                    jnp.asarray(coeffs.d_a, jnp.float32),
+                    jnp.asarray(coeffs.d_b, jnp.float32),
+                ]
+            ).reshape(1, 4)
         args = [row]
         args += x_inputs
         aux_e, aux_h = state.aux_e, state.aux_h
@@ -615,6 +649,8 @@ def pallas_cpml_step_fn(
                 )
             )
         args += strip_inputs
+        if matid is not None:
+            args.append(matid)
         args += [state.ex, state.ey, state.ez, state.hx, state.hy, state.hz,
                  state.ey, state.ez]
         args += list(state.psi)
@@ -628,7 +664,10 @@ def pallas_cpml_step_fn(
             j_vals, _ = sources.values(t)
             px, py, pz = (sources.points[:, 0], sources.points[:, 1],
                           sources.points[:, 2])
-            cb = jnp.full((sources.num_sources,), coeffs.c_b, jnp.float32)
+            if matid is not None:
+                cb = jnp.take(row[:, 1], matid.astype(jnp.int32))[px, py, pz]
+            else:
+                cb = jnp.full((sources.num_sources,), coeffs.c_b, jnp.float32)
             e = tuple(
                 e[c].at[px, py, pz].add(
                     -(cb * j_vals[:, c]).astype(e[c].dtype), mode="drop"

@@ -118,9 +118,11 @@ class Simulation:
             return False
         if jax.default_backend() != "tpu":
             return False
-        if self.matid is not None or self.coeffs is None:
-            return False
-        if any(jnp.ndim(c) != 0 for c in self.coeffs):
+        if self.matid is not None:
+            # compressed-material CPML kernel: uint8 planes need ny % 32
+            if self.grid.shape[1] % 32 != 0 or self._n_materials > 256:
+                return False
+        elif self.coeffs is None or any(jnp.ndim(c) != 0 for c in self.coeffs):
             return False
         if self.tfsf is not None and self.tfsf.is_box:
             return False
@@ -169,6 +171,20 @@ class Simulation:
             from .pallas_cpml import pallas_cpml_step_fn
 
             n_src = self.sources.num_sources if self.sources is not None else 0
+            if self.matid is not None:
+                kernel = pallas_cpml_step_fn(
+                    self.grid.shape, inv_dx=inv_dx, dt=self.grid.dt,
+                    bc=self.bc, constants=self.grid.constants,
+                    cpml=self._cpml_or_empty, tfsf=self.tfsf,
+                    max_sources=n_src, matid=jnp.asarray(self.matid),
+                    n_materials=self._n_materials,
+                )
+                table = jnp.asarray(self.table, jnp.float32)
+
+                def step(state, coeffs, sources):
+                    return kernel(state, table, sources)
+
+                return step
             return pallas_cpml_step_fn(
                 self.grid.shape, inv_dx=inv_dx, dt=self.grid.dt, bc=self.bc,
                 constants=self.grid.constants, cpml=self._cpml_or_empty,

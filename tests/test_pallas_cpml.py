@@ -132,3 +132,45 @@ def test_kernel_cpml_inkernel_sources():
         np.testing.assert_allclose(
             np.asarray(st.e[c]), np.asarray(ref.e[c]), rtol=1e-6, atol=1e-8
         )
+
+
+def test_kernel_cpml_matid():
+    """Compressed-material mode: uint8 matid plane + (K,4) table one-hot
+    selects inside the CPML kernel; must match the engine running on the
+    dense gathered coefficients."""
+    shape = (16, 32, 128)
+    cpml = Cpml(thickness=((4, 4), (4, 4), (0, 0)))
+    tab = ft.MaterialTable()
+    diel = tab.register(ft.Material(relative_permittivity=3.0))
+    matid = np.zeros(shape, np.uint8)
+    matid[6:10, 12:20, 40:80] = diel
+    res = ft.Resolution(spatial=(1.0, 1.0, 1.0), temporal=DT)
+    ctable = ft.coefficient_table(tab.materials, res, ft.REDUCED, dtype=np.float32)
+    dense = ft.CellCoefficients.from_table(jnp.asarray(ctable), jnp.asarray(matid))
+    srcs = _sources()
+
+    ref_step = jax.jit(build_step(
+        shape, inv_dx=INV_DX, dt=DT, constants=ft.REDUCED,
+        dtype=jnp.float32, cpml=cpml,
+    ))
+    ref = init_engine_state(shape, jnp.float32, cpml=cpml)
+    k_step = pallas_cpml_step_fn(
+        shape, inv_dx=INV_DX, dt=DT, constants=ft.REDUCED, cpml=cpml,
+        interpret=True, matid=jnp.asarray(matid), n_materials=len(tab.materials),
+    )
+    st = init_pml_kernel_state(shape, jnp.float32, cpml=cpml)
+    for _ in range(20):
+        ref = ref_step(ref, dense, srcs)
+        st = k_step(st, jnp.asarray(ctable), srcs)
+
+    scale = float(jnp.max(jnp.abs(ref.ez)))
+    assert scale > 1e-6
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(st.e[c]), np.asarray(ref.e[c]),
+            rtol=2e-5, atol=2e-5 * scale,
+        )
+        np.testing.assert_allclose(
+            np.asarray(st.h[c]), np.asarray(ref.h[c]),
+            rtol=2e-5, atol=2e-5 * scale,
+        )
