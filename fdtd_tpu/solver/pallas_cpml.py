@@ -22,11 +22,14 @@ HBM traffic as a free-space tick plus the (small) psi slabs:
   inward (engine.py::_slab_extents) — slab extents here reuse the same
   helper, so kernel and engine agree to rounding.
 
-TF/SF slab corrections are four PLANE-UNIFORM scalar adds (the incident
-values come from the 1D aux grid, stepped outside in XLA and handed in as
-SMEM scalars), applied between the H and E half-updates exactly like
-engine.py. J point sources scatter post-kernel (exact). Box TF/SF, M
-sources and dense/matid coefficients stay on the engine path.
+TF/SF corrections ride in as a (2, aux_len) SMEM pair (OLD aux_e for the
+H pass, NEW aux_h for the E pass; the 1D aux grid ticks outside in XLA):
+slab mode adds plane-uniform scalars at the two x faces; CLOSED-BOX mode
+masks those to the lateral spans and adds the four lateral-face
+corrections as masked row/column adds gated to the box x-span. Compressed
+materials (uint8 matid + (K,4) table one-hot) and in-kernel J injection
+(max_sources rows) are supported; M sources and dense per-cell
+coefficients stay on the engine path.
 
 Validated against engine.build_step in interpret mode
 (tests/test_pallas_cpml.py); reflection physics inherited from the engine's
@@ -228,7 +231,7 @@ def supports_cpml(shape, bc, cpml, dtype=jnp.float32) -> bool:
 
 
 def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes, n_src,
-                 n_materials):
+                 n_materials, tfsf_box):
     inv_x, inv_y, inv_z = inv_dx
     n_psi = len(layout)
 
@@ -389,10 +392,33 @@ def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes, n_src,
 
         if with_tfsf:
             tf_lo, tf_hi = tfsf_planes
-            # incident E at the old time level (aux not yet stepped)
-            amp = jnp.where(p == tf_lo, -d_b * tfsf_ref[0, 0] * inv_x, 0.0)
-            amp = amp + jnp.where(p == tf_hi + 1, d_b * tfsf_ref[0, 1] * inv_x, 0.0)
-            hn_y = hn_y + amp
+            # tfsf_ref: (2, aux_len) SMEM — row 0 = aux_e at the OLD time
+            # level, row 1 = aux_h at the NEW level (aux ticks in XLA).
+            # x faces: Hy corrections from the cross-boundary incident Ez.
+            amp = jnp.where(p == tf_lo, -d_b * tfsf_ref[0, tf_lo - 1] * inv_x, 0.0)
+            amp = amp + jnp.where(
+                p == tf_hi + 1, d_b * tfsf_ref[0, tf_hi] * inv_x, 0.0
+            )
+            if tfsf_box is None:
+                hn_y = hn_y + amp
+            else:
+                (ty0, ty1), (tz0, tz1) = tfsf_box
+                lat_mask = jnp.logical_and(
+                    jnp.logical_and(iy >= ty0, iy <= ty1),
+                    jnp.logical_and(iz >= tz0, iz <= tz1),
+                )
+                hn_y = hn_y + jnp.where(lat_mask, amp, 0.0)
+                # y faces: Hx corrections from incident Ez = aux_e[p],
+                # gated to the box x-span (engine.py order)
+                in_x = jnp.logical_and(p >= tf_lo, p <= tf_hi)
+                ez_inc = jnp.where(in_x, tfsf_ref[0, p], 0.0) * inv_dx[1]
+                z_ok = jnp.logical_and(iz >= tz0, iz <= tz1)
+                hn_x = hn_x + jnp.where(
+                    jnp.logical_and(iy == ty0, z_ok), d_b * ez_inc, 0.0
+                )
+                hn_x = hn_x + jnp.where(
+                    jnp.logical_and(iy == ty1 + 1, z_ok), -d_b * ez_inc, 0.0
+                )
 
         # ---- E half-update (uses the new H) -----------------------------
         hy_top = s_hy[...]
@@ -410,9 +436,23 @@ def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes, n_src,
 
         if with_tfsf:
             # incident H at the new time level
-            amp = jnp.where(p == tf_lo - 1, -c_b * tfsf_ref[0, 2] * inv_x, 0.0)
-            amp = amp + jnp.where(p == tf_hi, c_b * tfsf_ref[0, 3] * inv_x, 0.0)
-            en_z = en_z + amp
+            amp = jnp.where(p == tf_lo - 1, -c_b * tfsf_ref[1, tf_lo] * inv_x, 0.0)
+            amp = amp + jnp.where(
+                p == tf_hi, c_b * tfsf_ref[1, tf_hi + 1] * inv_x, 0.0
+            )
+            if tfsf_box is None:
+                en_z = en_z + amp
+            else:
+                en_z = en_z + jnp.where(lat_mask, amp, 0.0)
+                # z faces: Ex corrections from incident Hy = aux_h[p]
+                hy_inc = jnp.where(in_x, tfsf_ref[1, p], 0.0) * inv_dx[2]
+                y_ok = jnp.logical_and(iy >= ty0, iy <= ty1)
+                en_x = en_x + jnp.where(
+                    jnp.logical_and(iz == tz0 - 1, y_ok), c_b * hy_inc, 0.0
+                )
+                en_x = en_x + jnp.where(
+                    jnp.logical_and(iz == tz1, y_ok), -c_b * hy_inc, 0.0
+                )
 
         # in-kernel J injection (a post-kernel scatter would re-walk the E
         # fields: ~20% of the tick for even one source). Row layout:
@@ -441,7 +481,7 @@ def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes, n_src,
 
 @functools.lru_cache(maxsize=16)
 def _build_call(shape, inv_dx, cpml, with_tfsf, tfsf_planes, dt, constants_key,
-                interpret, n_src=0, n_materials=1):
+                interpret, n_src=0, n_materials=1, tfsf_box=None):
     constants = SI if constants_key == "si" else _REDUCED()
     nx, ny, nz = shape
     layout = _psi_layout(shape, cpml)
@@ -517,7 +557,7 @@ def _build_call(shape, inv_dx, cpml, with_tfsf, tfsf_planes, dt, constants_key,
     )
 
     kernel = _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes,
-                          n_src, n_materials)
+                          n_src, n_materials, tfsf_box)
     # alias field/psi inputs to their outputs: the descending sweep never
     # re-reads a written plane (subsequent reads are p-1, p-2, ... and the
     # halo reads trail one plane behind), so in-place update is race-free.
@@ -575,8 +615,6 @@ def pallas_cpml_step_fn(
     scatter post-kernel."""
     if not supports_cpml(shape, bc, cpml):
         raise ValueError(f"CPML kernel does not support {shape=} {cpml=}")
-    if tfsf is not None and tfsf.is_box:
-        raise ValueError("in-kernel TF/SF is slab-only; box mode uses the engine")
     nx = shape[0]
     inv_dx = tuple(float(v) for v in inv_dx)
     from ..constants import REDUCED
@@ -600,9 +638,13 @@ def pallas_cpml_step_fn(
     if matid is not None and shape[1] % 32 != 0:
         raise ValueError("matid mode needs ny % 32 == 0 (uint8 tile)")
     n_mat = n_materials if matid is not None else 1
+    tfsf_box = None
+    if tfsf is not None and tfsf.is_box:
+        tfsf_box = (tuple(tfsf.span_y), tuple(tfsf.span_z))
     call, x_inputs, strip_inputs, layout = _build_call(
         tuple(shape), inv_dx, cpml, tfsf is not None, tfsf_planes,
         float(dt), constants_key, interpret, int(max_sources), n_mat,
+        tfsf_box,
     )
 
     def step(state: PmlKernelState, coeffs, sources) -> PmlKernelState:
@@ -629,10 +671,9 @@ def pallas_cpml_step_fn(
             new_aux_e, new_aux_h = tfsf.aux_step(
                 aux_e, aux_h, aux_coeffs, t, inv_dx[0], jnp.float32
             )
-            amps = jnp.stack(
-                [aux_e[lo - 1], aux_e[hi], new_aux_h[lo], new_aux_h[hi + 1]]
-            ).reshape(1, 4)
-            args.append(amps)
+            # (2, aux_len) SMEM: OLD aux_e for the H pass, NEW aux_h for
+            # the E pass (engine.py order)
+            args.append(jnp.stack([aux_e, new_aux_h]))
             aux_e, aux_h = new_aux_e, new_aux_h
         if max_sources > 0:
             if sources is None or sources.num_sources != max_sources:

@@ -124,8 +124,6 @@ class Simulation:
                 return False
         elif self.coeffs is None or any(jnp.ndim(c) != 0 for c in self.coeffs):
             return False
-        if self.tfsf is not None and self.tfsf.is_box:
-            return False
         if self._has_m_sources():
             return False
         return supports_cpml(self.grid.shape, self.bc, self._cpml_or_empty,

@@ -174,3 +174,13 @@ def test_kernel_cpml_matid():
             np.asarray(st.h[c]), np.asarray(ref.h[c]),
             rtol=2e-5, atol=2e-5 * scale,
         )
+
+
+def test_kernel_cpml_tfsf_box():
+    """Closed-box TF/SF inside the kernel (lateral masked adds from the SMEM
+    aux rows) vs the engine's box implementation."""
+    cpml = Cpml(thickness=((4, 4), (0, 0), (0, 0)))
+    tfsf = Tfsf(span=(6, 12), waveform=ft.GaussianPulse(8 * DT, 3 * DT),
+                span_y=(4, 11), span_z=(40, 90))
+    st = _compare((16, 16, 128), cpml, tfsf, _sources(), steps=20)
+    assert float(jnp.max(jnp.abs(st.ez))) > 1e-4
