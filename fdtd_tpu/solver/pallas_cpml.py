@@ -558,15 +558,13 @@ def _build_call(shape, inv_dx, cpml, with_tfsf, tfsf_planes, dt, constants_key,
 
     kernel = _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes,
                           n_src, n_materials, tfsf_box)
-    # alias field/psi inputs to their outputs: the descending sweep never
-    # re-reads a written plane (subsequent reads are p-1, p-2, ... and the
-    # halo reads trail one plane behind), so in-place update is race-free.
-    # This keeps XLA's donation well-defined (un-aliased donation of this
-    # many same-shaped custom-call operands hit TPU INVALID_ARGUMENT).
-    n_small = len(in_specs) - 8 - len(psi_specs)
-    io_aliases = {n_small + f: f for f in range(6)}
-    for j in range(len(psi_specs)):
-        io_aliases[n_small + 8 + j] = 6 + j
+    # NOTE: input_output_aliases were tried here (semantically race-free
+    # with the descending sweep) but the aliased many-operand custom call
+    # MISCOMPILES under lax.scan on the axon TPU runtime for some configs
+    # (deterministic NaN in the K-step variant; donation of this state also
+    # flakes INVALID_ARGUMENT). Both kernels run un-aliased; scan still
+    # reuses carry buffers at the XLA level.
+    io_aliases = {}
     # ~26 per-plane pipeline buffers double-buffered (6 field in + 2 halo +
     # 12 psi in/out + 6 out) + strip/temporary headroom; measured 31 MB at a
     # 64 KB plane -> scale ~500 plane-equivalents, capped at physical VMEM

@@ -1,0 +1,622 @@
+"""Temporally-blocked CPML kernel: K absorbing leapfrog ticks per pass.
+
+Combines the two kernel pillars: the K-step wavefront schedule of
+pallas_stepk.py (stage k computes tick k at plane p+k-1; HBM traffic
+~1/K of per-tick stepping) and the in-kernel CPML of pallas_cpml.py.
+The new piece is that psi is PLANE-LOCAL in every term (x-axis terms too:
+the recurrence at plane q consumes only the derivative at q), so psi
+levels ride the same one-iteration VMEM carries as the fields: stage k
+writes psi level k at plane q; stage k+1 reads it at the next grid
+iteration when it processes the same plane.
+
+- Level-0 psi comes from the HBM slab tensors blocked at the stage-1
+  plane (x lo/hi tensors with min/max-composed clamp maps; the trash
+  planes hold zeros by the profile-gating invariant, so summing the lo
+  and hi blocks yields the live end's value).
+- Level-K psi writes back through the stage-K output maps; the descending
+  sweep guarantees early clamped garbage writes are overwritten by the
+  real visit (same argument as the field outputs in pallas_stepk.py).
+- Carries: 12 terms x (K-1) levels — x terms as full planes (one slot per
+  term: the lo/hi slabs are disjoint so their psi sum carries both),
+  y/z terms as tile-padded strips.
+
+TF/SF (slab or closed box) applies PER LEVEL from a (2K, aux_len) SMEM
+pack (aux_e old / aux_h new per tick, aux stepped K times outside in
+XLA); J point sources inject per level from (n_src, 3+3K) rows — all
+K levels in-kernel, so the pass is exact with no post-kernel scatter.
+
+State/layout/profiles are shared with pallas_cpml.py (same
+PmlKernelState), so the two kernels interchange freely. Equivalence vs
+K applications of the single-pass kernel is gated in interpret mode
+(tests/test_pallas_cpml.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import SI, PhysicalConstants
+from .boundary import BoundaryConditions
+from .pallas_cpml import (
+    PmlKernelState,
+    _pad8,
+    _pad128,
+    _profiles,
+    _psi_layout,
+    supports_cpml,
+)
+
+# input_output_aliases on these many-operand custom calls MISCOMPILE under
+# lax.scan on the axon TPU runtime for some K (deterministic NaN at 256^3
+# K=6 after 33 chained passes; pass-by-pass execution is clean) — the same
+# bug class as the donation flake. Copies cost ~15%; correctness wins.
+_USE_IO_ALIASES = False
+
+__all__ = ["pallas_cpml_stepk_fn", "supports_cpml_k"]
+
+
+def supports_cpml_k(shape, bc, cpml, k: int, dtype=jnp.float32) -> bool:
+    if not supports_cpml(shape, bc, cpml, dtype):
+        return False
+    if not (2 <= k <= 10):
+        return False
+    return shape[0] >= 2 * k
+
+
+def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
+                 tfsf_box, n_src):
+    inv_x, inv_y, inv_z = inv_dx
+    n_psi = len(layout)
+    # x-axis terms share one carry per (half, comp); y/z one per term
+    x_terms = sorted({(h, c) for h, a, c, *_ in layout if a == 0})
+    yz_terms = [(h, a, c, pads) for h, a, c, end, _, pads in layout
+                if a != 0]
+
+    def kernel(*refs):
+        k = 0
+        coef_ref = refs[k]; k += 1
+        xprof_ref = None
+        if x_terms:
+            xprof_ref = refs[k]; k += 1
+        if with_tfsf:
+            tfsf_ref = refs[k]; k += 1
+        if n_src > 0:
+            src_ref = refs[k]; k += 1
+        strip_prof = {}
+        for half in ("h", "e"):
+            for axis in (1, 2):
+                if any(h == half and a == axis for h, a, c, p_ in yz_terms):
+                    strip_prof[(half, axis)] = refs[k]; k += 1
+        ex_r, ey_r, ez_r, hx_r, hy_r, hz_r, eyl_r, ezl_r = refs[k: k + 8]
+        k += 8
+        psi_in = refs[k: k + n_psi]; k += n_psi
+        outs = refs[k: k + 6]; k += 6
+        psi_out = refs[k: k + n_psi]; k += n_psi
+        scratch = refs[k:]
+        # scratch: per level 1..K-1: 6 field planes + 12 psi slots; then
+        # hy_top/hz_top
+        slot_per_lvl = 6 + len(x_terms) + len(yz_terms)
+        c_lvl = [scratch[slot_per_lvl * i: slot_per_lvl * (i + 1)]
+                 for i in range(k_steps - 1)]
+        c_topy, c_topz = scratch[slot_per_lvl * (k_steps - 1):]
+
+        i = pl.program_id(0)
+        p = nx - 1 - i  # stage-1 plane (goes negative at the tail)
+        f32 = jnp.float32
+        ny, nz = ex_r.shape[1:]
+        iy = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 0)
+        iz = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 1)
+        zero = jnp.zeros((ny, nz), f32)
+
+        def bdiff_y(f):
+            return jnp.where(iy == 0, 0.0, f - pltpu.roll(f, 1, axis=0))
+
+        def bdiff_z(f):
+            return jnp.where(iz == 0, 0.0, f - pltpu.roll(f, 1, axis=1))
+
+        def fdiff_y(f):
+            return jnp.where(iy == ny - 1, 0.0, pltpu.roll(f, ny - 1, axis=0) - f)
+
+        def fdiff_z(f):
+            return jnp.where(iz == nz - 1, 0.0, pltpu.roll(f, nz - 1, axis=1) - f)
+
+        c_a = coef_ref[0, 0]
+        c_b = coef_ref[0, 1]
+        d_a = coef_ref[0, 2]
+        d_b = coef_ref[0, 3]
+
+        # slot index helpers within a level's scratch block
+        def x_slot(half, comp):
+            return 6 + x_terms.index((half, comp))
+
+        def yz_slot(half, axis, comp):
+            return 6 + len(x_terms) + [
+                (h, a, c) for h, a, c, _ in yz_terms
+            ].index((half, axis, comp))
+
+        # HBM psi slot lookup
+        psi_hbm = {}
+        for idx, (half, axis, comp, end, _, pads) in enumerate(layout):
+            psi_hbm[(half, axis, comp, end)] = (idx, pads)
+
+        # read ALL carries before the stage loop overwrites them
+        prev_e, prev_h, prev_psi = {}, {}, {}
+        for lvl in range(1, k_steps):
+            regs = c_lvl[lvl - 1]
+            prev_e[lvl] = tuple(regs[c][...] for c in range(3))
+            prev_h[lvl] = tuple(regs[3 + c][...] for c in range(3))
+            prev_psi[lvl] = [r[...] for r in regs[6:]]
+        top_y = c_topy[...]
+        top_z = c_topz[...]
+
+        half_idx = {"h": 0, "e": 1}
+
+        def stretch(stage, q, half, axis, comp, raw, new_psi_lvl):
+            """CPML stretch at plane q for tick `stage`; psi level stage-1
+            comes from HBM (stage 1) or the carry; the new level goes to
+            `new_psi_lvl` (list) or HBM out (stage K)."""
+            if axis == 0:
+                if (half, 0, comp, "lo") not in psi_hbm:
+                    return raw
+                hi_ = half_idx[half]
+                qc = jnp.clip(q, 0, nx - 1)
+                ik = xprof_ref[hi_, 0, qc]
+                b_lo = xprof_ref[hi_, 1, qc]
+                c_lo = xprof_ref[hi_, 2, qc]
+                b_hi = xprof_ref[hi_, 3, qc]
+                c_hi = xprof_ref[hi_, 4, qc]
+                if stage == 1:
+                    il, _ = psi_hbm[(half, 0, comp, "lo")]
+                    ih, _ = psi_hbm[(half, 0, comp, "hi")]
+                    # trash blocks hold zeros -> the sum is the live end
+                    psi0 = psi_in[il][0] + psi_in[ih][0]
+                else:
+                    psi0 = prev_psi[stage - 1][x_slot(half, comp) - 6]
+                # keep lo/hi parts separate for the HBM write: writing the
+                # SUM into both tensors would land a nonzero value on the
+                # other end's trash block (e.g. plane 0 clamps onto the hi
+                # tensor's trash) and break the trash == 0 invariant the
+                # stage-1 lo+hi read relies on
+                p_lo = b_lo * psi0 + c_lo * raw
+                p_hi = b_hi * psi0 + c_hi * raw
+                p_new = p_lo + p_hi
+                if stage == k_steps:
+                    il, _ = psi_hbm[(half, 0, comp, "lo")]
+                    ih, _ = psi_hbm[(half, 0, comp, "hi")]
+                    psi_out[il][0] = p_lo
+                    psi_out[ih][0] = p_hi
+                else:
+                    new_psi_lvl[x_slot(half, comp) - 6] = p_new
+                return ik * raw + p_new
+            key = (half, axis, comp, None)
+            if key not in psi_hbm:
+                return raw
+            idx, (t_lo, t_hi, plo, phi) = psi_hbm[key]
+            prof = strip_prof[(half, axis)]
+            n_lat = ny if axis == 1 else nz
+            if stage == 1:
+                psi0 = psi_in[idx][0]
+            else:
+                psi0 = prev_psi[stage - 1][yz_slot(half, axis, comp) - 6]
+
+            def seg(arr, a, b):
+                return arr[a:b] if axis == 1 else arr[:, a:b]
+
+            ik_s, b_s, c_s = prof[0], prof[1], prof[2]
+            psi_pieces, out_pieces = [], []
+            if plo > 0:
+                r_lo = seg(raw, 0, plo)
+                pl_ = seg(b_s, 0, plo) * seg(psi0, 0, plo) + seg(c_s, 0, plo) * r_lo
+                psi_pieces.append(pl_)
+                out_pieces.append(seg(ik_s, 0, plo) * r_lo + pl_)
+            if n_lat - phi > plo:
+                out_pieces.append(seg(raw, plo, n_lat - phi))
+            if phi > 0:
+                r_hi = seg(raw, n_lat - phi, n_lat)
+                ph_ = (seg(b_s, plo, plo + phi) * seg(psi0, plo, plo + phi)
+                       + seg(c_s, plo, plo + phi) * r_hi)
+                psi_pieces.append(ph_)
+                out_pieces.append(seg(ik_s, plo, plo + phi) * r_hi + ph_)
+            cat_ax = 0 if axis == 1 else 1
+            p_new = (psi_pieces[0] if len(psi_pieces) == 1
+                     else jnp.concatenate(psi_pieces, axis=cat_ax))
+            if stage == k_steps:
+                psi_out[idx][0] = p_new
+            else:
+                new_psi_lvl[yz_slot(half, axis, comp) - 6] = p_new
+            return (out_pieces[0] if len(out_pieces) == 1
+                    else jnp.concatenate(out_pieces, axis=cat_ax))
+
+        if with_tfsf:
+            tf_lo, tf_hi = tfsf_planes
+            if tfsf_box is not None:
+                (ty0, ty1), (tz0, tz1) = tfsf_box
+                lat_mask = jnp.logical_and(
+                    jnp.logical_and(iy >= ty0, iy <= ty1),
+                    jnp.logical_and(iz >= tz0, iz <= tz1),
+                )
+                z_ok = jnp.logical_and(iz >= tz0, iz <= tz1)
+                y_ok = jnp.logical_and(iy >= ty0, iy <= ty1)
+
+        new_carries = {}
+        out_fields = None
+        below_e = (ex_r[0].astype(f32), ey_r[0].astype(f32), ez_r[0].astype(f32))
+        below_h = (hx_r[0].astype(f32), hy_r[0].astype(f32), hz_r[0].astype(f32))
+        halo_ey = eyl_r[0].astype(f32)
+        halo_ez = ezl_r[0].astype(f32)
+
+        for st in range(1, k_steps + 1):
+            q = p + st - 1  # plane computed by this stage
+            if st == 1:
+                e_here, h_here = below_e, below_h
+                e_xm = (None, halo_ey, halo_ez)
+            else:
+                e_here, h_here = prev_e[st - 1], prev_h[st - 1]
+                e_xm = (None, below_e[1], below_e[2])
+
+            new_psi_lvl = [None] * (len(x_terms) + len(yz_terms))
+
+            at_lo = q <= 0
+            dez_x = stretch(st, q, "h", 0, 2,
+                            jnp.where(at_lo, zero, e_here[2] - e_xm[2]) * inv_x,
+                            new_psi_lvl)
+            dey_x = stretch(st, q, "h", 0, 1,
+                            jnp.where(at_lo, zero, e_here[1] - e_xm[1]) * inv_x,
+                            new_psi_lvl)
+            dez_y = stretch(st, q, "h", 1, 2, bdiff_y(e_here[2]) * inv_y,
+                            new_psi_lvl)
+            dex_y = stretch(st, q, "h", 1, 0, bdiff_y(e_here[0]) * inv_y,
+                            new_psi_lvl)
+            dey_z = stretch(st, q, "h", 2, 1, bdiff_z(e_here[1]) * inv_z,
+                            new_psi_lvl)
+            dex_z = stretch(st, q, "h", 2, 0, bdiff_z(e_here[0]) * inv_z,
+                            new_psi_lvl)
+
+            hk = [
+                d_a * h_here[0] - d_b * (dez_y - dey_z),
+                d_a * h_here[1] - d_b * (dex_z - dez_x),
+                d_a * h_here[2] - d_b * (dey_x - dex_y),
+            ]
+
+            if with_tfsf:
+                r = 2 * (st - 1)
+                amp = jnp.where(
+                    q == tf_lo, -d_b * tfsf_ref[r, tf_lo - 1] * inv_x, 0.0
+                )
+                amp = amp + jnp.where(
+                    q == tf_hi + 1, d_b * tfsf_ref[r, tf_hi] * inv_x, 0.0
+                )
+                if tfsf_box is None:
+                    hk[1] = hk[1] + amp
+                else:
+                    hk[1] = hk[1] + jnp.where(lat_mask, amp, 0.0)
+                    in_x = jnp.logical_and(q >= tf_lo, q <= tf_hi)
+                    qc = jnp.clip(q, 0, nx - 1)
+                    ez_inc = jnp.where(in_x, tfsf_ref[r, qc], 0.0) * inv_y
+                    hk[0] = hk[0] + jnp.where(
+                        jnp.logical_and(iy == ty0, z_ok), d_b * ez_inc, 0.0
+                    )
+                    hk[0] = hk[0] + jnp.where(
+                        jnp.logical_and(iy == ty1 + 1, z_ok), -d_b * ez_inc, 0.0
+                    )
+            hk = tuple(hk)
+
+            if st < k_steps:
+                hy_top, hz_top = prev_h[st][1], prev_h[st][2]
+            else:
+                hy_top, hz_top = top_y, top_z
+            at_hi = q == nx - 1
+            dhz_x = stretch(st, q, "e", 0, 2,
+                            jnp.where(at_hi, zero, hz_top - hk[2]) * inv_x,
+                            new_psi_lvl)
+            dhy_x = stretch(st, q, "e", 0, 1,
+                            jnp.where(at_hi, zero, hy_top - hk[1]) * inv_x,
+                            new_psi_lvl)
+            dhz_y = stretch(st, q, "e", 1, 2, fdiff_y(hk[2]) * inv_y, new_psi_lvl)
+            dhx_y = stretch(st, q, "e", 1, 0, fdiff_y(hk[0]) * inv_y, new_psi_lvl)
+            dhy_z = stretch(st, q, "e", 2, 1, fdiff_z(hk[1]) * inv_z, new_psi_lvl)
+            dhx_z = stretch(st, q, "e", 2, 0, fdiff_z(hk[0]) * inv_z, new_psi_lvl)
+
+            ek = [
+                c_a * e_here[0] + c_b * (dhz_y - dhy_z),
+                c_a * e_here[1] + c_b * (dhx_z - dhz_x),
+                c_a * e_here[2] + c_b * (dhy_x - dhx_y),
+            ]
+
+            if with_tfsf:
+                r = 2 * (st - 1) + 1
+                amp = jnp.where(
+                    q == tf_lo - 1, -c_b * tfsf_ref[r, tf_lo] * inv_x, 0.0
+                )
+                amp = amp + jnp.where(
+                    q == tf_hi, c_b * tfsf_ref[r, tf_hi + 1] * inv_x, 0.0
+                )
+                if tfsf_box is None:
+                    ek[2] = ek[2] + amp
+                else:
+                    ek[2] = ek[2] + jnp.where(lat_mask, amp, 0.0)
+                    qc = jnp.clip(q, 0, nx - 1)
+                    hy_inc = jnp.where(in_x, tfsf_ref[r, qc], 0.0) * inv_z
+                    ek[0] = ek[0] + jnp.where(
+                        jnp.logical_and(iz == tz0 - 1, y_ok), c_b * hy_inc, 0.0
+                    )
+                    ek[0] = ek[0] + jnp.where(
+                        jnp.logical_and(iz == tz1, y_ok), -c_b * hy_inc, 0.0
+                    )
+
+            # in-kernel J for EVERY level: rows [px, py, pz, j levels 1..K]
+            for s_i in range(n_src):
+                sp = src_ref[s_i, 0].astype(jnp.int32)
+                py_s = src_ref[s_i, 1].astype(jnp.int32)
+                pz_s = src_ref[s_i, 2].astype(jnp.int32)
+                mask = jnp.logical_and(
+                    sp == q, jnp.logical_and(iy == py_s, iz == pz_s)
+                )
+                base = 3 + 3 * (st - 1)
+                for c in range(3):
+                    ek[c] = jnp.where(
+                        mask, ek[c] - c_b * src_ref[s_i, base + c], ek[c]
+                    )
+            ek = tuple(ek)
+
+            if st < k_steps:
+                new_carries[st] = (ek, hk, new_psi_lvl)
+                below_e, below_h = ek, hk
+            else:
+                out_fields = (ek, hk)
+
+        eK, hK = out_fields
+        for c in range(3):
+            outs[c][0] = eK[c]
+            outs[3 + c][0] = hK[c]
+        for lvl in range(1, k_steps):
+            regs = c_lvl[lvl - 1]
+            ek, hk, psis = new_carries[lvl]
+            for c in range(3):
+                regs[c][...] = ek[c]
+                regs[3 + c][...] = hk[c]
+            for j, v in enumerate(psis):
+                if v is not None:
+                    regs[6 + j][...] = v
+        c_topy[...] = hK[1]
+        c_topz[...] = hK[2]
+
+    return kernel, x_terms, yz_terms
+
+
+@functools.lru_cache(maxsize=8)
+def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
+                dt, constants_key, interpret, n_src):
+    from ..constants import REDUCED
+
+    constants = SI if constants_key == "si" else REDUCED
+    nx, ny, nz = shape
+    layout = _psi_layout(shape, cpml)
+    profs = _profiles(shape, cpml, inv_dx, dt, constants)
+    plane = (1, ny, nz)
+    f32 = jnp.float32
+
+    def in_idx(i):
+        return (jnp.maximum(nx - 1 - i, 0), 0, 0)
+
+    def halo_idx(i):
+        return (jnp.maximum(nx - 2 - i, 0), 0, 0)
+
+    def out_idx(i):
+        return (jnp.clip(nx - 1 - i + (k_steps - 1), 0, nx - 1), 0, 0)
+
+    in_spec = pl.BlockSpec(plane, in_idx, memory_space=pltpu.VMEM)
+    halo_spec = pl.BlockSpec(plane, halo_idx, memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(plane, out_idx, memory_space=pltpu.VMEM)
+
+    def psi_specs(plane_of):
+        """Blocked psi specs with the stage plane given by `plane_of(i)`."""
+        specs = []
+        for half, axis, comp, end, tshape, (t_lo, t_hi, plo, phi) in layout:
+            if axis == 0:
+                if end == "lo":
+
+                    def x_idx(i, t_lo=t_lo):
+                        return (jnp.minimum(plane_of(i), t_lo), 0, 0)
+
+                else:
+
+                    def x_idx(i, t_hi=t_hi):
+                        return (jnp.maximum(
+                            plane_of(i) - (nx - t_hi - 1), 0), 0, 0)
+
+                specs.append(
+                    pl.BlockSpec((1, ny, nz), x_idx, memory_space=pltpu.VMEM)
+                )
+            elif axis == 1:
+                specs.append(pl.BlockSpec(
+                    (1, plo + phi, nz),
+                    lambda i, f=plane_of: (f(i), 0, 0),
+                    memory_space=pltpu.VMEM,
+                ))
+            else:
+                specs.append(pl.BlockSpec(
+                    (1, ny, plo + phi),
+                    lambda i, f=plane_of: (f(i), 0, 0),
+                    memory_space=pltpu.VMEM,
+                ))
+        return specs
+
+    psi_in_specs = psi_specs(lambda i: jnp.maximum(nx - 1 - i, 0))
+    psi_out_specs = psi_specs(
+        lambda i: jnp.clip(nx - 1 - i + (k_steps - 1), 0, nx - 1)
+    )
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]  # coef row (1, 4)
+    static_inputs = []
+    if any(axis == 0 for _, axis, *_ in layout):
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # (2, 5, nx)
+        static_inputs.append(np.stack([profs[("h", 0)], profs[("e", 0)]]))
+    if with_tfsf:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # (2K, aux)
+    if n_src > 0:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # (n, 3+3K)
+    strip_inputs = []
+    for half in ("h", "e"):
+        for axis in (1, 2):
+            if (half, axis) in profs:
+                in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+                strip_inputs.append(profs[(half, axis)])
+    in_specs += [in_spec] * 6 + [halo_spec] * 2
+    in_specs += psi_in_specs
+
+    out_specs = tuple([out_spec] * 6 + psi_out_specs)
+    out_shape = tuple(
+        [jax.ShapeDtypeStruct(shape, f32) for _ in range(6)]
+        + [jax.ShapeDtypeStruct(ts, f32) for *_, ts, _ in layout]
+    )
+
+    kernel, x_terms, yz_terms = _make_kernel(
+        shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes, tfsf_box,
+        n_src,
+    )
+
+    # scratch per level: 6 field planes + per-term psi slots
+    def term_scratch():
+        slots = [pltpu.VMEM((ny, nz), f32) for _ in range(6)]
+        for _ in x_terms:
+            slots.append(pltpu.VMEM((ny, nz), f32))
+        for half, axis, comp, (t_lo, t_hi, plo, phi) in yz_terms:
+            if axis == 1:
+                slots.append(pltpu.VMEM((plo + phi, nz), f32))
+            else:
+                slots.append(pltpu.VMEM((ny, plo + phi), f32))
+        return slots
+
+    scratch = []
+    for _ in range(k_steps - 1):
+        scratch += term_scratch()
+    scratch += [pltpu.VMEM((ny, nz), f32), pltpu.VMEM((ny, nz), f32)]
+
+    n_small = len(in_specs) - 8 - len(psi_in_specs)
+    io_aliases = {n_small + f: f for f in range(6)}
+    for j in range(len(psi_in_specs)):
+        io_aliases[n_small + 8 + j] = 6 + j
+
+    plane_bytes = ny * nz * 4
+    vmem_limit = min(
+        int(plane_bytes * (80 + 30 * k_steps) + (8 << 20)), 120 * (1 << 20)
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(nx + k_steps - 1,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        input_output_aliases=io_aliases if _USE_IO_ALIASES else {},
+        interpret=interpret,
+    )
+    return call, [jnp.asarray(a) for a in static_inputs], \
+        [jnp.asarray(a) for a in strip_inputs]
+
+
+def pallas_cpml_stepk_fn(
+    shape: Tuple[int, int, int],
+    k_steps: int,
+    *,
+    inv_dx: Tuple[float, float, float],
+    dt: float,
+    bc: BoundaryConditions = BoundaryConditions(),
+    constants: PhysicalConstants = SI,
+    cpml,
+    tfsf=None,
+    max_sources: int = 0,
+    interpret: bool = False,
+):
+    """Build step(state: PmlKernelState, coeffs, sources) advancing
+    ``k_steps`` absorbing ticks per call. Uniform scalar coefficients;
+    J sources inject in-kernel at every level (max_sources must equal the
+    real count)."""
+    if not supports_cpml_k(shape, bc, cpml, k_steps):
+        raise ValueError(f"CPML K-step kernel does not support {shape=} {k_steps=}")
+    nx = shape[0]
+    inv_dx = tuple(float(v) for v in inv_dx)
+    constants_key = "si" if constants is SI or constants == SI else "reduced"
+    tfsf_planes = tuple(tfsf.span) if tfsf is not None else (0, 0)
+    tfsf_box = None
+    aux_coeffs = None
+    if tfsf is not None:
+        tfsf.validate(shape)
+        if tfsf.is_box:
+            tfsf_box = (tuple(tfsf.span_y), tuple(tfsf.span_z))
+        from ..coefficients import update_coefficients
+        from ..grid import Resolution
+        from ..material import VACUUM
+
+        dx0 = 1.0 / inv_dx[0]
+        vacuum_row = update_coefficients(
+            VACUUM, Resolution(spatial=(dx0,) * 3, temporal=dt), constants
+        )
+        aux_coeffs = tfsf.build_aux(nx, vacuum_row, dt, dx0, constants,
+                                    jnp.float32)
+
+    call, x_inputs, strip_inputs = _build_call(
+        tuple(shape), inv_dx, cpml, int(k_steps), tfsf is not None,
+        tfsf_planes, tfsf_box, float(dt), constants_key, interpret,
+        int(max_sources),
+    )
+
+    def step(state: PmlKernelState, coeffs, sources) -> PmlKernelState:
+        row = jnp.stack(
+            [
+                jnp.asarray(coeffs.c_a, jnp.float32),
+                jnp.asarray(coeffs.c_b, jnp.float32),
+                jnp.asarray(coeffs.d_a, jnp.float32),
+                jnp.asarray(coeffs.d_b, jnp.float32),
+            ]
+        ).reshape(1, 4)
+        args = [row]
+        args += x_inputs
+        aux_e, aux_h = state.aux_e, state.aux_h
+        if tfsf is not None:
+            # tick the 1D aux grid K times, recording each level's rows
+            rows = []
+            for lvl in range(k_steps):
+                t = (state.tick + lvl).astype(jnp.float32) * jnp.float32(dt)
+                new_e, new_h = tfsf.aux_step(
+                    aux_e, aux_h, aux_coeffs, t, inv_dx[0], jnp.float32
+                )
+                rows.append(aux_e)   # OLD aux_e for the H pass
+                rows.append(new_h)   # NEW aux_h for the E pass
+                aux_e, aux_h = new_e, new_h
+            args.append(jnp.stack(rows))
+        if max_sources > 0:
+            if sources is None or sources.num_sources != max_sources:
+                raise ValueError(
+                    f"kernel built for {max_sources} in-kernel sources, got "
+                    f"{0 if sources is None else sources.num_sources}"
+                )
+            n = sources.num_sources
+            rows = [sources.points.astype(jnp.float32)]
+            for lvl in range(k_steps):
+                t = (state.tick + lvl).astype(jnp.float32) * jnp.float32(dt)
+                j_vals, _ = sources.values(t)
+                rows.append(j_vals.astype(jnp.float32))
+            args.append(jnp.concatenate(rows, axis=1))
+        args += strip_inputs
+        args += [state.ex, state.ey, state.ez, state.hx, state.hy, state.hz,
+                 state.ey, state.ez]
+        args += list(state.psi)
+        outs = call(*args)
+        return PmlKernelState(
+            ex=outs[0], ey=outs[1], ez=outs[2],
+            hx=outs[3], hy=outs[4], hz=outs[5],
+            tick=state.tick + k_steps, psi=tuple(outs[6:]),
+            aux_e=aux_e, aux_h=aux_h,
+        )
+
+    return step

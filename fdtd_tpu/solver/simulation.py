@@ -294,6 +294,47 @@ class Simulation:
         if (
             self.backend == "auto"
             and not accumulators
+            and self.matid is None
+            and self._cpml_kernel_eligible()
+        ):
+            # temporally-blocked CPML kernel (pallas_cpml_k): ~4x the
+            # single-pass absorbing kernel when the cadence allows
+            from .pallas_cpml_k import pallas_cpml_stepk_fn, supports_cpml_k
+
+            for cand in (8, 6, 5, 4, 3, 2):
+                cadence = probe_every if probes else n_steps
+                if (
+                    n_steps % cand == 0
+                    and cadence % cand == 0
+                    and supports_cpml_k(
+                        self.grid.shape, self.bc, self._cpml_or_empty, cand,
+                        dtype=self.dtype,
+                    )
+                ):
+                    key = ("cpmlk", cand)
+                    if key in self._multi_step_cache:
+                        step = self._multi_step_cache[key]
+                        k = cand
+                        break
+                    n_src = (
+                        self.sources.num_sources if self.sources is not None
+                        else 0
+                    )
+                    step = pallas_cpml_stepk_fn(
+                        self.grid.shape, cand,
+                        inv_dx=tuple(1.0 / d for d in self.grid.dx),
+                        dt=self.grid.dt, bc=self.bc,
+                        constants=self.grid.constants,
+                        cpml=self._cpml_or_empty, tfsf=self.tfsf,
+                        max_sources=n_src,
+                    )
+                    self._multi_step_cache[key] = step
+                    k = cand
+                    break
+        if (
+            k == 1
+            and self.backend == "auto"
+            and not accumulators
             and self._pallas_eligible()
         ):
             from .pallas_stepk import pallas_stepk_fn, supports_k

@@ -184,3 +184,56 @@ def test_kernel_cpml_tfsf_box():
                 span_y=(4, 11), span_z=(40, 90))
     st = _compare((16, 16, 128), cpml, tfsf, _sources(), steps=20)
     assert float(jnp.max(jnp.abs(st.ez))) > 1e-4
+
+
+@pytest.mark.parametrize("k,box", [(2, False), (3, False), (4, True)])
+def test_kernel_cpml_kstep_matches_single(k, box):
+    """K-step temporally-blocked CPML kernel vs K applications of the
+    single-pass kernel: psi level carries, per-level TF/SF (slab and box)
+    and per-level in-kernel J must reproduce per-tick stepping exactly."""
+    from fdtd_tpu.solver.pallas_cpml_k import pallas_cpml_stepk_fn
+
+    shape = (16, 16, 128)
+    cpml = Cpml(thickness=((4, 3), (4, 4), (0, 0)))
+    if box:
+        tfsf = Tfsf(span=(6, 12), waveform=ft.GaussianPulse(8 * DT, 3 * DT),
+                    span_y=(4, 11), span_z=(40, 90))
+    else:
+        tfsf = Tfsf(span=(6, 12), waveform=ft.GaussianPulse(8 * DT, 3 * DT))
+    coeffs = ft.CellCoefficients.uniform((1.0, 0.25, 1.0, 0.25), jnp.float32)
+    srcs = _sources()
+
+    one = pallas_cpml_step_fn(
+        shape, inv_dx=INV_DX, dt=DT, constants=ft.REDUCED, cpml=cpml,
+        tfsf=tfsf, interpret=True, max_sources=srcs.num_sources,
+    )
+    kstep = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=INV_DX, dt=DT, constants=ft.REDUCED, cpml=cpml,
+        tfsf=tfsf, interpret=True, max_sources=srcs.num_sources,
+    )
+    ref = init_pml_kernel_state(shape, jnp.float32, cpml=cpml, tfsf=tfsf)
+    st = init_pml_kernel_state(shape, jnp.float32, cpml=cpml, tfsf=tfsf)
+
+    n_passes = 4
+    for _ in range(n_passes * k):
+        ref = one(ref, coeffs, srcs)
+    for _ in range(n_passes):
+        st = kstep(st, coeffs, srcs)
+
+    assert int(st.tick) == int(ref.tick)
+    scale = float(jnp.max(jnp.abs(ref.ez)))
+    assert scale > 1e-5
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(st.e[c]), np.asarray(ref.e[c]),
+            rtol=2e-5, atol=2e-5 * scale, err_msg=f"e[{c}]",
+        )
+        np.testing.assert_allclose(
+            np.asarray(st.h[c]), np.asarray(ref.h[c]),
+            rtol=2e-5, atol=2e-5 * scale, err_msg=f"h[{c}]",
+        )
+    for j, (a, b) in enumerate(zip(st.psi, ref.psi)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6,
+            err_msg=f"psi[{j}]",
+        )
