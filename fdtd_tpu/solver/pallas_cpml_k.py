@@ -67,7 +67,15 @@ def supports_cpml_k(shape, bc, cpml, k: int, dtype=jnp.float32) -> bool:
         return False
     if not (2 <= k <= 10):
         return False
-    return shape[0] >= 2 * k
+    if shape[0] < 2 * k:
+        return False
+    # VMEM guard: (k-1) levels of carries (6 fields + up to 4 x-psi planes
+    # + strip slots) plus the pipeline's double-buffered blocks must fit.
+    # Conservative: ~16 plane-equivalents per level + 50 for the pipeline.
+    plane_bytes = shape[1] * shape[2] * 4
+    if (16 * (k - 1) + 50) * plane_bytes > 90 * (1 << 20):
+        return False
+    return True
 
 
 def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
