@@ -37,7 +37,6 @@ def main() -> None:
     import numpy as np
 
     import fdtd_tpu as ft
-    from fdtd_tpu.solver.best import best_step_fn
     from fdtd_tpu.probes import PointProbe
 
     sizes = [
@@ -99,18 +98,16 @@ def main() -> None:
             f"{dt_wall*1e3/steps_done:.2f} ms/step)",
             file=sys.stderr,
         )
-        # single-step probe path still uses the 1-step kernel below
-        step = best_step_fn(shape, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt)
-
         # steps/sec INCLUDING probe readback (BASELINE metric): advance in
-        # chunks, pulling a point-probe trace to host per chunk (the
-        # observation-throttled pattern from the runner)
-        chunk = 10
+        # K-step chunks, sampling a point probe at the chunk cadence and
+        # pulling the trace to host per call (the observation-throttled
+        # pattern from the runner; Simulation.run dispatches the same way)
+        chunk = k_per_call
         probe = PointProbe(points=(((n // 2) + 8, n // 2, n // 2),))
 
         def run_probe(state, k: int):
             def body(s, _):
-                s2 = step(s, coeffs, src)
+                s2 = step_k(s, coeffs, src)
                 return s2, probe.sample(s2, grid.dt)
 
             return jax.lax.scan(body, state, None, length=k)
@@ -124,10 +121,11 @@ def main() -> None:
             state, trace = runp_j(state, chunk)
             _ = np.asarray(trace)
         dt_wall = time.perf_counter() - t0
+        ticks = n_chunks * chunk * k_per_call
         print(
-            f"{n}^3 with per-{chunk}-step probe readback: "
-            f"{n_chunks*chunk/dt_wall:.1f} steps/s "
-            f"({grid.num_cells*n_chunks*chunk/dt_wall/1e9:.3f} Gcell/s)",
+            f"{n}^3 with per-{k_per_call}-step probe readback: "
+            f"{ticks/dt_wall:.1f} steps/s "
+            f"({grid.num_cells*ticks/dt_wall/1e9:.3f} Gcell/s)",
             file=sys.stderr,
         )
         del state
