@@ -79,7 +79,7 @@ def supports_cpml_k(shape, bc, cpml, k: int, dtype=jnp.float32) -> bool:
 
 
 def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
-                 tfsf_box, n_src):
+                 tfsf_box, n_src, n_materials):
     inv_x, inv_y, inv_z = inv_dx
     n_psi = len(layout)
     # x-axis terms share one carry per (half, comp); y/z one per term
@@ -102,6 +102,8 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
             for axis in (1, 2):
                 if any(h == half and a == axis for h, a, c, p_ in yz_terms):
                     strip_prof[(half, axis)] = refs[k]; k += 1
+        if n_materials > 1:
+            mid_refs = refs[k: k + k_steps]; k += k_steps
         ex_r, ey_r, ez_r, hx_r, hy_r, hz_r, eyl_r, ezl_r = refs[k: k + 8]
         k += 8
         psi_in = refs[k: k + n_psi]; k += n_psi
@@ -135,10 +137,11 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
         def fdiff_z(f):
             return jnp.where(iz == nz - 1, 0.0, pltpu.roll(f, nz - 1, axis=1) - f)
 
-        c_a = coef_ref[0, 0]
-        c_b = coef_ref[0, 1]
-        d_a = coef_ref[0, 2]
-        d_b = coef_ref[0, 3]
+        if n_materials == 1:
+            c_a = coef_ref[0, 0]
+            c_b = coef_ref[0, 1]
+            d_a = coef_ref[0, 2]
+            d_b = coef_ref[0, 3]
 
         # slot index helpers within a level's scratch block
         def x_slot(half, comp):
@@ -262,6 +265,19 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
 
         for st in range(1, k_steps + 1):
             q = p + st - 1  # plane computed by this stage
+            if n_materials > 1:
+                # per-stage coefficient planes from the stage's matid input
+                mid = mid_refs[st - 1][0].astype(jnp.int32)
+                c_a = jnp.zeros((ny, nz), f32)
+                c_b = jnp.zeros((ny, nz), f32)
+                d_a = jnp.zeros((ny, nz), f32)
+                d_b = jnp.zeros((ny, nz), f32)
+                for m in range(n_materials):
+                    sel = (mid == m).astype(f32)
+                    c_a += sel * coef_ref[m, 0]
+                    c_b += sel * coef_ref[m, 1]
+                    d_a += sel * coef_ref[m, 2]
+                    d_b += sel * coef_ref[m, 3]
             if st == 1:
                 e_here, h_here = below_e, below_h
                 e_xm = (None, halo_ey, halo_ez)
@@ -401,7 +417,7 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
 
 @functools.lru_cache(maxsize=8)
 def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
-                dt, constants_key, interpret, n_src):
+                dt, constants_key, interpret, n_src, n_materials=1):
     from ..constants import REDUCED
 
     constants = SI if constants_key == "si" else REDUCED
@@ -462,7 +478,10 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
         lambda i: jnp.clip(nx - 1 - i + (k_steps - 1), 0, nx - 1)
     )
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]  # coef row (1, 4)
+    if n_materials > 1:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]  # (K_mat, 4) table
+    else:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]  # coef row (1, 4)
     static_inputs = []
     if any(axis == 0 for _, axis, *_ in layout):
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # (2, 5, nx)
@@ -477,6 +496,15 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
             if (half, axis) in profs:
                 in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
                 strip_inputs.append(profs[(half, axis)])
+    if n_materials > 1:
+        # per-stage matid planes (stage j+1 consumes plane p+j, clamped)
+        def stage_idx(j):
+            return lambda i: (jnp.clip(nx - 1 - i + j, 0, nx - 1), 0, 0)
+
+        in_specs += [
+            pl.BlockSpec(plane, stage_idx(j), memory_space=pltpu.VMEM)
+            for j in range(k_steps)
+        ]
     in_specs += [in_spec] * 6 + [halo_spec] * 2
     in_specs += psi_in_specs
 
@@ -488,7 +516,7 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
 
     kernel, x_terms, yz_terms = _make_kernel(
         shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes, tfsf_box,
-        n_src,
+        n_src, n_materials,
     )
 
     # scratch per level: 6 field planes + per-term psi slots
@@ -544,6 +572,8 @@ def pallas_cpml_stepk_fn(
     tfsf=None,
     max_sources: int = 0,
     interpret: bool = False,
+    matid=None,
+    n_materials: int = 1,
 ):
     """Build step(state: PmlKernelState, coeffs, sources) advancing
     ``k_steps`` absorbing ticks per call. Uniform scalar coefficients;
@@ -572,21 +602,27 @@ def pallas_cpml_stepk_fn(
         aux_coeffs = tfsf.build_aux(nx, vacuum_row, dt, dx0, constants,
                                     jnp.float32)
 
+    if matid is not None and shape[1] % 32 != 0:
+        raise ValueError("matid mode needs ny % 32 == 0 (uint8 tile)")
+    n_mat = n_materials if matid is not None else 1
     call, x_inputs, strip_inputs = _build_call(
         tuple(shape), inv_dx, cpml, int(k_steps), tfsf is not None,
         tfsf_planes, tfsf_box, float(dt), constants_key, interpret,
-        int(max_sources),
+        int(max_sources), n_mat,
     )
 
     def step(state: PmlKernelState, coeffs, sources) -> PmlKernelState:
-        row = jnp.stack(
-            [
-                jnp.asarray(coeffs.c_a, jnp.float32),
-                jnp.asarray(coeffs.c_b, jnp.float32),
-                jnp.asarray(coeffs.d_a, jnp.float32),
-                jnp.asarray(coeffs.d_b, jnp.float32),
-            ]
-        ).reshape(1, 4)
+        if matid is not None:
+            row = jnp.asarray(coeffs, jnp.float32)  # (K_mat, 4) table
+        else:
+            row = jnp.stack(
+                [
+                    jnp.asarray(coeffs.c_a, jnp.float32),
+                    jnp.asarray(coeffs.c_b, jnp.float32),
+                    jnp.asarray(coeffs.d_a, jnp.float32),
+                    jnp.asarray(coeffs.d_b, jnp.float32),
+                ]
+            ).reshape(1, 4)
         args = [row]
         args += x_inputs
         aux_e, aux_h = state.aux_e, state.aux_h
@@ -616,6 +652,8 @@ def pallas_cpml_stepk_fn(
                 rows.append(j_vals.astype(jnp.float32))
             args.append(jnp.concatenate(rows, axis=1))
         args += strip_inputs
+        if matid is not None:
+            args += [matid] * k_steps
         args += [state.ex, state.ey, state.ez, state.hx, state.hy, state.hz,
                  state.ey, state.ez]
         args += list(state.psi)

@@ -294,14 +294,16 @@ class Simulation:
         if (
             self.backend == "auto"
             and not accumulators
-            and self.matid is None
             and self._cpml_kernel_eligible()
         ):
             # temporally-blocked CPML kernel (pallas_cpml_k): ~4x the
             # single-pass absorbing kernel when the cadence allows
             from .pallas_cpml_k import pallas_cpml_stepk_fn, supports_cpml_k
 
-            for cand in (8, 6, 5, 4, 3, 2):
+            cands = (6, 5, 4, 3, 2) if self.matid is not None else (
+                8, 6, 5, 4, 3, 2
+            )
+            for cand in cands:
                 cadence = probe_every if probes else n_steps
                 if (
                     n_steps % cand == 0
@@ -320,14 +322,27 @@ class Simulation:
                         self.sources.num_sources if self.sources is not None
                         else 0
                     )
-                    step = pallas_cpml_stepk_fn(
-                        self.grid.shape, cand,
+                    kw = dict(
                         inv_dx=tuple(1.0 / d for d in self.grid.dx),
                         dt=self.grid.dt, bc=self.bc,
                         constants=self.grid.constants,
                         cpml=self._cpml_or_empty, tfsf=self.tfsf,
                         max_sources=n_src,
                     )
+                    if self.matid is not None:
+                        kernel = pallas_cpml_stepk_fn(
+                            self.grid.shape, cand,
+                            matid=jnp.asarray(self.matid),
+                            n_materials=self._n_materials, **kw,
+                        )
+                        table = jnp.asarray(self.table, jnp.float32)
+
+                        def step(state, coeffs, sources, _k=kernel, _t=table):
+                            return _k(state, _t, sources)
+                    else:
+                        step = pallas_cpml_stepk_fn(
+                            self.grid.shape, cand, **kw
+                        )
                     self._multi_step_cache[key] = step
                     k = cand
                     break

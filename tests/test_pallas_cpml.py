@@ -237,3 +237,45 @@ def test_kernel_cpml_kstep_matches_single(k, box):
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6,
             err_msg=f"psi[{j}]",
         )
+
+
+def test_kernel_cpml_kstep_matid():
+    """K-step + compressed materials: per-stage matid planes drive the
+    one-hot coefficients inside the absorbing wavefront."""
+    from fdtd_tpu.solver.pallas_cpml_k import pallas_cpml_stepk_fn
+
+    shape = (16, 32, 128)
+    cpml = Cpml(thickness=((4, 4), (4, 4), (0, 0)))
+    tab = ft.MaterialTable()
+    diel = tab.register(ft.Material(relative_permittivity=3.0))
+    matid = np.zeros(shape, np.uint8)
+    matid[6:10, 12:20, 40:80] = diel
+    res = ft.Resolution(spatial=(1.0, 1.0, 1.0), temporal=DT)
+    ctable = jnp.asarray(
+        ft.coefficient_table(tab.materials, res, ft.REDUCED, dtype=np.float32)
+    )
+    srcs = _sources()
+
+    one = pallas_cpml_step_fn(
+        shape, inv_dx=INV_DX, dt=DT, constants=ft.REDUCED, cpml=cpml,
+        interpret=True, matid=jnp.asarray(matid), n_materials=2,
+        max_sources=srcs.num_sources,
+    )
+    kstep = pallas_cpml_stepk_fn(
+        shape, 3, inv_dx=INV_DX, dt=DT, constants=ft.REDUCED, cpml=cpml,
+        interpret=True, matid=jnp.asarray(matid), n_materials=2,
+        max_sources=srcs.num_sources,
+    )
+    ref = init_pml_kernel_state(shape, jnp.float32, cpml=cpml)
+    st = init_pml_kernel_state(shape, jnp.float32, cpml=cpml)
+    for _ in range(12):
+        ref = one(ref, ctable, srcs)
+    for _ in range(4):
+        st = kstep(st, ctable, srcs)
+    scale = float(jnp.max(jnp.abs(ref.ez)))
+    assert scale > 1e-6
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(st.e[c]), np.asarray(ref.e[c]),
+            rtol=2e-5, atol=2e-5 * scale,
+        )
