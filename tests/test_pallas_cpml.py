@@ -279,3 +279,16 @@ def test_kernel_cpml_kstep_matid():
             np.asarray(st.e[c]), np.asarray(ref.e[c]),
             rtol=2e-5, atol=2e-5 * scale,
         )
+
+
+def test_supports_cpml_k_vmem_guard():
+    """K selection must reject carry footprints that blow scoped VMEM so
+    Simulation's candidate descent always lands on a compilable K."""
+    from fdtd_tpu.solver.pallas_cpml_k import supports_cpml_k
+
+    bc = ft.BoundaryConditions()
+    cp = Cpml.uniform(10)
+    ok_256 = [k for k in (8, 6, 4, 2) if supports_cpml_k((256, 256, 256), bc, cp, k)]
+    ok_512 = [k for k in (8, 6, 4, 3, 2) if supports_cpml_k((512, 512, 512), bc, cp, k)]
+    assert ok_256 == [8, 6, 4, 2]
+    assert ok_512 == [3, 2]  # VMEM-bounded (validated on hardware at K=3)
