@@ -6,6 +6,13 @@ from .pallas_sharded_k import (
     extract_slice,
     make_pallas_sharded_stepk,
 )
+from .pallas_sharded_cpml import (
+    collapse_pml_state,
+    extend_pml_state,
+    init_sharded_pml_state,
+    make_pallas_sharded_cpml_stepk,
+    supports_sharded_cpml,
+)
 from .sharded import make_sharded_step, shard_state, state_sharding
 from .sharded_engine import (
     ShardedEngineState,
@@ -23,6 +30,11 @@ __all__ = [
     "choose_mesh_shape",
     "make_pallas_sharded_step",
     "make_pallas_sharded_stepk",
+    "make_pallas_sharded_cpml_stepk",
+    "supports_sharded_cpml",
+    "init_sharded_pml_state",
+    "extend_pml_state",
+    "collapse_pml_state",
     "extend_state",
     "extract_slice",
     "collapse_state",

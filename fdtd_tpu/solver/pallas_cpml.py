@@ -95,9 +95,16 @@ class PmlKernelState(NamedTuple):
         return self.ex.shape
 
 
-def _psi_layout(shape, cpml):
+def _psi_layout(shape, cpml, x_extra: int = 0):
     """Ordered psi tensor descriptors: (half, axis, comp, tensor_shape,
-    (Tlo, Thi, Tlo_pad, Thi_pad)). Two tensors per (half, active axis)."""
+    (Tlo, Thi, Tlo_pad, Thi_pad)). Two tensors per (half, active axis).
+
+    ``x_extra`` widens each x-axis slab tensor by that many planes (the
+    sharded wrapper's halo depth): the lo tensor then covers lattice planes
+    [0, Tlo+x_extra] and the hi tensor the last Thi+x_extra+1 planes, so a
+    shard's halo offset keeps the identity plane<->slab-index alignment.
+    Correctness still comes purely from profile gating: planes whose
+    profile rows are zero write psi = 0."""
     nx, ny, nz = shape
     out = []
     active = set(cpml.active_axes())
@@ -110,6 +117,8 @@ def _psi_layout(shape, cpml):
             (l0, l1), (h0, h1) = _slab_extents(n, lo, hi, half == "e")
             t_lo, t_hi = l1 - l0, h1 - h0
             if axis == 0:
+                t_lo += x_extra
+                t_hi += x_extra
                 # two tensors (lo/hi ends) with PURE min/max clamp index
                 # maps — conditional (where/rem) index maps de-pipeline the
                 # Mosaic DMA schedule. Block 't' (lo) / 0 (hi) is the trash

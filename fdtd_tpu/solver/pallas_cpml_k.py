@@ -79,7 +79,7 @@ def supports_cpml_k(shape, bc, cpml, k: int, dtype=jnp.float32) -> bool:
 
 
 def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
-                 tfsf_box, n_src, n_materials):
+                 tfsf_box, n_src, n_materials, runtime_edges=False):
     inv_x, inv_y, inv_z = inv_dx
     n_psi = len(layout)
     # x-axis terms share one carry per (half, comp); y/z one per term
@@ -90,6 +90,9 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
     def kernel(*refs):
         k = 0
         coef_ref = refs[k]; k += 1
+        edge_ref = None
+        if runtime_edges:
+            edge_ref = refs[k]; k += 1
         xprof_ref = None
         if x_terms:
             xprof_ref = refs[k]; k += 1
@@ -120,6 +123,15 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
         i = pl.program_id(0)
         p = nx - 1 - i  # stage-1 plane (goes negative at the tail)
         f32 = jnp.float32
+        # global Neumann-edge planes in this array's coordinates; the
+        # sharded wrapper moves them per shard (sentinels far off the grid
+        # disable a mask: halo-region outputs are garbage by construction)
+        if runtime_edges:
+            lo_edge = edge_ref[0, 0]
+            hi_edge = edge_ref[0, 1]
+        else:
+            lo_edge = 0
+            hi_edge = nx - 1
         ny, nz = ex_r.shape[1:]
         iy = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 0)
         iz = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 1)
@@ -194,9 +206,16 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                 # SUM into both tensors would land a nonzero value on the
                 # other end's trash block (e.g. plane 0 clamps onto the hi
                 # tensor's trash) and break the trash == 0 invariant the
-                # stage-1 lo+hi read relies on
-                p_lo = b_lo * psi0 + c_lo * raw
-                p_hi = b_hi * psi0 + c_hi * raw
+                # stage-1 lo+hi read relies on.
+                # Gate with where, NOT multiplication by the zero profile:
+                # under sharding the raw derivative at extreme halo planes
+                # reads uninitialized carry scratch, and 0 * NaN = NaN
+                # would poison the persistent trash plane (which stage 1
+                # then sums into EVERY interior plane's psi0).
+                live_lo = jnp.logical_or(b_lo != 0.0, c_lo != 0.0)
+                live_hi = jnp.logical_or(b_hi != 0.0, c_hi != 0.0)
+                p_lo = jnp.where(live_lo, b_lo * psi0 + c_lo * raw, 0.0)
+                p_hi = jnp.where(live_hi, b_hi * psi0 + c_hi * raw, 0.0)
                 p_new = p_lo + p_hi
                 if stage == k_steps:
                     il, _ = psi_hbm[(half, 0, comp, "lo")]
@@ -287,7 +306,7 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
 
             new_psi_lvl = [None] * (len(x_terms) + len(yz_terms))
 
-            at_lo = q <= 0
+            at_lo = q <= lo_edge
             dez_x = stretch(st, q, "h", 0, 2,
                             jnp.where(at_lo, zero, e_here[2] - e_xm[2]) * inv_x,
                             new_psi_lvl)
@@ -336,7 +355,7 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                 hy_top, hz_top = prev_h[st][1], prev_h[st][2]
             else:
                 hy_top, hz_top = top_y, top_z
-            at_hi = q == nx - 1
+            at_hi = q == hi_edge
             dhz_x = stretch(st, q, "e", 0, 2,
                             jnp.where(at_hi, zero, hz_top - hk[2]) * inv_x,
                             new_psi_lvl)
@@ -417,12 +436,13 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
 
 @functools.lru_cache(maxsize=8)
 def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
-                dt, constants_key, interpret, n_src, n_materials=1):
+                dt, constants_key, interpret, n_src, n_materials=1,
+                x_extra=0, runtime_edges=False, runtime_xprof=False):
     from ..constants import REDUCED
 
     constants = SI if constants_key == "si" else REDUCED
     nx, ny, nz = shape
-    layout = _psi_layout(shape, cpml)
+    layout = _psi_layout(shape, cpml, x_extra)
     profs = _profiles(shape, cpml, inv_dx, dt, constants)
     plane = (1, ny, nz)
     f32 = jnp.float32
@@ -482,10 +502,13 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
         in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]  # (K_mat, 4) table
     else:
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]  # coef row (1, 4)
+    if runtime_edges:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # (1, 2) i32
     static_inputs = []
     if any(axis == 0 for _, axis, *_ in layout):
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # (2, 5, nx)
-        static_inputs.append(np.stack([profs[("h", 0)], profs[("e", 0)]]))
+        if not runtime_xprof:
+            static_inputs.append(np.stack([profs[("h", 0)], profs[("e", 0)]]))
     if with_tfsf:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # (2K, aux)
     if n_src > 0:
@@ -516,7 +539,7 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
 
     kernel, x_terms, yz_terms = _make_kernel(
         shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes, tfsf_box,
-        n_src, n_materials,
+        n_src, n_materials, runtime_edges,
     )
 
     # scratch per level: 6 field planes + per-term psi slots

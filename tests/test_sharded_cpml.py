@@ -1,0 +1,134 @@
+"""Sharded in-kernel CPML (parallel/pallas_sharded_cpml.py) equivalence.
+
+Gate: the sharded CPML K-step must match the single-device CPML K kernel
+(solver/pallas_cpml_k.py) on fields AND psi after multiple chained passes,
+in interpret mode on the virtual CPU mesh — including a source within K
+planes of a shard boundary (exercises halo injection + redundant
+recompute agreement)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fdtd_tpu as ft
+from fdtd_tpu.parallel import make_mesh
+from fdtd_tpu.parallel.pallas_sharded_cpml import (
+    collapse_pml_state,
+    extend_pml_state,
+    init_sharded_pml_state,
+    make_pallas_sharded_cpml_stepk,
+    supports_sharded_cpml,
+)
+from fdtd_tpu.solver.boundary import BoundaryConditions
+from fdtd_tpu.solver.cpml import Cpml
+from fdtd_tpu.solver.pallas_cpml import init_pml_kernel_state
+from fdtd_tpu.solver.pallas_cpml_k import pallas_cpml_stepk_fn
+
+
+def _run_pair(shape, n_dev, k, cpml, n_passes, src_px):
+    mesh = make_mesh(n_dev, ("x",))
+    bc = BoundaryConditions()
+    assert supports_sharded_cpml(shape, n_dev, bc, cpml, k)
+
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+    coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
+    src = ft.SourceSet.build(
+        [
+            ft.PointSource(
+                (src_px, shape[1] // 2, shape[2] // 2),
+                ft.GaussianPulse(4 * dt, 2 * dt),
+                j=(0.3, -0.2, 1.0),
+            )
+        ]
+    )
+
+    ref_step = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, interpret=True,
+    )
+    ref = init_pml_kernel_state(shape, cpml=cpml)
+    for _ in range(n_passes):
+        ref = ref_step(ref, coeffs, src)
+
+    sh_step = make_pallas_sharded_cpml_stepk(
+        mesh, shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+        constants=ft.REDUCED, cpml=cpml, max_sources=1, interpret=True,
+    )
+    st = init_sharded_pml_state(shape, mesh, k, cpml=cpml)
+    for _ in range(n_passes):
+        st = sh_step(st, coeffs, src)
+    got = collapse_pml_state(st, mesh, k, shape, cpml=cpml)
+    return ref, got
+
+
+def _assert_state_equal(ref, got, atol=1e-6):
+    for name in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)),
+            np.asarray(getattr(ref, name)),
+            rtol=0, atol=atol, err_msg=name,
+        )
+    assert int(got.tick) == int(ref.tick)
+    for i, (pr, pg) in enumerate(zip(ref.psi, got.psi)):
+        np.testing.assert_allclose(
+            np.asarray(pg), np.asarray(pr), rtol=0, atol=atol,
+            err_msg=f"psi[{i}]",
+        )
+
+
+def test_sharded_cpml_all_axes_matches_single_device():
+    # CPML on all axes, source 1 plane from the shard-0/1 boundary
+    shape, n_dev, k = (32, 32, 256), 2, 2
+    cpml = Cpml(thickness=((6, 6), (4, 4), (4, 4)))
+    ref, got = _run_pair(shape, n_dev, k, cpml, n_passes=4, src_px=15)
+    assert float(jnp.abs(ref.ez).max()) > 0  # simulation actually ran
+    _assert_state_equal(ref, got)
+
+
+def test_sharded_cpml_x_only_four_shards():
+    # x-only CPML over 4 shards; interior shards carry zero-profile slabs
+    shape, n_dev, k = (64, 8, 128), 4, 3
+    cpml = Cpml(thickness=((10, 10), (0, 0), (0, 0)))
+    ref, got = _run_pair(shape, n_dev, k, cpml, n_passes=3, src_px=33)
+    assert float(jnp.abs(ref.ez).max()) > 0
+    _assert_state_equal(ref, got)
+
+
+def test_sharded_cpml_roundtrip_extend_collapse():
+    shape, n_dev, k = (32, 32, 256), 2, 2
+    cpml = Cpml(thickness=((6, 6), (4, 4), (4, 4)))
+    mesh = make_mesh(n_dev, ("x",))
+    # build a nonzero global state by running the single-device kernel
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+    coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
+    src = ft.SourceSet.build(
+        [ft.PointSource((16, 16, 128), ft.GaussianPulse(4 * dt, 2 * dt),
+                        j=(0.0, 0.0, 1.0))]
+    )
+    step = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, interpret=True,
+    )
+    st = init_pml_kernel_state(shape, cpml=cpml)
+    for _ in range(3):
+        st = step(st, coeffs, src)
+    rt = collapse_pml_state(
+        extend_pml_state(st, mesh, k, cpml=cpml), mesh, k, shape, cpml=cpml
+    )
+    _assert_state_equal(st, rt, atol=0)
+
+
+def test_supports_sharded_cpml_rejects_deep_pml():
+    bc = BoundaryConditions()
+    # depth 14 > nl - k = 16 - 2 on 2 shards of nx=32
+    assert not supports_sharded_cpml(
+        (32, 32, 256), 2, bc, Cpml(thickness=((14, 14), (0, 0), (0, 0))), 2
+    )
+    assert supports_sharded_cpml(
+        (32, 32, 256), 2, bc, Cpml(thickness=((6, 6), (0, 0), (0, 0))), 2
+    )
