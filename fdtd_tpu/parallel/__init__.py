@@ -6,6 +6,7 @@ from .pallas_sharded_k import (
     extract_slice,
     make_pallas_sharded_stepk,
 )
+from .best import best_sharded_absorbing_step
 from .pallas_sharded_cpml import (
     collapse_pml_state,
     extend_pml_state,
@@ -22,6 +23,7 @@ from .sharded_engine import (
 )
 
 __all__ = [
+    "best_sharded_absorbing_step",
     "ShardedEngineState",
     "init_sharded_engine_state",
     "make_sharded_engine_step",

@@ -132,3 +132,34 @@ def test_supports_sharded_cpml_rejects_deep_pml():
     assert supports_sharded_cpml(
         (32, 32, 256), 2, bc, Cpml(thickness=((6, 6), (0, 0), (0, 0))), 2
     )
+
+
+def test_best_sharded_absorbing_dispatch():
+    from fdtd_tpu.parallel.best import best_sharded_absorbing_step
+    from fdtd_tpu.solver.tfsf import Tfsf
+
+    shape = (32, 32, 256)
+    cpml = Cpml(thickness=((6, 6), (4, 4), (4, 4)))
+    mesh = make_mesh(2, ("x",))
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+    coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
+
+    step, init_state, k, kind = best_sharded_absorbing_step(
+        mesh, shape, inv_dx=(1.0, 1.0, 1.0), dt=res.temporal,
+        constants=ft.REDUCED, cpml=cpml, interpret=True,
+    )
+    assert kind == "pallas_cpml_k" and k >= 2
+    st = step(init_state(), coeffs, None)
+    assert int(st.tick) == k
+
+    # TF/SF forces the XLA-engine fallback
+    tfsf = Tfsf(span=(8, 23),
+                waveform=ft.GaussianPulse(4 * res.temporal, 2 * res.temporal))
+    step2, init2, k2, kind2 = best_sharded_absorbing_step(
+        mesh, shape, inv_dx=(1.0, 1.0, 1.0), dt=res.temporal,
+        constants=ft.REDUCED, cpml=cpml, tfsf=tfsf, interpret=True,
+    )
+    assert kind2 == "xla_engine" and k2 == 1
+    st2 = step2(init2(), coeffs, None)
+    assert int(st2.tick) == 1
