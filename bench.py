@@ -8,9 +8,17 @@ BASELINE.md (the reference itself publishes no numbers). Detailed results
 (per size, compressed-material mode, steps/sec including probe readback)
 go to stderr.
 
+Before timing, an ON-DEVICE NUMERICS SELF-CHECK runs every kernel tier
+against the XLA reference step at a small shape for ~100 ticks; a FAIL
+aborts the run without printing the headline JSON (guards the known
+Mosaic-miscompile class that interpret-mode tests cannot see —
+docs/ROADMAP.md runtime-bugs section).
+
 Run on the real TPU chip (no platform override). Honors:
-  BENCH_SIZES  comma-separated cube sizes (default "256,512")
-  BENCH_STEPS  timed steps per measurement (default 50)
+  BENCH_SIZES      comma-separated cube sizes (default "256,512")
+  BENCH_STEPS      timed steps per measurement (default 50)
+  BENCH_1024       "0" to skip the 1024^3 bf16 in-place datapoint
+  BENCH_SELFCHECK  "0" to skip the numerics self-check (debug only)
 """
 
 from __future__ import annotations
@@ -21,14 +29,173 @@ import sys
 import time
 
 
+def _measure_readback(jnp, n: int = 8) -> float:
+    """Round-trip cost of the scalar sync readback, measured on a READY
+    array (subtracted once from each timed region)."""
+    import jax
+
+    x = jnp.zeros((8, 128), jnp.float32) + 1.0
+    jax.block_until_ready(x)
+    x[1, 1].item()
+    t0 = time.perf_counter()
+    for _ in range(n):
+        x[1, 1].item()
+    return (time.perf_counter() - t0) / n
+
+
 def _sync(x) -> None:
     """Reliable device sync: a scalar readback (block_until_ready can return
     early under remotely-tunneled runtimes)."""
     x.ex[1, 1, 1].item()
 
 
-# one-time cost of the sync readback itself, subtracted from timings
-_READBACK_S = 0.027
+def _rel_err(got, ref, np) -> float:
+    scale = float(np.abs(ref).max()) or 1.0
+    return float(np.abs(np.asarray(got) - np.asarray(ref)).max()) / scale
+
+
+def _selfcheck(ft, jax, jnp, np) -> bool:
+    """On-device numerics check of every benched kernel tier vs the XLA
+    step at (64, 32, 256) for ~96 ticks. Returns True iff all pass."""
+    from fdtd_tpu.solver.best import best_step_fn
+    from fdtd_tpu.solver.boundary import BoundaryConditions
+    from fdtd_tpu.solver.cpml import Cpml
+    from fdtd_tpu.solver.engine import build_step, init_engine_state
+    from fdtd_tpu.solver.pallas_cpml import init_pml_kernel_state
+    from fdtd_tpu.solver.pallas_cpml_k import pallas_cpml_stepk_fn
+    from fdtd_tpu.solver.pallas_step import pallas_step_fn, supports
+    from fdtd_tpu.solver.pallas_stepk import pallas_stepk_fn
+
+    shape = (64, 32, 256)
+    n_ticks = 96
+    tol = 1e-4
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.99)
+    grid = ft.Grid(shape=shape, resolution=res, constants=ft.REDUCED)
+    dt = grid.dt
+    bc = BoundaryConditions()
+    src = ft.SourceSet.build(
+        [ft.PointSource((32, 16, 128), ft.GaussianPulse(20 * dt, 6 * dt),
+                        j=(0.0, 0.0, 1.0))]
+    )
+    table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+    coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
+    xla_step = jax.jit(ft.step_fn(inv_dx=(1.0, 1.0, 1.0), dt=dt))
+
+    def run(step_fn_, state, calls):
+        for _ in range(calls):
+            state = step_fn_(state, coeffs, src)
+        jax.block_until_ready(state)
+        return state
+
+    ref = run(xla_step, ft.zero_state(shape), n_ticks)
+    ok = True
+
+    def check(name, state):
+        nonlocal ok
+        err = max(
+            _rel_err(getattr(state, f), getattr(ref, f), np)
+            for f in ("ex", "ey", "ez", "hx", "hy", "hz")
+        )
+        good = err < tol
+        ok = ok and good
+        print(
+            f"selfcheck {name}: rel_err {err:.2e} "
+            f"{'PASS' if good else 'FAIL'}",
+            file=sys.stderr,
+        )
+
+    if supports(shape, bc):
+        step1 = jax.jit(
+            pallas_step_fn(shape, inv_dx=(1.0, 1.0, 1.0), dt=dt)
+        )
+        check("fused single-step", run(step1, ft.zero_state(shape), n_ticks))
+
+    for k in (8,):
+        stepk = jax.jit(
+            pallas_stepk_fn(shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+                            max_sources=1)
+        )
+        check(f"K-step K={k}", run(stepk, ft.zero_state(shape), n_ticks // k))
+
+    # aliased (in-place) K-step — the 1024^3 path
+    stepa = jax.jit(
+        pallas_stepk_fn(shape, 8, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+                        max_sources=1, io_alias=True),
+        donate_argnums=0,
+    )
+    check("K-step K=8 aliased", run(stepa, ft.zero_state(shape), n_ticks // 8))
+
+    # compressed-material (matid) tier vs dense per-cell XLA coefficients
+    tab = ft.MaterialTable()
+    diel = tab.register(ft.Material(relative_permittivity=3.9))
+    matid = np.zeros(shape, np.uint8)
+    idx = np.indices(shape)
+    r2 = (
+        (idx[0] - 32) ** 2 + (idx[1] - 16) ** 2 + (idx[2] - 128) ** 2
+    )
+    matid[r2 < 10 ** 2] = diel
+    ctable = ft.coefficient_table(tab.materials, res, ft.REDUCED)
+    dense = ft.CellCoefficients.from_table(
+        jnp.asarray(ctable, jnp.float32), jnp.asarray(matid)
+    )
+
+    def xla_dense(state, _c, s):
+        return xla_step(state, dense, s)
+
+    ref_m = run(xla_dense, ft.zero_state(shape), n_ticks)
+    stepm = jax.jit(
+        pallas_stepk_fn(shape, 6, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+                        matid=jnp.asarray(matid), n_materials=len(tab),
+                        max_sources=1)
+    )
+    jtable = jnp.asarray(ctable, jnp.float32)
+    stm = ft.zero_state(shape)
+    for _ in range(n_ticks // 6):
+        stm = stepm(stm, jtable, src)
+    jax.block_until_ready(stm)
+    err_m = max(
+        _rel_err(getattr(stm, f), getattr(ref_m, f), np)
+        for f in ("ex", "ey", "ez", "hx", "hy", "hz")
+    )
+    good_m = err_m < tol
+    ok = ok and good_m
+    print(
+        f"selfcheck matid K=6: rel_err {err_m:.2e} "
+        f"{'PASS' if good_m else 'FAIL'}",
+        file=sys.stderr,
+    )
+
+    # CPML kernel tier vs the XLA engine
+    cpml = Cpml.uniform(10)
+    eng = jax.jit(
+        build_step(shape, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+                   constants=ft.REDUCED, cpml=cpml)
+    )
+    est = init_engine_state(shape, cpml=cpml)
+    for _ in range(n_ticks):
+        est = eng(est, coeffs, src)
+    jax.block_until_ready(est)
+    ck = 8
+    cstep = jax.jit(
+        pallas_cpml_stepk_fn(shape, ck, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+                             constants=ft.REDUCED, cpml=cpml, max_sources=1)
+    )
+    cst = init_pml_kernel_state(shape, cpml=cpml)
+    for _ in range(n_ticks // ck):
+        cst = cstep(cst, coeffs, src)
+    jax.block_until_ready(cst)
+    err_c = max(
+        _rel_err(getattr(cst, f), getattr(est, f), np)
+        for f in ("ex", "ey", "ez", "hx", "hy", "hz")
+    )
+    good_c = err_c < tol
+    ok = ok and good_c
+    print(
+        f"selfcheck CPML K={ck}: rel_err {err_c:.2e} "
+        f"{'PASS' if good_c else 'FAIL'}",
+        file=sys.stderr,
+    )
+    return ok
 
 
 def main() -> None:
@@ -45,6 +212,22 @@ def main() -> None:
     n_steps = int(os.environ.get("BENCH_STEPS", "50"))
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind}, platform {dev.platform}", file=sys.stderr)
+
+    readback_s = _measure_readback(jnp)
+    print(f"sync readback: {readback_s*1e3:.1f} ms (measured)", file=sys.stderr)
+
+    if dev.platform == "tpu" and os.environ.get("BENCH_SELFCHECK", "1") != "0":
+        t0 = time.perf_counter()
+        if not _selfcheck(ft, jax, jnp, np):
+            print(
+                "selfcheck FAILED: kernel numerics diverge from the XLA "
+                "reference on this device — refusing to print a headline",
+                file=sys.stderr,
+            )
+            sys.exit(1)
+        print(
+            f"selfcheck PASS ({time.perf_counter()-t0:.0f}s)", file=sys.stderr
+        )
 
     target = 5e9  # BASELINE.md: >= 5 Gcell-updates/s/chip at 512^3 f32
     results = {}
@@ -86,7 +269,7 @@ def main() -> None:
         t0 = time.perf_counter()
         state = run_j(state, n_calls)
         _sync(state)
-        dt_wall = time.perf_counter() - t0 - _READBACK_S
+        dt_wall = time.perf_counter() - t0 - readback_s
 
         steps_done = n_calls * k_per_call
         cells_per_s = grid.num_cells * steps_done / dt_wall
@@ -98,11 +281,9 @@ def main() -> None:
             f"{dt_wall*1e3/steps_done:.2f} ms/step)",
             file=sys.stderr,
         )
-        # steps/sec INCLUDING probe readback (BASELINE metric): advance in
-        # K-step chunks, sampling a point probe at the chunk cadence and
-        # pulling the trace to host per call (the observation-throttled
-        # pattern from the runner; Simulation.run dispatches the same way)
-        chunk = k_per_call
+        # steps/sec INCLUDING probe readback, at BOTH cadences:
+        # (a) per-K-step chunks (the runner's observation-throttle pattern)
+        # (b) per-1-step readback (the conservative BASELINE metric)
         probe = PointProbe(points=(((n // 2) + 8, n // 2, n // 2),))
 
         def run_probe(state, k: int):
@@ -113,26 +294,50 @@ def main() -> None:
             return jax.lax.scan(body, state, None, length=k)
 
         runp_j = jax.jit(run_probe, static_argnums=1, donate_argnums=0)
-        state, trace = runp_j(state, chunk)
+        state, trace = runp_j(state, 1)
         _ = np.asarray(trace)  # includes transfer
         t0 = time.perf_counter()
-        n_chunks = max(n_steps // chunk, 1)
+        n_chunks = max(n_steps // k_per_call, 1)
         for _ in range(n_chunks):
-            state, trace = runp_j(state, chunk)
+            state, trace = runp_j(state, 1)
             _ = np.asarray(trace)
         dt_wall = time.perf_counter() - t0
-        ticks = n_chunks * chunk * k_per_call
+        ticks = n_chunks * k_per_call
         print(
             f"{n}^3 with per-{k_per_call}-step probe readback: "
             f"{ticks/dt_wall:.1f} steps/s "
             f"({grid.num_cells*ticks/dt_wall/1e9:.3f} Gcell/s)",
             file=sys.stderr,
         )
+        # per-1-step probe readback (single-step kernel, one pull per tick)
+        from fdtd_tpu.solver.best import best_step_fn
+
+        step_1 = best_step_fn(shape, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt)
+
+        def tick_probe(state):
+            s2 = step_1(state, coeffs, src)
+            return s2, probe.sample(s2, grid.dt)
+
+        tickp_j = jax.jit(tick_probe, donate_argnums=0)
+        state, trace = tickp_j(state)
+        _ = np.asarray(trace)
+        n1 = min(n_steps, 30)
+        t0 = time.perf_counter()
+        for _ in range(n1):
+            state, trace = tickp_j(state)
+            _ = np.asarray(trace)
+        dt_wall = time.perf_counter() - t0
+        print(
+            f"{n}^3 with per-1-step probe readback: "
+            f"{n1/dt_wall:.1f} steps/s "
+            f"({grid.num_cells*n1/dt_wall/1e9:.3f} Gcell/s)",
+            file=sys.stderr,
+        )
         del state
 
         # bf16 storage mode (f32 compute): halves HBM traffic
         if n == max(sizes) and dev.platform == "tpu":
-            from fdtd_tpu.solver.pallas_step import pallas_step_fn as _psf
+            from fdtd_tpu.solver.best import best_multi_step_fn as _bmsf
 
             bstep, bk = best_multi_step_fn(
                 shape, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt, dtype=jnp.bfloat16
@@ -158,7 +363,7 @@ def main() -> None:
             t0 = time.perf_counter()
             state = runb_j(state, bcalls)
             _sync(state)
-            dt_wall = time.perf_counter() - t0 - _READBACK_S
+            dt_wall = time.perf_counter() - t0 - readback_s
             print(
                 f"{n}^3 bf16 storage (K={bk}): "
                 f"{grid.num_cells*bcalls*bk/dt_wall/1e9:.3f} Gcell/s",
@@ -202,7 +407,7 @@ def main() -> None:
             t0 = time.perf_counter()
             cstate = runc_j(cstate, c_calls)
             cstate.ex[1, 1, 1].item()
-            dt_wall = time.perf_counter() - t0 - _READBACK_S
+            dt_wall = time.perf_counter() - t0 - readback_s
             print(
                 f"{n}^3 CPML all axes (in-kernel, K={ck}): "
                 f"{grid.num_cells*c_calls*ck/dt_wall/1e9:.3f} Gcell/s",
@@ -246,13 +451,59 @@ def main() -> None:
                 t0 = time.perf_counter()
                 state = runm_j(state, mcalls)
                 _sync(state)
-                dt_wall = time.perf_counter() - t0 - _READBACK_S
+                dt_wall = time.perf_counter() - t0 - readback_s
                 print(
                     f"{n}^3 compressed-material ({len(tab)} materials, "
                     f"K=10): {grid.num_cells*mcalls*10/dt_wall/1e9:.3f} Gcell/s",
                     file=sys.stderr,
                 )
                 del state
+
+    # 1024^3 bf16 in-place datapoint (BASELINE config 5's upper bound):
+    # 6 fields at bf16 = 12.9 GB — fits a v5e's 16 GB only with the
+    # aliased (in-place) kernel, chained pass-by-pass (no scan; the
+    # aliased-custom-call-under-scan miscompile class, see ROADMAP.md)
+    if dev.platform == "tpu" and os.environ.get("BENCH_1024", "1") != "0":
+        try:
+            from fdtd_tpu.solver.pallas_stepk import pallas_stepk_fn
+
+            n = 1024
+            shape = (n, n, n)
+            res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.99)
+            grid = ft.Grid(shape=shape, resolution=res, constants=ft.REDUCED)
+            src = ft.SourceSet.build(
+                [ft.PointSource((n // 2,) * 3,
+                                ft.GaussianPulse(20 * grid.dt, 6 * grid.dt),
+                                j=(0.0, 0.0, 1.0))],
+                dtype=jnp.bfloat16,
+            )
+            table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+            coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
+            bk = 8
+            bstep = jax.jit(
+                pallas_stepk_fn(
+                    shape, bk, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
+                    dtype=jnp.bfloat16, max_sources=1, io_alias=True,
+                ),
+                donate_argnums=0,
+            )
+            state = ft.zero_state(shape, jnp.bfloat16)
+            state = bstep(state, coeffs, src)  # warmup/compile
+            _sync(state)
+            calls = 3
+            t0 = time.perf_counter()
+            for _ in range(calls):
+                state = bstep(state, coeffs, src)
+            _sync(state)
+            dt_wall = time.perf_counter() - t0 - readback_s
+            print(
+                f"1024^3 bf16 in-place (K={bk}, pass-by-pass): "
+                f"{grid.num_cells*calls*bk/dt_wall/1e9:.3f} Gcell/s",
+                file=sys.stderr,
+            )
+            del state
+        except Exception as e:  # HBM or compile limits: report, don't fail
+            print(f"1024^3 bf16 attempt failed: {e!r}", file=sys.stderr)
 
     headline = results.get(512, results[max(results)])
     print(

@@ -240,7 +240,7 @@ def supports_cpml(shape, bc, cpml, dtype=jnp.float32) -> bool:
 
 
 def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes, n_src,
-                 n_materials, tfsf_box):
+                 n_materials, tfsf_box, with_m=False):
     inv_x, inv_y, inv_z = inv_dx
     n_psi = len(layout)
 
@@ -429,6 +429,26 @@ def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes, n_src,
                     jnp.logical_and(iy == ty1 + 1, z_ok), -d_b * ez_inc, 0.0
                 )
 
+        # M (magnetic-current) injection BEFORE the E half reads curl H —
+        # the same tick's E update consumes the M-corrected H, so M can
+        # never be a post-kernel scatter (engine.py order; ref semantics
+        # cem-solver/src/fdtd/wgpu/update.wgsl:56-91). Row layout adds
+        # [m_x, m_y, m_z] after the J triple.
+        if with_m:
+            hn = [hn_x, hn_y, hn_z]
+            for s_i in range(n_src):
+                sp = src_ref[s_i, 0].astype(jnp.int32)
+                py_s = src_ref[s_i, 1].astype(jnp.int32)
+                pz_s = src_ref[s_i, 2].astype(jnp.int32)
+                mask = jnp.logical_and(
+                    sp == p, jnp.logical_and(iy == py_s, iz == pz_s)
+                )
+                for c in range(3):
+                    hn[c] = jnp.where(
+                        mask, hn[c] - d_b * src_ref[s_i, 6 + c], hn[c]
+                    )
+            hn_x, hn_y, hn_z = hn
+
         # ---- E half-update (uses the new H) -----------------------------
         hy_top = s_hy[...]
         hz_top = s_hz[...]
@@ -490,7 +510,8 @@ def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes, n_src,
 
 @functools.lru_cache(maxsize=16)
 def _build_call(shape, inv_dx, cpml, with_tfsf, tfsf_planes, dt, constants_key,
-                interpret, n_src=0, n_materials=1, tfsf_box=None):
+                interpret, n_src=0, n_materials=1, tfsf_box=None,
+                with_m=False):
     constants = SI if constants_key == "si" else _REDUCED()
     nx, ny, nz = shape
     layout = _psi_layout(shape, cpml)
@@ -566,7 +587,7 @@ def _build_call(shape, inv_dx, cpml, with_tfsf, tfsf_planes, dt, constants_key,
     )
 
     kernel = _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes,
-                          n_src, n_materials, tfsf_box)
+                          n_src, n_materials, tfsf_box, with_m)
     # NOTE: input_output_aliases were tried here (semantically race-free
     # with the descending sweep) but the aliased many-operand custom call
     # MISCOMPILES under lax.scan on the axon TPU runtime for some configs
@@ -613,15 +634,20 @@ def pallas_cpml_step_fn(
     max_sources: int = 0,
     matid=None,
     n_materials: int = 1,
+    with_m: bool = False,
 ):
     """Build step(state: PmlKernelState, coeffs, sources) with CPML (and
     optionally slab TF/SF) applied inside the fused kernel. Uniform scalar
-    coefficients and J-only point sources. ``max_sources`` > 0 injects J
-    IN-KERNEL (masked row adds; a post-kernel scatter re-walks the E fields
-    for ~20%/tick) — it must equal the real source count; with 0, sources
-    scatter post-kernel."""
+    coefficients. ``max_sources`` > 0 injects J IN-KERNEL (masked row adds;
+    a post-kernel scatter re-walks the E fields for ~20%/tick) — it must
+    equal the real source count; with 0, sources scatter post-kernel.
+    ``with_m`` additionally injects M (magnetic currents) into the H half
+    in-kernel (requires max_sources > 0: the E half consumes the
+    M-corrected H, so M can never be post-kernel)."""
     if not supports_cpml(shape, bc, cpml):
         raise ValueError(f"CPML kernel does not support {shape=} {cpml=}")
+    if with_m and max_sources == 0:
+        raise ValueError("with_m requires in-kernel sources (max_sources > 0)")
     nx = shape[0]
     inv_dx = tuple(float(v) for v in inv_dx)
     from ..constants import REDUCED
@@ -651,7 +677,7 @@ def pallas_cpml_step_fn(
     call, x_inputs, strip_inputs, layout = _build_call(
         tuple(shape), inv_dx, cpml, tfsf is not None, tfsf_planes,
         float(dt), constants_key, interpret, int(max_sources), n_mat,
-        tfsf_box,
+        tfsf_box, bool(with_m),
     )
 
     def step(state: PmlKernelState, coeffs, sources) -> PmlKernelState:
@@ -689,13 +715,12 @@ def pallas_cpml_step_fn(
                     f"{0 if sources is None else sources.num_sources}"
                 )
             t = state.tick.astype(jnp.float32) * jnp.float32(dt)
-            j_vals, _ = sources.values(t)
-            args.append(
-                jnp.concatenate(
-                    [sources.points.astype(jnp.float32),
-                     j_vals.astype(jnp.float32)], axis=1,
-                )
-            )
+            j_vals, m_vals = sources.values(t)
+            cols = [sources.points.astype(jnp.float32),
+                    j_vals.astype(jnp.float32)]
+            if with_m:
+                cols.append(m_vals.astype(jnp.float32))
+            args.append(jnp.concatenate(cols, axis=1))
         args += strip_inputs
         if matid is not None:
             args.append(matid)

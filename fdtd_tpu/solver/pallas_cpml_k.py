@@ -79,7 +79,8 @@ def supports_cpml_k(shape, bc, cpml, k: int, dtype=jnp.float32) -> bool:
 
 
 def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
-                 tfsf_box, n_src, n_materials, runtime_edges=False):
+                 tfsf_box, n_src, n_materials, runtime_edges=False,
+                 with_m=False):
     inv_x, inv_y, inv_z = inv_dx
     n_psi = len(layout)
     # x-axis terms share one carry per (half, comp); y/z one per term
@@ -349,6 +350,22 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                     hk[0] = hk[0] + jnp.where(
                         jnp.logical_and(iy == ty1 + 1, z_ok), -d_b * ez_inc, 0.0
                     )
+
+            # M injection per level BEFORE the E half reads curl H
+            # (engine.py order; rows append M levels 1..K after the J
+            # levels: [px, py, pz, J 1..K (3K), M 1..K (3K)])
+            for s_i in range(n_src if with_m else 0):
+                sp = src_ref[s_i, 0].astype(jnp.int32)
+                py_s = src_ref[s_i, 1].astype(jnp.int32)
+                pz_s = src_ref[s_i, 2].astype(jnp.int32)
+                mask = jnp.logical_and(
+                    sp == q, jnp.logical_and(iy == py_s, iz == pz_s)
+                )
+                mbase = 3 + 3 * k_steps + 3 * (st - 1)
+                for c in range(3):
+                    hk[c] = jnp.where(
+                        mask, hk[c] - d_b * src_ref[s_i, mbase + c], hk[c]
+                    )
             hk = tuple(hk)
 
             if st < k_steps:
@@ -437,7 +454,8 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
 @functools.lru_cache(maxsize=8)
 def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
                 dt, constants_key, interpret, n_src, n_materials=1,
-                x_extra=0, runtime_edges=False, runtime_xprof=False):
+                x_extra=0, runtime_edges=False, runtime_xprof=False,
+                with_m=False):
     from ..constants import REDUCED
 
     constants = SI if constants_key == "si" else REDUCED
@@ -539,7 +557,7 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
 
     kernel, x_terms, yz_terms = _make_kernel(
         shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes, tfsf_box,
-        n_src, n_materials, runtime_edges,
+        n_src, n_materials, runtime_edges, with_m,
     )
 
     # scratch per level: 6 field planes + per-term psi slots
@@ -597,13 +615,16 @@ def pallas_cpml_stepk_fn(
     interpret: bool = False,
     matid=None,
     n_materials: int = 1,
+    with_m: bool = False,
 ):
     """Build step(state: PmlKernelState, coeffs, sources) advancing
     ``k_steps`` absorbing ticks per call. Uniform scalar coefficients;
-    J sources inject in-kernel at every level (max_sources must equal the
-    real count)."""
+    J (and with ``with_m``, M) sources inject in-kernel at every level
+    (max_sources must equal the real count)."""
     if not supports_cpml_k(shape, bc, cpml, k_steps):
         raise ValueError(f"CPML K-step kernel does not support {shape=} {k_steps=}")
+    if with_m and max_sources == 0:
+        raise ValueError("with_m requires in-kernel sources (max_sources > 0)")
     nx = shape[0]
     inv_dx = tuple(float(v) for v in inv_dx)
     constants_key = "si" if constants is SI or constants == SI else "reduced"
@@ -631,7 +652,7 @@ def pallas_cpml_stepk_fn(
     call, x_inputs, strip_inputs = _build_call(
         tuple(shape), inv_dx, cpml, int(k_steps), tfsf is not None,
         tfsf_planes, tfsf_box, float(dt), constants_key, interpret,
-        int(max_sources), n_mat,
+        int(max_sources), n_mat, 0, False, False, bool(with_m),
     )
 
     def step(state: PmlKernelState, coeffs, sources) -> PmlKernelState:
@@ -669,11 +690,14 @@ def pallas_cpml_stepk_fn(
                 )
             n = sources.num_sources
             rows = [sources.points.astype(jnp.float32)]
+            m_rows = []
             for lvl in range(k_steps):
                 t = (state.tick + lvl).astype(jnp.float32) * jnp.float32(dt)
-                j_vals, _ = sources.values(t)
+                j_vals, m_vals = sources.values(t)
                 rows.append(j_vals.astype(jnp.float32))
-            args.append(jnp.concatenate(rows, axis=1))
+                if with_m:
+                    m_rows.append(m_vals.astype(jnp.float32))
+            args.append(jnp.concatenate(rows + m_rows, axis=1))
         args += strip_inputs
         if matid is not None:
             args += [matid] * k_steps

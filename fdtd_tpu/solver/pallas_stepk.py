@@ -237,7 +237,15 @@ def _kernel(inv_dx, nx, n_src, k_steps, storage_dtype, n_materials, with_m, *ref
 
 @functools.lru_cache(maxsize=16)
 def _build_call(shape, inv_dx, n_src, k_steps, interpret, dtype_name,
-                n_materials=1, with_m=False):
+                n_materials=1, with_m=False, io_alias=False):
+    """``io_alias=True`` aliases the six field inputs onto the outputs
+    (in-place update). Race-free with the descending sweep: plane q's
+    fields are read at grid iteration nx-1-q and written K-1 iterations
+    later, above any in-flight prefetch. Required for 1024^3 bf16 runs
+    (two full buffer sets exceed a v5e's HBM); NOT default because
+    aliased many-operand custom calls have miscompiled under lax.scan on
+    the axon runtime (see pallas_cpml.py notes) — callers should chain
+    pass-by-pass and self-check numerics (bench.py does both)."""
     storage_dtype = jnp.dtype(dtype_name)
     nx, ny, nz = shape
     plane = (1, ny, nz)
@@ -291,6 +299,7 @@ def _build_call(shape, inv_dx, n_src, k_steps, interpret, dtype_name,
         ),
         scratch_shapes=[pltpu.VMEM((ny, nz), f32) for _ in range(n_scratch)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        input_output_aliases={3 + f: f for f in range(6)} if io_alias else {},
         interpret=interpret,
     )
 
@@ -351,6 +360,7 @@ def pallas_stepk_fn(
     n_materials: int = 1,
     edge_planes=None,
     with_m: bool = False,
+    io_alias: bool = False,
 ):
     """Build stepk(state, coeffs, sources) advancing ``k_steps`` ticks.
 
@@ -371,7 +381,7 @@ def pallas_stepk_fn(
     inv_dx = tuple(float(v) for v in inv_dx)
     call = _build_call(
         tuple(shape), inv_dx, max_sources, k_steps, interpret,
-        jnp.dtype(dtype).name, n_mat, with_m,
+        jnp.dtype(dtype).name, n_mat, with_m, io_alias,
     )
     lo_hi = edge_planes if edge_planes is not None else (0, shape[0] - 1)
     edges_arr = jnp.asarray([list(lo_hi)], jnp.int32)

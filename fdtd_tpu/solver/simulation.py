@@ -109,7 +109,7 @@ class Simulation:
         """Absorbing runs dispatch to the in-kernel CPML Pallas kernel
         (solver/pallas_cpml.py, ~3.5x the XLA engine) when the config fits:
         TPU, f32, uniform scalar coefficients, Neumann(0) edges, slab (not
-        box) TF/SF, J-only sources."""
+        box) TF/SF. J and M sources both inject in-kernel."""
         import jax
 
         from .pallas_cpml import supports_cpml
@@ -123,8 +123,6 @@ class Simulation:
             if self.grid.shape[1] % 32 != 0 or self._n_materials > 256:
                 return False
         elif self.coeffs is None or any(jnp.ndim(c) != 0 for c in self.coeffs):
-            return False
-        if self._has_m_sources():
             return False
         return supports_cpml(self.grid.shape, self.bc, self._cpml_or_empty,
                              self.dtype)
@@ -169,13 +167,14 @@ class Simulation:
             from .pallas_cpml import pallas_cpml_step_fn
 
             n_src = self.sources.num_sources if self.sources is not None else 0
+            with_m = self._has_m_sources()
             if self.matid is not None:
                 kernel = pallas_cpml_step_fn(
                     self.grid.shape, inv_dx=inv_dx, dt=self.grid.dt,
                     bc=self.bc, constants=self.grid.constants,
                     cpml=self._cpml_or_empty, tfsf=self.tfsf,
                     max_sources=n_src, matid=jnp.asarray(self.matid),
-                    n_materials=self._n_materials,
+                    n_materials=self._n_materials, with_m=with_m,
                 )
                 table = jnp.asarray(self.table, jnp.float32)
 
@@ -186,7 +185,7 @@ class Simulation:
             return pallas_cpml_step_fn(
                 self.grid.shape, inv_dx=inv_dx, dt=self.grid.dt, bc=self.bc,
                 constants=self.grid.constants, cpml=self._cpml_or_empty,
-                tfsf=self.tfsf, max_sources=n_src,
+                tfsf=self.tfsf, max_sources=n_src, with_m=with_m,
             )
         if self.backend == "pallas" and (
             self.cpml is not None or self.tfsf is not None
@@ -194,8 +193,8 @@ class Simulation:
             raise ValueError(
                 "backend='pallas' with CPML/TFSF needs the in-kernel CPML "
                 "configuration (TPU, f32, uniform scalar coefficients, "
-                "Neumann(0) edges, slab TF/SF, J-only sources); this setup "
-                "falls back to the XLA engine — use backend='auto'"
+                "Neumann(0) edges, slab TF/SF); this setup falls back to "
+                "the XLA engine — use backend='auto'"
             )
         if self.cpml is not None or self.tfsf is not None:
             from .engine import build_step
@@ -327,7 +326,7 @@ class Simulation:
                         dt=self.grid.dt, bc=self.bc,
                         constants=self.grid.constants,
                         cpml=self._cpml_or_empty, tfsf=self.tfsf,
-                        max_sources=n_src,
+                        max_sources=n_src, with_m=self._has_m_sources(),
                     )
                     if self.matid is not None:
                         kernel = pallas_cpml_stepk_fn(

@@ -292,3 +292,89 @@ def test_supports_cpml_k_vmem_guard():
     ok_512 = [k for k in (8, 6, 4, 3, 2) if supports_cpml_k((512, 512, 512), bc, cp, k)]
     assert ok_256 == [8, 6, 4, 2]
     assert ok_512 == [3, 2]  # VMEM-bounded (validated on hardware at K=3)
+
+
+def _sources_jm(dtype=jnp.float32):
+    return ft.SourceSet.build(
+        [
+            ft.PointSource((8, 10, 60), ft.GaussianPulse(6 * DT, 2 * DT),
+                           j=(0.3, 0, 1.0), m=(0.5, -0.2, 0.1)),
+            ft.PointSource((3, 4, 100), ft.GaussianDerivative(5 * DT, 2 * DT),
+                           m=(0, 1.0, 0)),
+        ],
+        dtype=dtype,
+    )
+
+
+def test_kernel_cpml_m_sources():
+    """M (magnetic-current) sources inject into the H half IN-KERNEL; the
+    same tick's E update consumes the corrected H (engine order, ref
+    semantics update.wgsl:56-91). Gate vs engine.build_step."""
+    cpml = Cpml(thickness=((4, 4), (3, 3), (0, 0)))
+    shape = (16, 24, 128)
+    coeffs = ft.CellCoefficients.uniform((1.0, 0.25, 1.0, 0.25), jnp.float32)
+    srcs = _sources_jm()
+    ref_step = jax.jit(build_step(
+        shape, inv_dx=INV_DX, dt=DT, constants=ft.REDUCED,
+        dtype=jnp.float32, cpml=cpml,
+    ))
+    ref = init_engine_state(shape, jnp.float32, cpml=cpml)
+    k_step = pallas_cpml_step_fn(
+        shape, inv_dx=INV_DX, dt=DT, constants=ft.REDUCED, cpml=cpml,
+        interpret=True, max_sources=srcs.num_sources, with_m=True,
+    )
+    st = init_pml_kernel_state(shape, jnp.float32, cpml=cpml)
+    for _ in range(20):
+        ref = ref_step(ref, coeffs, srcs)
+        st = k_step(st, coeffs, srcs)
+    scale = float(jnp.max(jnp.abs(ref.hy)))
+    assert scale > 1e-6
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(st.e[c]), np.asarray(ref.e[c]),
+            rtol=2e-5, atol=2e-5 * scale, err_msg=f"e[{c}]",
+        )
+        np.testing.assert_allclose(
+            np.asarray(st.h[c]), np.asarray(ref.h[c]),
+            rtol=2e-5, atol=2e-5 * scale, err_msg=f"h[{c}]",
+        )
+
+
+def test_kernel_cpml_kstep_m_sources():
+    """K-step CPML kernel with per-level M injection vs K applications of
+    the single-pass kernel with with_m."""
+    from fdtd_tpu.solver.pallas_cpml_k import pallas_cpml_stepk_fn
+
+    shape = (16, 16, 128)
+    cpml = Cpml(thickness=((4, 3), (4, 4), (0, 0)))
+    coeffs = ft.CellCoefficients.uniform((1.0, 0.25, 1.0, 0.25), jnp.float32)
+    srcs = _sources_jm()
+    k = 3
+
+    one = pallas_cpml_step_fn(
+        shape, inv_dx=INV_DX, dt=DT, constants=ft.REDUCED, cpml=cpml,
+        interpret=True, max_sources=srcs.num_sources, with_m=True,
+    )
+    kstep = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=INV_DX, dt=DT, constants=ft.REDUCED, cpml=cpml,
+        interpret=True, max_sources=srcs.num_sources, with_m=True,
+    )
+    ref = init_pml_kernel_state(shape, jnp.float32, cpml=cpml)
+    st = init_pml_kernel_state(shape, jnp.float32, cpml=cpml)
+    n_passes = 4
+    for _ in range(n_passes * k):
+        ref = one(ref, coeffs, srcs)
+    for _ in range(n_passes):
+        st = kstep(st, coeffs, srcs)
+    assert int(st.tick) == int(ref.tick)
+    scale = float(jnp.max(jnp.abs(ref.ez)))
+    assert scale > 1e-5
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(st.e[c]), np.asarray(ref.e[c]),
+            rtol=2e-5, atol=2e-5 * scale, err_msg=f"e[{c}]",
+        )
+        np.testing.assert_allclose(
+            np.asarray(st.h[c]), np.asarray(ref.h[c]),
+            rtol=2e-5, atol=2e-5 * scale, err_msg=f"h[{c}]",
+        )
