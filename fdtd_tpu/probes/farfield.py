@@ -30,7 +30,49 @@ import numpy as np
 
 from ..solver.state import SimState
 
-__all__ = ["BoxDft", "radiation_pattern"]
+__all__ = ["BoxDft", "numeric_wavenumber", "radiation_pattern"]
+
+# Relative Yee positions implied by the solver's stencils (backward-diff
+# curl for H, forward-diff for E — solver/step.py, ref cpu/util.rs:139-194):
+# pos(F[i,j,k]) = ((i,j,k) + _*_OFF[F]) * dx, anchored at pos(Ez) = (i,j,k)
+# (the global anchor shift only adds an overall phase). Derived by requiring
+# every difference stencil to be centered at the component it updates. NOTE
+# the labeling is NOT the textbook Ex(i+1/2,j,k) one; e.g. Ey is staggered
+# along BOTH y and z, and on z-faces it is E (not H) that sits off-face.
+_E_OFF = {0: (-0.5, 0.0, 0.5), 1: (0.0, -0.5, 0.5), 2: (0.0, 0.0, 0.0)}
+_H_OFF = {0: (0.0, -0.5, 0.0), 1: (-0.5, 0.0, 0.0), 2: (-0.5, -0.5, 0.5)}
+
+
+def numeric_wavenumber(f, dt, dx, r_hat, c0=1.0):
+    """Numerical FDTD wavenumber along each direction in ``r_hat`` (3, ...).
+
+    Solves the 3-D Yee dispersion relation (Taflove ch. 4)
+
+        (sin(w dt/2) / (c dt))^2 = sum_i (sin(k r_i dx_i / 2) / dx_i)^2
+
+    by Newton iteration from the physical k = w/c. Plane waves in the FDTD
+    lattice accumulate phase at k_num, not k; using k_num in the NTFF
+    Green's function removes the dominant dispersion error of patterns
+    computed from real FDTD near fields (at lambda = 12 cells, k_num
+    exceeds k by ~1%, which the box-spanning phase factors amplify to
+    ~10-15% pattern error)."""
+    w = 2.0 * math.pi * f
+    dxv = np.asarray(dx, np.float64)
+    lhs = (math.sin(w * dt / 2.0) / (c0 * dt)) ** 2
+    r = np.asarray(r_hat, np.float64)
+    k = np.full(r.shape[1:], w / c0)
+    for _ in range(30):
+        s = np.zeros_like(k)
+        ds = np.zeros_like(k)
+        for i in range(3):
+            a = r[i] * dxv[i] / 2.0
+            s += (np.sin(k * a) / dxv[i]) ** 2
+            ds += 2.0 * np.sin(k * a) * np.cos(k * a) * a / dxv[i] ** 2
+        step = (s - lhs) / np.where(np.abs(ds) < 1e-300, 1e-300, ds)
+        k = k - step
+        if float(np.abs(step).max()) < 1e-14 * float(np.abs(k).max()):
+            break
+    return k
 
 
 @dataclasses.dataclass(frozen=True)
@@ -76,8 +118,33 @@ class BoxDft:
         sin = jnp.sin(phase)
         out = []
         for (ere, eim, hre, him), (axis, index, _sign) in zip(acc, self._faces()):
-            pe = self._plane(state.e, axis, index)
-            ph = self._plane(state.h, axis, index)
+            # Center every component ON the face plane along the normal
+            # (per-component Yee offsets, see _E_OFF/_H_OFF): J_s and M_s
+            # must ride the SAME Huygens surface — sampling a component
+            # half a cell off the face is a FIRST-order error (~k dx/2 =
+            # 13% pattern error at lambda = 12 cells, the dominant NTFF
+            # error before this centering). Components already on the face
+            # pass through; +-1/2-offset ones average their two adjacent
+            # planes (second order, the standard FDTD NTFF recipe). The
+            # box must sit >= 1 cell inside the lattice.
+            def centered(f3, off, c):
+                d = off[c][axis]
+                arr = f3[c]
+                if d == 0.0:
+                    p = jax.lax.index_in_dim(arr, index, axis=axis,
+                                             keepdims=False)
+                else:
+                    lo_i = index if d < 0 else index - 1
+                    p = 0.5 * (
+                        jax.lax.index_in_dim(arr, lo_i, axis=axis,
+                                             keepdims=False)
+                        + jax.lax.index_in_dim(arr, lo_i + 1, axis=axis,
+                                               keepdims=False)
+                    )
+                return p.astype(jnp.float32)
+
+            pe = jnp.stack([centered(state.e, _E_OFF, c) for c in range(3)])
+            ph = jnp.stack([centered(state.h, _H_OFF, c) for c in range(3)])
             b = (-1,) + (1,) * pe.ndim
             c = cos.reshape(b)
             s = sin.reshape(b)
@@ -100,11 +167,19 @@ def radiation_pattern(
     eta: float = 1.0,
     c0: float = 1.0,
     yee_stagger: bool = True,
+    dispersion_correct: bool = True,
 ) -> np.ndarray:
     """Radiation intensity U(theta, phi) (per unit solid angle, arbitrary
     scale consistent across angles) for one DFT frequency.
 
     theta/phi are 1D arrays (radians); returns (len(theta), len(phi)).
+
+    ``dispersion_correct`` evaluates the surface phase factors at the
+    direction-dependent NUMERICAL wavenumber k_num(theta, phi) from the
+    Yee dispersion relation instead of the physical k — near fields
+    sampled off a real FDTD lattice carry k_num phase, and correcting for
+    it cuts pattern error from ~15% to the ~2% level at lambda = 12 cells
+    (tests/test_farfield.py). Disable for analytic/physical input fields.
     """
     f = box_dft.frequencies[freq_index]
     k = 2.0 * math.pi * f / c0
@@ -119,6 +194,13 @@ def radiation_pattern(
     )  # (3, nth, nph)
     th_hat = np.stack([ct * cp, ct * sp, -st * np.ones_like(sp)], axis=0)
     ph_hat = np.stack([-sp * np.ones_like(st), cp * np.ones_like(st), np.zeros_like(st * sp)], axis=0)
+
+    # per-direction wavenumber for the surface phase factors
+    k_dir = (
+        numeric_wavenumber(f, dt, dxv, r_hat, c0=c0)
+        if dispersion_correct
+        else np.full(r_hat.shape[1:], k)
+    )
 
     n_big = np.zeros((3, th.shape[0], ph_.shape[1]), np.complex128)
     l_big = np.zeros_like(n_big)
@@ -148,41 +230,75 @@ def radiation_pattern(
         h_f = h_f[:, a_sl, b_sl]
         a_coords = np.arange(int(lo[axes[0]]), int(hi[axes[0]]) + 1) * dxv[axes[0]]
         b_coords = np.arange(int(lo[axes[1]]), int(hi[axes[1]]) + 1) * dxv[axes[1]]
-        pts = np.zeros((3, len(a_coords), len(b_coords)))
-        pts[axes[0]] = a_coords[:, None]
-        pts[axes[1]] = b_coords[None, :]
+
+        if yee_stagger:
+            # Yee SPATIAL staggering: BoxDft centered every component on
+            # the face plane along the normal; here the per-component
+            # IN-PLANE offsets (_E_OFF/_H_OFF) move each tangential
+            # component to the face-CELL CENTERS (a+.5, b+.5), integrated
+            # midpoint-rule over the exact face extent. A +1/2-offset
+            # sample already sits at a center (take [:-1]), a -1/2 one is
+            # the NEXT index ([1:]), an on-node one averages its pair.
+            # Phase-shifting raw staggered samples instead is NOT
+            # equivalent: the shifted sample set covers a half-cell-
+            # displaced domain, leaving first-order seams at the box edges
+            # (~k dx/2 = 13% pattern error at lambda = 12 cells — the
+            # dominant NTFF error this recipe removes; gate in
+            # tests/test_farfield.py).
+            a_ax, b_ax = axes
+
+            def centers_1axis(g, d, ax01):
+                sl_lo = (slice(None, -1),) if ax01 == 0 else (slice(None), slice(None, -1))
+                sl_hi = (slice(1, None),) if ax01 == 0 else (slice(None), slice(1, None))
+                if d == 0.5:
+                    return g[sl_lo]
+                if d == -0.5:
+                    return g[sl_hi]
+                return 0.5 * (g[sl_lo] + g[sl_hi])
+
+            def to_centers(fc, off_c):
+                g = centers_1axis(fc, off_c[a_ax], 0)
+                return centers_1axis(g, off_c[b_ax], 1)
+
+            na1, nb1 = len(a_coords) - 1, len(b_coords) - 1
+            e_c = np.zeros((3, na1, nb1), np.complex128)
+            h_c = np.zeros((3, na1, nb1), np.complex128)
+            for c in (a_ax, b_ax):  # tangential components only
+                e_c[c] = to_centers(e_f[c], _E_OFF[c])
+                h_c[c] = to_centers(h_f[c], _H_OFF[c])
+            e_f, h_f = e_c, h_c
+            a_pts = a_coords[:-1] + 0.5 * dxv[a_ax]
+            b_pts = b_coords[:-1] + 0.5 * dxv[b_ax]
+            w = np.ones((na1, nb1))
+        else:
+            # co-located (analytic) fields at the face nodes: trapezoidal
+            # weights so edge/corner samples shared with adjacent faces
+            # aren't double-counted in the closed-surface integral
+            a_pts, b_pts = a_coords, b_coords
+            wa = np.ones(len(a_coords)); wa[0] = wa[-1] = 0.5
+            wb = np.ones(len(b_coords)); wb[0] = wb[-1] = 0.5
+            w = wa[:, None] * wb[None, :]
+
+        pts = np.zeros((3, len(a_pts), len(b_pts)))
+        pts[axes[0]] = a_pts[:, None]
+        pts[axes[1]] = b_pts[None, :]
         pts[axis] = index * dxv[axis]
-        # trapezoidal weights: edge/corner samples are shared with adjacent
-        # faces — full weight would double-count them in the closed-surface
-        # integral
-        wa = np.ones(len(a_coords)); wa[0] = wa[-1] = 0.5
-        wb = np.ones(len(b_coords)); wb[0] = wb[-1] = 0.5
-        w = wa[:, None] * wb[None, :]
-        # Spatial stagger: E components are co-located at +(.5,.5,.5)*dx
-        # relative to H (cpu/util.rs:139-166) — separate phase centers.
-        # The co-located staggering (all E at one point, all H at another)
-        # leaves no net inter-field phase-center offset that improves the
-        # NTFF empirically; only the leapfrog TIME stagger correction
-        # (h_phase above) measurably helps. Validated against analytic
-        # dipole fields in tests/test_farfield.py.
-        pts_e = pts
-        pts_h = pts
 
         # equivalent currents (tangential only; cross with normal)
         j_s = np.cross(normal, np.moveaxis(h_f, 0, -1)).transpose(2, 0, 1)
         m_s = -np.cross(normal, np.moveaxis(e_f, 0, -1)).transpose(2, 0, 1)
 
         # phase factor exp(+j k r'.r_hat), summed over the face
-        dot_h = np.tensordot(pts_h, r_hat, axes=(0, 0))  # (na, nb, nth, nph)
-        dot_e = np.tensordot(pts_e, r_hat, axes=(0, 0))
-        phase_h = np.exp(1j * k * dot_h)
-        phase_e = np.exp(1j * k * dot_e)
+        dot = np.tensordot(pts, r_hat, axes=(0, 0))  # (na, nb, nth, nph)
+        base = np.exp(1j * k_dir * dot)
         for comp in range(3):
+            if comp == axis:
+                continue  # normal component of n x F vanishes
             n_big[comp] += np.sum(
-                (w * j_s[comp])[..., None, None] * phase_h, axis=(0, 1)
+                (w * j_s[comp])[..., None, None] * base, axis=(0, 1)
             ) * d_a
             l_big[comp] += np.sum(
-                (w * m_s[comp])[..., None, None] * phase_e, axis=(0, 1)
+                (w * m_s[comp])[..., None, None] * base, axis=(0, 1)
             ) * d_a
 
     n_th = np.sum(n_big * th_hat, axis=0)

@@ -57,10 +57,20 @@ def supports_k(shape, bc, k: int, dtype=jnp.float32, n_materials: int = 1) -> bo
     return shape[0] >= 2 * k
 
 
-def _kernel(inv_dx, nx, n_src, k_steps, storage_dtype, n_materials, with_m, *refs):
-    n_in = 3 + 8  # coef/table, src, edges, 6 fields, 2 halos
-    (coef_ref, src_ref, edge_ref,
-     ex_r, ey_r, ez_r, hx_r, hy_r, hz_r, eyl_r, ezl_r) = refs[:n_in]
+def _kernel(inv_dx, nx, n_src, k_steps, storage_dtype, n_materials, with_m,
+            io_alias, *refs):
+    if io_alias:
+        # aliased build: no separate halo operands (each buffer must appear
+        # exactly once or XLA inserts defensive copies, defeating in-place);
+        # ey/ez ride in as (2, ny, nz) blocks covering planes (p-1, p)
+        n_in = 3 + 6
+        (coef_ref, src_ref, edge_ref,
+         ex_r, ey_r, ez_r, hx_r, hy_r, hz_r) = refs[:n_in]
+        eyl_r = ezl_r = None
+    else:
+        n_in = 3 + 8  # coef/table, src, edges, 6 fields, 2 halos
+        (coef_ref, src_ref, edge_ref,
+         ex_r, ey_r, ez_r, hx_r, hy_r, hz_r, eyl_r, ezl_r) = refs[:n_in]
     if n_materials > 1:
         mid_refs = refs[n_in:n_in + k_steps]
         n_in += k_steps
@@ -110,10 +120,29 @@ def _kernel(inv_dx, nx, n_src, k_steps, storage_dtype, n_materials, with_m, *ref
     new_carries = {}
     out_fields = None
     # stage k consumes the level k-1 fields; stage 1 consumes kernel inputs
-    below_e = (ex_r[0].astype(f32), ey_r[0].astype(f32), ez_r[0].astype(f32))
+    if io_alias:
+        # 2-plane ey/ez blocks cover (max(p-1,0), max(p-1,0)+1): at p >= 1
+        # the main plane is block[1] and the halo block[0]; at the p == 0
+        # iteration the clamped block covers (0, 1), so the main plane is
+        # block[0] (the halo read there is edge-masked anyway); drain
+        # iterations (p < 0) only feed garbage stages
+        ey0 = ey_r[0].astype(f32)
+        ey1 = ey_r[1].astype(f32)
+        ez0 = ez_r[0].astype(f32)
+        ez1 = ez_r[1].astype(f32)
+        fresh = p >= 1
+        below_e = (
+            ex_r[0].astype(f32),
+            jnp.where(fresh, ey1, ey0),
+            jnp.where(fresh, ez1, ez0),
+        )
+        halo_ey = ey0
+        halo_ez = ez0
+    else:
+        below_e = (ex_r[0].astype(f32), ey_r[0].astype(f32), ez_r[0].astype(f32))
+        halo_ey = eyl_r[0].astype(f32)
+        halo_ez = ezl_r[0].astype(f32)
     below_h = (hx_r[0].astype(f32), hy_r[0].astype(f32), hz_r[0].astype(f32))
-    halo_ey = eyl_r[0].astype(f32)
-    halo_ez = ezl_r[0].astype(f32)
 
     for k in range(1, k_steps + 1):
         q = p + k - 1  # plane computed by this stage
@@ -279,18 +308,31 @@ def _build_call(shape, inv_dx, n_src, k_steps, interpret, dtype_name,
         int(plane_bytes * (40 + n_scratch + 10 * k_steps) + (1 << 20)),
         122 * (1 << 20),
     )
+    if io_alias:
+        if n_materials > 1:
+            raise ValueError("io_alias does not support matid mode")
+        # ey/ez as 2-plane sliding windows (halo folded in; see _kernel).
+        # pl.Element: the index map returns an ELEMENT start, so the window
+        # can slide by one plane per iteration
+        two_spec = pl.BlockSpec(
+            (pl.Element(2), ny, nz),
+            lambda i: (jnp.maximum(nx - 2 - i, 0), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        field_specs = [in_spec, two_spec, two_spec, in_spec, in_spec, in_spec]
+    else:
+        field_specs = [in_spec] * 6 + [halo_spec] * 2
     return pl.pallas_call(
         functools.partial(
             _kernel, inv_dx, nx, n_src, k_steps, storage_dtype, n_materials,
-            with_m,
+            with_m, io_alias,
         ),
         grid=(nx + k_steps - 1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # coeff table (K_mat, 4)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # sources (n_src, 3+3(K-1))
             pl.BlockSpec(memory_space=pltpu.SMEM),  # edge planes (1, 2) i32
-            *([in_spec] * 6),
-            *([halo_spec] * 2),
+            *field_specs,
             *(mid_specs if n_materials > 1 else []),
         ],
         out_specs=tuple([out_spec] * 6),

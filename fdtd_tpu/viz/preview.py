@@ -1,11 +1,12 @@
-"""Offline 3D scene preview.
+"""Offline 3D scene preview with shaded shape geometry.
 
 The headless counterpart of the reference's interactive renderer
 (cem-render: wgpu PBR pipelines, camera orbiting, egui scene view) at the
-fidelity a TPU workflow needs: a matplotlib 3D render of the scene's
-entities (wireframe AABBs colored by component role, source markers,
-observer planes) written to a PNG for notebooks/reports.
-"""
+fidelity a TPU workflow needs: shapes are triangulated by viz/mesh.py
+(the analog of cem-render/src/mesh/parry.rs:44-152) and rendered as
+flat-shaded matplotlib Poly3DCollections — a Ball reads as a sphere, a
+Cylinder as a cylinder, a HalfSpace as a ground plane — with source
+markers and observer planes, written to PNG for notebooks/reports."""
 
 from __future__ import annotations
 
@@ -31,14 +32,27 @@ def render_scene_preview(
     title: Optional[str] = None,
     dpi: int = 110,
 ) -> Path:
-    """Render entity bounding boxes + markers to ``path`` (PNG)."""
+    """Render shaded entity geometry + markers to ``path`` (PNG)."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    from ..scene.shapes import HalfSpace
+    from .mesh import transform_mesh, triangulate
 
     fig = plt.figure(figsize=(7, 6))
     ax = fig.add_subplot(projection="3d")
+
+    # a finite extent for unbounded shapes: half the span of bounded ones
+    spans = []
+    for e in scene.entities:
+        if e.shape is not None and not isinstance(e.shape, HalfSpace):
+            ab = e.world_aabb()
+            if ab is not None and np.all(np.isfinite(ab[1] - ab[0])):
+                spans.append(float(np.max(ab[1] - ab[0])))
+    extent = max(spans) if spans else 10.0
 
     def draw_aabb(mins, maxs, color, label):
         x0, y0, z0 = mins
@@ -59,6 +73,7 @@ def render_scene_preview(
         c = pts.mean(axis=0)
         ax.text(c[0], c[1], c[2], label, fontsize=7, color=color)
 
+    drew_mesh = False
     for e in scene.entities:
         role = (
             "source" if e.source is not None
@@ -67,14 +82,54 @@ def render_scene_preview(
             else "material"
         )
         color = _ROLE_COLORS[role]
+        label = e.name or (
+            type(e.shape).__name__ if e.shape is not None else ""
+        )
+        if e.shape is not None:
+            try:
+                verts, faces = triangulate(e.shape, extent=extent)
+            except TypeError:
+                verts = faces = None
+            if verts is not None:
+                world = transform_mesh(verts, e.global_pose())
+                tris = world[faces]
+                alpha = 0.35 if isinstance(e.shape, HalfSpace) else 0.85
+                coll = Poly3DCollection(
+                    tris, facecolors=color, alpha=alpha, shade=True,
+                    linewidths=0,
+                )
+                ax.add_collection3d(coll)
+                c = world.mean(axis=0)
+                if label:
+                    ax.text(c[0], c[1], c[2], label, fontsize=7, color=color)
+                drew_mesh = True
+                continue
         ab = e.world_aabb()
-        if ab is not None:
-            draw_aabb(ab[0], ab[1], color, e.name or type(e.shape).__name__)
+        if ab is not None and np.all(np.isfinite(ab[0])) and np.all(
+            np.isfinite(ab[1])
+        ):
+            draw_aabb(ab[0], ab[1], color, label)
         else:
             t = e.global_pose().translation
             ax.scatter([t[0]], [t[1]], [t[2]], color=color, marker="*", s=60)
             if e.name:
                 ax.text(t[0], t[1], t[2], e.name, fontsize=7, color=color)
+
+    if drew_mesh:
+        # Poly3DCollection doesn't feed autoscale: fit to world AABBs
+        los, his = [], []
+        for e in scene.entities:
+            if e.shape is not None and not isinstance(e.shape, HalfSpace):
+                ab = e.world_aabb()
+                if ab is not None and np.all(np.isfinite(ab[1])):
+                    los.append(ab[0])
+                    his.append(ab[1])
+        if los:
+            lo = np.min(los, axis=0) - 0.05 * extent
+            hi = np.max(his, axis=0) + 0.05 * extent
+            ax.set_xlim(lo[0], hi[0])
+            ax.set_ylim(lo[1], hi[1])
+            ax.set_zlim(lo[2], hi[2])
 
     ax.set_xlabel("x")
     ax.set_ylabel("y")

@@ -41,21 +41,22 @@ def test_dipole_radiation_pattern():
         box, acc, dt=dt, dx=grid.dx, theta=theta, phi=phi, eta=1.0, c0=1.0
     )
 
-    # At lambda = 12 cells, numerical dispersion distorts near fields by a
-    # few percent, which the NTFF amplifies to ~10-15% pattern error (the
-    # transform itself is exact to 0.5% — see
-    # test_ntff_exact_on_analytic_fields). Gate at the dispersion level.
+    # Per-component Yee centering (stencil-derived offsets, _E_OFF/_H_OFF)
+    # + the dispersion-corrected Green's function put the pattern within
+    # ~1% of sin^2 at lambda = 12 cells (was ~15% when components were
+    # sampled half a cell off the Huygens surface). CW ramp-up transients
+    # keep the gate at a few %.
     u_mean_phi = u.mean(axis=1)
-    assert (np.abs(u - u_mean_phi[:, None]) / u.max() < 0.2).all()
+    assert (np.abs(u - u_mean_phi[:, None]) / u.max() < 0.05).all()
 
     expected = np.sin(theta) ** 2
     got = u_mean_phi / u_mean_phi.max()
     expected = expected / expected.max()
     err = np.abs(got - expected).max()
-    assert err < 0.2, f"pattern deviates from sin^2: max err {err:.3f}\n{got}\n{expected}"
+    assert err < 0.03, f"pattern deviates from sin^2: max err {err:.3f}\n{got}\n{expected}"
     # peak near broadside, deep nulls toward the poles
-    assert got[0] < 0.25 and got[-1] < 0.25
-    assert got[len(got) // 2] > 0.8
+    assert got[0] < 0.1 and got[-1] < 0.1
+    assert got[len(got) // 2] > 0.95
 
 
 def test_ntff_exact_on_analytic_fields():
@@ -98,7 +99,7 @@ def test_ntff_exact_on_analytic_fields():
     phi = np.radians(np.array([0.0, 45.0, 90.0]))
     u = radiation_pattern(
         box, tuple(acc), dt=1.0, dx=(1, 1, 1), theta=theta, phi=phi,
-        yee_stagger=False,
+        yee_stagger=False, dispersion_correct=False,  # fields carry physical k
     )
     um = u.mean(axis=1)
     got = um / um.max()
@@ -106,3 +107,54 @@ def test_ntff_exact_on_analytic_fields():
     expected /= expected.max()
     assert np.abs(got - expected).max() < 0.01
     assert (np.abs(u - um[:, None]) / u.max() < 0.01).all()
+
+
+def test_numeric_wavenumber_limits():
+    """k_num -> k as dt, dx -> 0; k_num > k on-axis at finite resolution."""
+    from fdtd_tpu.probes.farfield import numeric_wavenumber
+
+    f = 1.0 / 12.0  # lambda = 12 cells
+    r = np.zeros((3, 2))
+    r[:, 0] = [1.0, 0.0, 0.0]                      # on-axis: worst dispersion
+    r[:, 1] = np.array([1.0, 1.0, 1.0]) / np.sqrt(3)  # diagonal: least
+    k0 = 2 * np.pi * f
+    kn = numeric_wavenumber(f, 0.2887, (1.0, 1.0, 1.0), r)
+    assert kn[0] > k0 and kn[0] > kn[1]
+    fine = numeric_wavenumber(f / 32, 0.2887 / 32, (1.0, 1.0, 1.0), r)
+    np.testing.assert_allclose(fine, k0 / 32, rtol=1e-4)
+
+
+def test_dipole_pattern_pulse_excitation():
+    """Pulse-excited (GaussianDerivative: zero net charge, no static
+    residue) full-decay DFT: the cleanest config — pattern within ~1%."""
+    shape = (48, 48, 48)
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.5)
+    grid = ft.Grid(shape=shape, resolution=res, constants=ft.REDUCED)
+    dt = grid.dt
+    f = 1.0 / (42 * dt)
+    table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+    src = ft.SourceSet.build(
+        [ft.PointSource((24, 24, 24),
+                        ft.GaussianDerivative(time=80 * dt, duration=16 * dt),
+                        j=(0, 0, 1.0))]
+    )
+    sim = ft.Simulation(
+        grid=grid,
+        coeffs=ft.CellCoefficients.uniform(table[0], jnp.float32),
+        sources=src, cpml=Cpml.uniform(8),
+    )
+    state = sim.init()
+    box = BoxDft(frequencies=(f,), box=((12, 36), (12, 36), (12, 36)))
+    state, _, (acc,) = sim.run(state, 1600, accumulators=(box,))
+    assert float(jnp.abs(state.ez).max()) < 1e-6  # fields fully decayed
+
+    theta = np.radians(np.arange(15, 166, 10))
+    phi = np.radians(np.arange(0, 360, 15.0))
+    u = radiation_pattern(box, acc, dt=dt, dx=grid.dx, theta=theta, phi=phi,
+                          eta=1.0, c0=1.0)
+    um = u.mean(axis=1)
+    got = um / um.max()
+    expected = np.sin(theta) ** 2
+    expected /= expected.max()
+    assert np.abs(got - expected).max() < 0.015
+    assert (np.abs(u - um[:, None]) / u.max()).max() < 0.04
