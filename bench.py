@@ -117,13 +117,19 @@ def _selfcheck(ft, jax, jnp, np) -> bool:
         )
         check(f"K-step K={k}", run(stepk, ft.zero_state(shape), n_ticks // k))
 
-    # aliased (in-place) K-step — the 1024^3 path
+    # aliased (in-place, folded-halo Element windows) kernels — the
+    # 1024^3 path uses the single-step variant
     stepa = jax.jit(
         pallas_stepk_fn(shape, 8, inv_dx=(1.0, 1.0, 1.0), dt=dt,
                         max_sources=1, io_alias=True),
         donate_argnums=0,
     )
     check("K-step K=8 aliased", run(stepa, ft.zero_state(shape), n_ticks // 8))
+    step1a = jax.jit(
+        pallas_step_fn(shape, inv_dx=(1.0, 1.0, 1.0), dt=dt, io_alias=True),
+        donate_argnums=0,
+    )
+    check("single-step aliased", run(step1a, ft.zero_state(shape), n_ticks))
 
     # compressed-material (matid) tier vs dense per-cell XLA coefficients
     tab = ft.MaterialTable()
@@ -461,11 +467,14 @@ def main() -> None:
 
     # 1024^3 bf16 in-place datapoint (BASELINE config 5's upper bound):
     # 6 fields at bf16 = 12.9 GB — fits a v5e's 16 GB only with the
-    # aliased (in-place) kernel, chained pass-by-pass (no scan; the
-    # aliased-custom-call-under-scan miscompile class, see ROADMAP.md)
+    # aliased (in-place, folded-halo) SINGLE-step kernel, chained
+    # pass-by-pass (no scan; the aliased-custom-call-under-scan
+    # miscompile class, see ROADMAP.md). K-step carries need
+    # 6(K-1)+2 f32 planes of VMEM = over the 128 MB cap at 1024^2 even
+    # for K=2 (131 MB), so temporal blocking is off the table here.
     if dev.platform == "tpu" and os.environ.get("BENCH_1024", "1") != "0":
         try:
-            from fdtd_tpu.solver.pallas_stepk import pallas_stepk_fn
+            from fdtd_tpu.solver.pallas_step import pallas_step_fn as _psf1
 
             n = 1024
             shape = (n, n, n)
@@ -479,26 +488,23 @@ def main() -> None:
             )
             table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
             coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
-            bk = 8
             bstep = jax.jit(
-                pallas_stepk_fn(
-                    shape, bk, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
-                    dtype=jnp.bfloat16, max_sources=1, io_alias=True,
-                ),
+                _psf1(shape, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
+                      dtype=jnp.bfloat16, io_alias=True),
                 donate_argnums=0,
             )
             state = ft.zero_state(shape, jnp.bfloat16)
             state = bstep(state, coeffs, src)  # warmup/compile
             _sync(state)
-            calls = 3
+            ticks = 10
             t0 = time.perf_counter()
-            for _ in range(calls):
+            for _ in range(ticks):
                 state = bstep(state, coeffs, src)
             _sync(state)
             dt_wall = time.perf_counter() - t0 - readback_s
             print(
-                f"1024^3 bf16 in-place (K={bk}, pass-by-pass): "
-                f"{grid.num_cells*calls*bk/dt_wall/1e9:.3f} Gcell/s",
+                f"1024^3 bf16 in-place (single-step, pass-by-pass): "
+                f"{grid.num_cells*ticks/dt_wall/1e9:.3f} Gcell/s",
                 file=sys.stderr,
             )
             del state

@@ -79,10 +79,18 @@ def _kernel(
     inv_dx: Tuple[float, float, float],
     nx: int,
     storage_dtype,
+    io_alias: bool,
     # refs follow: see pallas_call operand order below
     *refs,
 ):
-    if n_materials > 1:
+    if io_alias:
+        # aliased (in-place) build: no separate halo operands (a donated
+        # buffer used by two operands forces an XLA defensive copy); ey/ez
+        # ride in as 2-plane Element windows covering (p-1, p)
+        (coef_ref, ex_r, ey_r, ez_r, hx_r, hy_r, hz_r,
+         exo, eyo, ezo, hxo, hyo, hzo, s_hy, s_hz) = refs
+        eyl_r = ezl_r = None
+    elif n_materials > 1:
         (table_ref, ex_r, ey_r, ez_r, hx_r, hy_r, hz_r, eyl_r, ezl_r, mid_r,
          exo, eyo, ezo, hxo, hyo, hzo, s_hy, s_hz) = refs
     else:
@@ -97,8 +105,18 @@ def _kernel(
     # traffic; f32 arithmetic keeps the update numerically sane)
     f32 = jnp.float32
     ex = ex_r[0].astype(f32)
-    ey = ey_r[0].astype(f32)
-    ez = ez_r[0].astype(f32)
+    if io_alias:
+        # window covers (max(p-1,0), max(p-1,0)+1): main plane is block[1]
+        # at p >= 1, block[0] at the clamped p == 0 iteration; the halo
+        # read at p == 0 is edge-masked
+        fresh = p >= 1
+        ey0 = ey_r[0].astype(f32)
+        ez0 = ez_r[0].astype(f32)
+        ey = jnp.where(fresh, ey_r[1].astype(f32), ey0)
+        ez = jnp.where(fresh, ez_r[1].astype(f32), ez0)
+    else:
+        ey = ey_r[0].astype(f32)
+        ez = ez_r[0].astype(f32)
     hx = hx_r[0].astype(f32)
     hy = hy_r[0].astype(f32)
     hz = hz_r[0].astype(f32)
@@ -149,8 +167,10 @@ def _kernel(
     # ---- H update: h = d_a*h - d_b*curl_b(E) ---------------------------
     # curl_b E: x-backward differences use the p-1 halo planes
     zero = jnp.zeros_like(ex)
-    dey_x = jnp.where(at_x_lo, zero, ey - eyl_r[0].astype(f32)) * inv_x
-    dez_x = jnp.where(at_x_lo, zero, ez - ezl_r[0].astype(f32)) * inv_x
+    halo_ey = ey0 if io_alias else eyl_r[0].astype(f32)
+    halo_ez = ez0 if io_alias else ezl_r[0].astype(f32)
+    dey_x = jnp.where(at_x_lo, zero, ey - halo_ey) * inv_x
+    dez_x = jnp.where(at_x_lo, zero, ez - halo_ez) * inv_x
     ce_x = bdiff_y(ez) * inv_y - bdiff_z(ey) * inv_z
     ce_y = bdiff_z(ex) * inv_z - dez_x
     ce_z = dey_x - bdiff_y(ex) * inv_y
@@ -179,7 +199,8 @@ def _kernel(
 
 
 @functools.lru_cache(maxsize=32)
-def _build_call(shape, inv_dx, n_materials, interpret, dtype_name="float32"):
+def _build_call(shape, inv_dx, n_materials, interpret, dtype_name="float32",
+                io_alias=False):
     storage_dtype = jnp.dtype(dtype_name)
     nx, ny, nz = shape
     plane = (1, ny, nz)
@@ -193,24 +214,42 @@ def _build_call(shape, inv_dx, n_materials, interpret, dtype_name="float32"):
     main_spec = pl.BlockSpec(plane, main_idx, memory_space=pltpu.VMEM)
     halo_spec = pl.BlockSpec(plane, halo_idx, memory_space=pltpu.VMEM)
 
-    in_specs = [main_spec] * 6 + [halo_spec] * 2
-    if n_materials > 1:
-        in_specs = [
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # (K, 4) table, unblocked
-            *in_specs,
-            pl.BlockSpec(plane, main_idx, memory_space=pltpu.VMEM),  # matid
-        ]
-    else:
+    if io_alias:
+        if n_materials > 1:
+            raise ValueError("io_alias does not support matid mode")
+        # ey/ez as 2-plane Element windows (halo folded in; see _kernel):
+        # each donated buffer appears exactly once, so aliasing is
+        # copy-free — required for in-place stepping at HBM-limit shapes
+        two_spec = pl.BlockSpec(
+            (pl.Element(2), pl.Element(ny), pl.Element(nz)),
+            lambda i: (jnp.maximum(nx - 2 - i, 0), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # (1, 4) coefficient row
-            *in_specs,
+            main_spec, two_spec, two_spec, main_spec, main_spec, main_spec,
         ]
+    else:
+        in_specs = [main_spec] * 6 + [halo_spec] * 2
+        if n_materials > 1:
+            in_specs = [
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # (K, 4) table
+                *in_specs,
+                pl.BlockSpec(plane, main_idx, memory_space=pltpu.VMEM),
+            ]
+        else:
+            in_specs = [
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # (1, 4) coeff row
+                *in_specs,
+            ]
 
     out_specs = tuple([main_spec] * 6)
     f32 = jnp.float32
     out_shape = tuple(jax.ShapeDtypeStruct(shape, storage_dtype) for _ in range(6))
 
-    kernel = functools.partial(_kernel, n_materials, inv_dx, nx, storage_dtype)
+    kernel = functools.partial(
+        _kernel, n_materials, inv_dx, nx, storage_dtype, io_alias
+    )
     # VMEM: (8 or 9) input + 6 output plane buffers, double-buffered by the
     # pipeline, + 2 scratch planes + temporaries. v5e has 128 MB physical
     # VMEM; the default 16 MB scoped limit underflows at 512^2 planes.
@@ -227,6 +266,7 @@ def _build_call(shape, inv_dx, n_materials, interpret, dtype_name="float32"):
             pltpu.VMEM((ny, nz), f32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        input_output_aliases={1 + f: f for f in range(6)} if io_alias else {},
         interpret=interpret,
     )
 
@@ -241,6 +281,7 @@ def pallas_step_fn(
     n_materials: int = 1,
     interpret: bool = False,
     dtype=jnp.float32,
+    io_alias: bool = False,
 ):
     """Build step(state, coeffs, sources) -> state backed by the fused kernel.
 
@@ -254,7 +295,7 @@ def pallas_step_fn(
     nx, ny, nz = shape
     inv_dx = tuple(float(v) for v in inv_dx)
     call = _build_call(tuple(shape), inv_dx, n_materials if matid is not None else 1,
-                       interpret, jnp.dtype(dtype).name)
+                       interpret, jnp.dtype(dtype).name, io_alias)
 
     def _scatter_j(e, coeffs_cb, sources, tick, dtype):
         t = tick.astype(dtype) * jnp.asarray(dt, dtype)
@@ -298,10 +339,11 @@ def pallas_step_fn(
                     jnp.asarray(coeffs.d_b, jnp.float32),
                 ]
             ).reshape(1, 4)
+            halos = () if io_alias else (state.ey, state.ez)
             outs = call(
                 row,
                 state.ex, state.ey, state.ez, state.hx, state.hy, state.hz,
-                state.ey, state.ez,
+                *halos,
             )
             e = outs[0:3]
             h = outs[3:6]

@@ -313,9 +313,9 @@ def _build_call(shape, inv_dx, n_src, k_steps, interpret, dtype_name,
             raise ValueError("io_alias does not support matid mode")
         # ey/ez as 2-plane sliding windows (halo folded in; see _kernel).
         # pl.Element: the index map returns an ELEMENT start, so the window
-        # can slide by one plane per iteration
+        # can slide by one plane per iteration (all dims must be Element)
         two_spec = pl.BlockSpec(
-            (pl.Element(2), ny, nz),
+            (pl.Element(2), pl.Element(ny), pl.Element(nz)),
             lambda i: (jnp.maximum(nx - 2 - i, 0), 0, 0),
             memory_space=pltpu.VMEM,
         )
@@ -453,10 +453,11 @@ def pallas_stepk_fn(
         extra = []
         if matid is not None:
             extra = [matid] * k_steps  # per-stage plane windows via index maps
+        halos = () if io_alias else (state.ey, state.ez)
         outs = call(
             row, src_rows, edges_arr,
             state.ex, state.ey, state.ez, state.hx, state.hy, state.hz,
-            state.ey, state.ez,
+            *halos,
             *extra,
         )
         e = list(outs[0:3])

@@ -145,3 +145,46 @@ def test_k_step_with_m_sources(rng):
 
     np.testing.assert_allclose(out.e_stacked(), ref.e_stacked(), rtol=5e-6, atol=5e-6)
     np.testing.assert_allclose(out.h_stacked(), ref.h_stacked(), rtol=5e-6, atol=5e-6)
+
+
+def test_io_alias_folded_halo_matches_plain():
+    """Aliased (in-place) builds fold the ey/ez halo into 2-plane Element
+    windows; both the single-step and K-step variants must match their
+    plain builds exactly (the 1024^3 bf16 path depends on this)."""
+    import fdtd_tpu as ft
+    from fdtd_tpu.solver.pallas_step import pallas_step_fn
+    from fdtd_tpu.solver.pallas_stepk import pallas_stepk_fn
+
+    shape = (16, 8, 128)
+    dt = 0.25
+    src = ft.SourceSet.build(
+        [ft.PointSource((8, 4, 64), ft.GaussianPulse(6 * dt, 2 * dt),
+                        j=(0.3, -0.1, 1.0))]
+    )
+    coeffs = ft.CellCoefficients.uniform((1.0, 0.25, 1.0, 0.25), jnp.float32)
+
+    ref_s = pallas_step_fn(shape, inv_dx=(1., 1., 1.), dt=dt, interpret=True)
+    al_s = pallas_step_fn(shape, inv_dx=(1., 1., 1.), dt=dt, interpret=True,
+                          io_alias=True)
+    ref, st = ft.zero_state(shape), ft.zero_state(shape)
+    for _ in range(12):
+        ref = ref_s(ref, coeffs, src)
+        st = al_s(st, coeffs, src)
+    assert float(jnp.abs(ref.ez).max()) > 0
+    for f in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st, f)), np.asarray(getattr(ref, f)), err_msg=f
+        )
+
+    refk = pallas_stepk_fn(shape, 4, inv_dx=(1., 1., 1.), dt=dt,
+                           interpret=True, max_sources=1)
+    alk = pallas_stepk_fn(shape, 4, inv_dx=(1., 1., 1.), dt=dt,
+                          interpret=True, max_sources=1, io_alias=True)
+    ref, st = ft.zero_state(shape), ft.zero_state(shape)
+    for _ in range(3):
+        ref = refk(ref, coeffs, src)
+        st = alk(st, coeffs, src)
+    for f in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st, f)), np.asarray(getattr(ref, f)), err_msg=f
+        )
