@@ -70,11 +70,26 @@ def load_checkpoint(path, template=None) -> Tuple[Any, Dict[str, Any]]:
         )
     import jax.numpy as jnp
 
+    import warnings
+
     restored = []
     for t, l in zip(t_leaves, leaves):
         if tuple(t.shape) != tuple(l.shape):
             raise ValueError(
                 f"leaf shape mismatch: checkpoint {l.shape} vs template {t.shape}"
+            )
+        src_dt = jnp.asarray(l).dtype
+        narrowing = (
+            src_dt != t.dtype
+            and jnp.issubdtype(t.dtype, jnp.floating)
+            and jnp.issubdtype(src_dt, jnp.floating)
+            and jnp.finfo(t.dtype).bits < jnp.finfo(src_dt).bits
+        )
+        if narrowing:
+            warnings.warn(
+                f"checkpoint leaf dtype {src_dt} narrowed to template dtype "
+                f"{t.dtype}: precision is lost on restore",
+                stacklevel=2,
             )
         restored.append(jnp.asarray(l, t.dtype))
     return jax.tree_util.tree_unflatten(treedef, restored), metadata

@@ -191,44 +191,47 @@ def _rot_zyx_degrees(rx: float, ry: float, rz: float) -> np.ndarray:
 class _Interpreter:
     def __init__(self):
         self.comments: List[str] = []
-        self.geometry: dict[int, Geometry] = {}
+        # a LIST of (tag, Geometry): NEC2 allows several GW cards to share
+        # a tag (the reference's BTreeMap<Tag, _> silently drops all but
+        # the last — interpreter.rs; a documented divergence, we keep them)
+        self.geometry: List[Tuple[int, Geometry]] = []
         self.ground_plane = "none"
         self.symmetry = "none"
         self.ignored: List[str] = []
+
+    def add(self, tag: int, geom: "Geometry") -> None:
+        self.geometry.append((tag, geom))
+
+    def tags(self):
+        return {t for t, _ in self.geometry}
 
     # GM/GR shared move/copy logic (interpreter.rs modify_impl). NEC spec:
     # copies get tag + increment*i; tag 0 is never renumbered. (The
     # reference's dont_increment_tag_0 flag keeps ALL GR copy tags unchanged,
     # collapsing them — hidden there by its num_copies.min(1) clamp.)
     def _modify(self, tag_increment, num_new, transform, tag_start):
-        items = sorted(
-            (t, g) for t, g in self.geometry.items()
-            if tag_start is None or t >= tag_start
-        )
-        removals, insertions = [], []
-        for tag, geom in items:
-            def new_tag(t, i):
-                return t + tag_increment * i if t != 0 else t
+        def new_tag(t, i):
+            return t + tag_increment * i if t != 0 else t
 
+        insertions = []
+        for idx, (tag, geom) in enumerate(self.geometry):
+            if tag_start is not None and tag < tag_start:
+                continue
             if num_new == 0:
                 geom.append_transform(transform)
                 if tag_increment != 0:
-                    removals.append(tag)
-                    insertions.append((new_tag(tag, 1), geom))
+                    self.geometry[idx] = (new_tag(tag, 1), geom)
             else:
                 g = Geometry(spec=geom.spec, transform=geom.transform.copy())
                 for i in range(num_new):
                     g = Geometry(spec=g.spec, transform=transform @ g.transform)
                     insertions.append((new_tag(tag, i + 1), g))
-        for t in removals:
-            del self.geometry[t]
-        for t, g in insertions:
-            self.geometry[t] = g
+        self.geometry.extend(insertions)
 
     def finish(self) -> NecFile:
         return NecFile(
             comments=self.comments,
-            geometry=sorted(self.geometry.items()),
+            geometry=sorted(self.geometry, key=lambda tg: tg[0]),
             ground_plane=self.ground_plane,
             symmetry=self.symmetry,
             ignored_decks=self.ignored,
@@ -268,11 +271,16 @@ def parse_nec(source: Union[str, io.TextIOBase]) -> NecFile:
             if card != "GC":
                 raise NecError(f"expected GC card after zero-radius GW, got {card}")
             lr, r1, r2 = _floats(rest, 3, "GC")
+            if r1 <= 0.0 or r2 <= 0.0:
+                raise NecError(
+                    f"GC: tapered-wire radii must be positive, got "
+                    f"first={r1} last={r2} in: {line.strip()}"
+                )
             tag, nseg, e1, e2 = pending_gc
-            interp.geometry[tag] = Geometry(
+            interp.add(tag, Geometry(
                 spec=Wire(nseg, e1, e2, TaperedSegments(lr, r1, r2)),
                 transform=np.eye(4),
-            )
+            ))
             interp.symmetry = "none"
             pending_gc = None
             continue
@@ -289,12 +297,13 @@ def parse_nec(source: Union[str, io.TextIOBase]) -> NecFile:
                 verts.append(tuple(extra2))
             kind = {1: "rectangular", 2: "triangular", 3: "quadrilateral"}[shape]
             tag = 0
-            while tag in interp.geometry:
+            used = interp.tags()
+            while tag in used:
                 tag -= 1  # patches carry no tag (interpreter.rs surface_patch)
-            interp.geometry[tag] = Geometry(
+            interp.add(tag, Geometry(
                 spec=SurfacePatch(kind=kind, vertices=tuple(verts)),
                 transform=np.eye(4),
-            )
+            ))
             pending_sc = None
             continue
 
@@ -323,19 +332,19 @@ def parse_nec(source: Union[str, io.TextIOBase]) -> NecFile:
             if radius == 0.0:
                 pending_gc = (tag, nseg, e1, e2)
             else:
-                interp.geometry[tag] = Geometry(
+                interp.add(tag, Geometry(
                     spec=Wire(nseg, e1, e2, FixedSegments(radius)),
                     transform=np.eye(4),
-                )
+                ))
                 interp.symmetry = "none"
         elif card == "GA":
             tag = int(float(rest[0]))
             nseg = int(float(rest[1]))
             nums = _floats(rest[2:], 4, "GA")
-            interp.geometry[tag] = Geometry(
+            interp.add(tag, Geometry(
                 spec=WireArc(nseg, nums[0], (nums[1], nums[2]), nums[3]),
                 transform=np.eye(4),
-            )
+            ))
             interp.symmetry = "none"
         elif card == "GE":
             flag = int(float(rest[0])) if rest else 0
@@ -368,7 +377,7 @@ def parse_nec(source: Union[str, io.TextIOBase]) -> NecFile:
         elif card == "GS":
             s = _floats(rest, 1, "GS")[0] if len(rest) == 1 else _floats(rest, 3, "GS")[2]
             m = np.diag([s, s, s, 1.0])
-            for g in interp.geometry.values():
+            for _, g in interp.geometry:
                 g.transform = m @ g.transform
                 # NON-mutating spec replacement: GM/GR/GX copies share spec
                 # objects, so in-place scaling would compound once per copy
@@ -395,10 +404,10 @@ def parse_nec(source: Union[str, io.TextIOBase]) -> NecFile:
                     continue
                 refl = np.eye(4)
                 refl[axis, axis] = -1.0
-                for tag, g in list(interp.geometry.items()):
-                    interp.geometry[tag + inc] = Geometry(
+                for tag, g in list(interp.geometry):
+                    interp.add(tag + inc, Geometry(
                         spec=g.spec, transform=refl @ g.transform
-                    )
+                    ))
                 inc *= 2
             interp.symmetry = "planar"
         elif card == "SP":
@@ -406,9 +415,10 @@ def parse_nec(source: Union[str, io.TextIOBase]) -> NecFile:
             if shape == 0:
                 nums = _floats(rest[2:], 6, "SP")
                 tag = 0
-                while tag in interp.geometry:
+                used = interp.tags()
+                while tag in used:
                     tag -= 1
-                interp.geometry[tag] = Geometry(
+                interp.add(tag, Geometry(
                     spec=SurfacePatch(
                         kind="arbitrary",
                         position=tuple(nums[0:3]),
@@ -417,7 +427,7 @@ def parse_nec(source: Union[str, io.TextIOBase]) -> NecFile:
                         patch_area=nums[5],
                     ),
                     transform=np.eye(4),
-                )
+                ))
             elif shape in (1, 2, 3):
                 nums = _floats(rest[2:], 6, "SP")
                 pending_sc = (shape, [tuple(nums[0:3]), tuple(nums[3:6])])

@@ -114,6 +114,11 @@ class OracleSim:
             m_src = np.zeros_like(self.h)
             for point, j_amp, m_amp, waveform in self.sources:
                 v = float(waveform(t))
+                # co-located sources: LAST WINS, matching both the solver
+                # (SourceSet.build dedups per cell, sources.py:131-137) and
+                # the reference's set_forcing overwrite
+                # (cem-solver/src/fdtd/cpu/mod.rs:404-408). Pinned by
+                # test_core_step.py::test_two_sources_one_cell_last_wins.
                 j_src[(slice(None), *point)] = j_amp * v
                 m_src[(slice(None), *point)] = m_amp * v
 

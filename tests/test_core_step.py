@@ -200,3 +200,32 @@ def test_f32_fidelity_1000_steps():
     h = state.h_stacked().astype(np.float64)
     rel_h = np.linalg.norm(h - oracle.h) / np.linalg.norm(oracle.h)
     assert rel_h <= 1e-5, f"relative H error {rel_h:.3e} exceeds 1e-5"
+
+
+def test_two_sources_one_cell_last_wins(rng):
+    """Co-located point sources: LAST WINS — SourceSet.build dedups per
+    cell (matching the reference's set_forcing overwrite) and the oracle
+    overwrites in order. This test pins the shared convention."""
+    state, e0, h0 = random_state(rng)
+    oracle = OracleSim(SHAPE, SPATIAL, DT)
+    oracle.e[:], oracle.h[:] = e0, h0
+    srcs = [
+        PointSource((3, 4, 5), GaussianPulse(6 * DT, 2 * DT), j=(0, 0, 1.0)),
+        PointSource((3, 4, 5), GaussianPulse(6 * DT, 2 * DT),
+                    j=(0, 0, 0.5), m=(0.25, 0, 0)),
+        PointSource((3, 4, 5), ContinuousWave(frequency=0.5),
+                    m=(0.5, 0, 0)),
+    ]
+    oracle.add_point_source((3, 4, 5), OracleSim.gaussian(6 * DT, 2 * DT),
+                            j=(0, 0, 1.0))
+    oracle.add_point_source((3, 4, 5), OracleSim.gaussian(6 * DT, 2 * DT),
+                            j=(0, 0, 0.5), m=(0.25, 0, 0))
+    oracle.add_point_source((3, 4, 5), OracleSim.cw(0.5, 0.0),
+                            m=(0.5, 0, 0))
+    sset = SourceSet.build(srcs, dtype=jnp.float64)
+    state, oracle = run_both(
+        state, oracle, CellCoefficients.uniform((1, 1, 1, 1), jnp.float64),
+        sset, 9,
+    )
+    np.testing.assert_allclose(state.e_stacked(), oracle.e, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(state.h_stacked(), oracle.h, rtol=1e-12, atol=1e-12)

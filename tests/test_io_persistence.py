@@ -73,6 +73,30 @@ def test_checkpoint_shape_mismatch_rejected(tmp_path):
         load_checkpoint(p, template=other)
 
 
+def test_checkpoint_dtype_narrowing_warns(tmp_path):
+    """Restoring an f64 checkpoint into an f32 template must warn about
+    the precision loss (ADVICE r1: the silent cast hid it)."""
+    import warnings
+
+    import pytest
+
+    sim = _sim()
+    s = sim.init()
+    wide = s._replace(
+        **{k: jnp.asarray(getattr(s, k), jnp.float64)
+           for k in ("ex", "ey", "ez", "hx", "hy", "hz")}
+    )
+    p = save_checkpoint(tmp_path / "ck.npz", wide)
+    with pytest.warns(UserWarning, match="narrowed"):
+        restored, _ = load_checkpoint(p, template=sim.init())
+    assert restored.e[0].dtype == s.e[0].dtype
+    # same-dtype restore stays silent
+    p2 = save_checkpoint(tmp_path / "ck2.npz", s)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        load_checkpoint(p2, template=sim.init())
+
+
 def test_project_roundtrip(tmp_path):
     scene = example_scene()
     p = save_project(tmp_path / "scene.json", scene)

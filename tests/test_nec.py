@@ -185,3 +185,29 @@ def test_wire_arc_populates_scene():
     assert any(e.contains_world(pts)[0] for e in scene.entities)
     # and the center does not
     assert not any(e.contains_world(np.zeros((3, 1)))[0] for e in scene.entities)
+
+
+def test_duplicate_tags_keep_all_wires():
+    """NEC2 allows several GW cards with the same tag; all must survive
+    (the reference's BTreeMap drops all but the last — documented
+    divergence)."""
+    deck = """CE two wires, one tag
+GW 1 3 0 0 0 0 0 1 .01
+GW 1 5 0 0 1 0 1 1 .01
+GE 0
+"""
+    nf = parse_nec(deck)
+    wires = nf.wires()
+    assert len(wires) == 2
+    assert [w[0] for w in wires] == [1, 1]
+    assert sorted(w[1].num_segments for w in wires) == [3, 5]
+
+
+def test_gc_zero_radius_rejected():
+    deck = """CE bad taper
+GW 1 4 0 0 0 0 0 1 0
+GC 1.0 0.0 .02
+GE 0
+"""
+    with pytest.raises(NecError, match="radii must be positive"):
+        parse_nec(deck)
