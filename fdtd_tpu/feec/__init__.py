@@ -1,4 +1,5 @@
 from .mesh import TriMesh
 from .solver import FeecSimulation, FeecState
+from .tetmesh import TetMesh
 
-__all__ = ["TriMesh", "FeecSimulation", "FeecState"]
+__all__ = ["TriMesh", "TetMesh", "FeecSimulation", "FeecState"]

@@ -122,6 +122,19 @@ class TriMesh:
                 faces.append([v[1], v[3], v[2]])
         return cls.from_triangles(vertices, np.asarray(faces))
 
+    # -- solver interface (shared with TetMesh) ------------------------------
+
+    @property
+    def star1(self) -> np.ndarray:
+        """Diagonal Hodge on primal edges (E): dual length / primal length."""
+        return self.dual_edge_lengths / self.edge_lengths
+
+    @property
+    def star2(self) -> np.ndarray:
+        """Diagonal Hodge on primal faces (B): the 2-D dual of a face is a
+        point, so the star is 1 / area."""
+        return 1.0 / self.face_areas
+
     @property
     def num_edges(self) -> int:
         return len(self.edges)
