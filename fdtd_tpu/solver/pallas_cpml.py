@@ -200,12 +200,16 @@ def _profiles(shape, cpml, inv_dx, dt, constants):
 
 
 def init_pml_kernel_state(shape, dtype=jnp.float32, *, cpml, tfsf=None):
+    # psi AND the TF/SF aux line are always f32: both are recurrences whose
+    # bf16 rounding measurably degrades the solution (tests/test_bf16_study)
+    # and whose memory footprint is marginal; only the six volumetric field
+    # arrays take the (possibly bf16) storage dtype.
     z = lambda s: jnp.zeros(s, jnp.float32)
     psi = tuple(z(ts) for *_, ts, _ in _psi_layout(shape, cpml))
     if tfsf is not None:
-        aux_e, aux_h = tfsf.init_aux(shape[0], dtype)
+        aux_e, aux_h = tfsf.init_aux(shape[0], jnp.float32)
     else:
-        aux_e = aux_h = jnp.zeros((), dtype)
+        aux_e = aux_h = jnp.zeros((), jnp.float32)
     return PmlKernelState(
         ex=jnp.zeros(shape, dtype), ey=jnp.zeros(shape, dtype),
         ez=jnp.zeros(shape, dtype), hx=jnp.zeros(shape, dtype),
@@ -218,7 +222,11 @@ def supports_cpml(shape, bc, cpml, dtype=jnp.float32) -> bool:
     from .boundary import Neumann
 
     nx, ny, nz = shape
-    if dtype != jnp.float32:
+    # bf16 is a STORAGE format: the kernels load every plane as f32,
+    # compute in f32, and round on write-back. psi stays f32 always
+    # (bf16 psi doubles the error of the IIR recurrence — measured in
+    # tests/test_bf16_study.py; slabs are thin so the memory cost is small).
+    if dtype not in (jnp.float32, jnp.bfloat16):
         return False
     if nx < 2 or ny % 8 != 0 or nz % 128 != 0:
         return False
@@ -496,12 +504,14 @@ def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes, n_src,
                 en[c] = jnp.where(mask, en[c] - c_b * src_ref[s_i, 3 + c], en[c])
         en_x, en_y, en_z = en
 
-        outs[0][0] = en_x
-        outs[1][0] = en_y
-        outs[2][0] = en_z
-        outs[3][0] = hn_x
-        outs[4][0] = hn_y
-        outs[5][0] = hn_z
+        # rounding to the storage dtype happens HERE (bf16 mode: compute
+        # stays f32 end to end, only the HBM write narrows)
+        outs[0][0] = en_x.astype(outs[0].dtype)
+        outs[1][0] = en_y.astype(outs[1].dtype)
+        outs[2][0] = en_z.astype(outs[2].dtype)
+        outs[3][0] = hn_x.astype(outs[3].dtype)
+        outs[4][0] = hn_y.astype(outs[4].dtype)
+        outs[5][0] = hn_z.astype(outs[5].dtype)
         s_hy[...] = hn_y
         s_hz[...] = hn_z
 
@@ -511,7 +521,7 @@ def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes, n_src,
 @functools.lru_cache(maxsize=16)
 def _build_call(shape, inv_dx, cpml, with_tfsf, tfsf_planes, dt, constants_key,
                 interpret, n_src=0, n_materials=1, tfsf_box=None,
-                with_m=False):
+                with_m=False, dtype_name="float32"):
     constants = SI if constants_key == "si" else _REDUCED()
     nx, ny, nz = shape
     layout = _psi_layout(shape, cpml)
@@ -582,7 +592,7 @@ def _build_call(shape, inv_dx, cpml, with_tfsf, tfsf_planes, dt, constants_key,
 
     out_specs = tuple([main_spec] * 6 + psi_specs)
     out_shape = tuple(
-        [jax.ShapeDtypeStruct(shape, f32) for _ in range(6)]
+        [jax.ShapeDtypeStruct(shape, jnp.dtype(dtype_name)) for _ in range(6)]
         + [jax.ShapeDtypeStruct(ts, f32) for *_, ts, _ in layout]
     )
 
@@ -635,6 +645,7 @@ def pallas_cpml_step_fn(
     matid=None,
     n_materials: int = 1,
     with_m: bool = False,
+    dtype=jnp.float32,
 ):
     """Build step(state: PmlKernelState, coeffs, sources) with CPML (and
     optionally slab TF/SF) applied inside the fused kernel. Uniform scalar
@@ -643,8 +654,9 @@ def pallas_cpml_step_fn(
     equal the real source count; with 0, sources scatter post-kernel.
     ``with_m`` additionally injects M (magnetic currents) into the H half
     in-kernel (requires max_sources > 0: the E half consumes the
-    M-corrected H, so M can never be post-kernel)."""
-    if not supports_cpml(shape, bc, cpml):
+    M-corrected H, so M can never be post-kernel). ``dtype`` is the field
+    STORAGE dtype (f32 or bf16); compute and psi are always f32."""
+    if not supports_cpml(shape, bc, cpml, dtype):
         raise ValueError(f"CPML kernel does not support {shape=} {cpml=}")
     if with_m and max_sources == 0:
         raise ValueError("with_m requires in-kernel sources (max_sources > 0)")
@@ -677,7 +689,7 @@ def pallas_cpml_step_fn(
     call, x_inputs, strip_inputs, layout = _build_call(
         tuple(shape), inv_dx, cpml, tfsf is not None, tfsf_planes,
         float(dt), constants_key, interpret, int(max_sources), n_mat,
-        tfsf_box, bool(with_m),
+        tfsf_box, bool(with_m), jnp.dtype(dtype).name,
     )
 
     def step(state: PmlKernelState, coeffs, sources) -> PmlKernelState:

@@ -434,8 +434,11 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
 
         eK, hK = out_fields
         for c in range(3):
-            outs[c][0] = eK[c]
-            outs[3 + c][0] = hK[c]
+            # storage rounding happens here (bf16 mode: with K-step
+            # blocking, fields round only every K ticks — strictly less
+            # rounding than the per-tick bound in tests/test_bf16_study)
+            outs[c][0] = eK[c].astype(outs[c].dtype)
+            outs[3 + c][0] = hK[c].astype(outs[3 + c].dtype)
         for lvl in range(1, k_steps):
             regs = c_lvl[lvl - 1]
             ek, hk, psis = new_carries[lvl]
@@ -455,7 +458,7 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
 def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
                 dt, constants_key, interpret, n_src, n_materials=1,
                 x_extra=0, runtime_edges=False, runtime_xprof=False,
-                with_m=False):
+                with_m=False, dtype_name="float32"):
     from ..constants import REDUCED
 
     constants = SI if constants_key == "si" else REDUCED
@@ -551,7 +554,7 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
 
     out_specs = tuple([out_spec] * 6 + psi_out_specs)
     out_shape = tuple(
-        [jax.ShapeDtypeStruct(shape, f32) for _ in range(6)]
+        [jax.ShapeDtypeStruct(shape, jnp.dtype(dtype_name)) for _ in range(6)]
         + [jax.ShapeDtypeStruct(ts, f32) for *_, ts, _ in layout]
     )
 
@@ -616,12 +619,15 @@ def pallas_cpml_stepk_fn(
     matid=None,
     n_materials: int = 1,
     with_m: bool = False,
+    dtype=jnp.float32,
 ):
     """Build step(state: PmlKernelState, coeffs, sources) advancing
     ``k_steps`` absorbing ticks per call. Uniform scalar coefficients;
     J (and with ``with_m``, M) sources inject in-kernel at every level
-    (max_sources must equal the real count)."""
-    if not supports_cpml_k(shape, bc, cpml, k_steps):
+    (max_sources must equal the real count). ``dtype`` is the field
+    STORAGE dtype (f32 or bf16); compute, carries and psi are always
+    f32 — bf16 fields round only at the every-K-ticks HBM write-back."""
+    if not supports_cpml_k(shape, bc, cpml, k_steps, dtype):
         raise ValueError(f"CPML K-step kernel does not support {shape=} {k_steps=}")
     if with_m and max_sources == 0:
         raise ValueError("with_m requires in-kernel sources (max_sources > 0)")
@@ -653,6 +659,7 @@ def pallas_cpml_stepk_fn(
         tuple(shape), inv_dx, cpml, int(k_steps), tfsf is not None,
         tfsf_planes, tfsf_box, float(dt), constants_key, interpret,
         int(max_sources), n_mat, 0, False, False, bool(with_m),
+        jnp.dtype(dtype).name,
     )
 
     def step(state: PmlKernelState, coeffs, sources) -> PmlKernelState:

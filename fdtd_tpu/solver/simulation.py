@@ -108,8 +108,9 @@ class Simulation:
     def _cpml_kernel_eligible(self) -> bool:
         """Absorbing runs dispatch to the in-kernel CPML Pallas kernel
         (solver/pallas_cpml.py, ~3.5x the XLA engine) when the config fits:
-        TPU, f32, uniform scalar coefficients, Neumann(0) edges, slab (not
-        box) TF/SF. J and M sources both inject in-kernel."""
+        TPU, f32/bf16 storage, uniform scalar coefficients, Neumann(0)
+        edges, slab (not box) TF/SF. J and M sources both inject
+        in-kernel."""
         import jax
 
         from .pallas_cpml import supports_cpml
@@ -175,6 +176,7 @@ class Simulation:
                     cpml=self._cpml_or_empty, tfsf=self.tfsf,
                     max_sources=n_src, matid=jnp.asarray(self.matid),
                     n_materials=self._n_materials, with_m=with_m,
+                    dtype=self.dtype,
                 )
                 table = jnp.asarray(self.table, jnp.float32)
 
@@ -186,6 +188,7 @@ class Simulation:
                 self.grid.shape, inv_dx=inv_dx, dt=self.grid.dt, bc=self.bc,
                 constants=self.grid.constants, cpml=self._cpml_or_empty,
                 tfsf=self.tfsf, max_sources=n_src, with_m=with_m,
+                dtype=self.dtype,
             )
         if self.backend == "pallas" and (
             self.cpml is not None or self.tfsf is not None
@@ -327,6 +330,7 @@ class Simulation:
                         constants=self.grid.constants,
                         cpml=self._cpml_or_empty, tfsf=self.tfsf,
                         max_sources=n_src, with_m=self._has_m_sources(),
+                        dtype=self.dtype,
                     )
                     if self.matid is not None:
                         kernel = pallas_cpml_stepk_fn(

@@ -378,3 +378,80 @@ def test_kernel_cpml_kstep_m_sources():
             np.asarray(st.h[c]), np.asarray(ref.h[c]),
             rtol=2e-5, atol=2e-5 * scale, err_msg=f"h[{c}]",
         )
+
+
+def test_kernel_cpml_bf16_storage():
+    """bf16 STORAGE mode: fields live in bf16 HBM, psi stays f32, compute
+    is f32 (loads upcast, stores round). Gate: close to the f32 kernel at
+    bf16-rounding error (~1e-2 rel), psi arrays bitwise f32 dtype."""
+    shape = (16, 16, 128)
+    cpml = Cpml(thickness=((4, 4), (4, 4), (0, 0)))
+    coeffs = ft.CellCoefficients.uniform((1.0, 0.25, 1.0, 0.25), jnp.float32)
+    srcs = _sources()
+
+    f32_step = pallas_cpml_step_fn(
+        shape, inv_dx=INV_DX, dt=DT, constants=ft.REDUCED, cpml=cpml,
+        interpret=True, max_sources=srcs.num_sources,
+    )
+    bf_step = pallas_cpml_step_fn(
+        shape, inv_dx=INV_DX, dt=DT, constants=ft.REDUCED, cpml=cpml,
+        interpret=True, max_sources=srcs.num_sources, dtype=jnp.bfloat16,
+    )
+    ref = init_pml_kernel_state(shape, jnp.float32, cpml=cpml)
+    st = init_pml_kernel_state(shape, jnp.bfloat16, cpml=cpml)
+    assert st.ex.dtype == jnp.bfloat16
+    assert all(p.dtype == jnp.float32 for p in st.psi)
+
+    for _ in range(24):
+        ref = f32_step(ref, coeffs, srcs)
+        st = bf_step(st, coeffs, srcs)
+    assert st.ex.dtype == jnp.bfloat16
+    assert all(p.dtype == jnp.float32 for p in st.psi)
+
+    num = den = 0.0
+    for c in range(3):
+        d = np.asarray(st.e[c], np.float64) - np.asarray(ref.e[c], np.float64)
+        num += float(np.sum(d * d))
+        den += float(np.sum(np.asarray(ref.e[c], np.float64) ** 2))
+    assert den > 0
+    rel = (num / den) ** 0.5
+    assert rel < 0.05, f"bf16 storage rel-L2 {rel:.3e}"
+
+
+def test_kernel_cpml_kstep_bf16_storage():
+    """K-step kernel in bf16 storage: fields round only at pass boundaries,
+    so the error must be <= the per-tick kernel's at matching tick count."""
+    from fdtd_tpu.solver.pallas_cpml_k import pallas_cpml_stepk_fn
+
+    shape = (16, 16, 128)
+    cpml = Cpml(thickness=((4, 4), (4, 4), (0, 0)))
+    coeffs = ft.CellCoefficients.uniform((1.0, 0.25, 1.0, 0.25), jnp.float32)
+    srcs = _sources()
+    k = 3
+
+    f32_step = pallas_cpml_step_fn(
+        shape, inv_dx=INV_DX, dt=DT, constants=ft.REDUCED, cpml=cpml,
+        interpret=True, max_sources=srcs.num_sources,
+    )
+    bf_k = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=INV_DX, dt=DT, constants=ft.REDUCED, cpml=cpml,
+        interpret=True, max_sources=srcs.num_sources, dtype=jnp.bfloat16,
+    )
+    ref = init_pml_kernel_state(shape, jnp.float32, cpml=cpml)
+    st = init_pml_kernel_state(shape, jnp.bfloat16, cpml=cpml)
+
+    for _ in range(8):
+        for _ in range(k):
+            ref = f32_step(ref, coeffs, srcs)
+        st = bf_k(st, coeffs, srcs)
+    assert int(st.tick) == int(ref.tick)
+    assert st.ex.dtype == jnp.bfloat16
+
+    num = den = 0.0
+    for c in range(3):
+        d = np.asarray(st.e[c], np.float64) - np.asarray(ref.e[c], np.float64)
+        num += float(np.sum(d * d))
+        den += float(np.sum(np.asarray(ref.e[c], np.float64) ** 2))
+    assert den > 0
+    rel = (num / den) ** 0.5
+    assert rel < 0.05, f"K-step bf16 storage rel-L2 {rel:.3e}"
