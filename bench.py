@@ -421,6 +421,44 @@ def main() -> None:
             )
             del cstate
 
+        # 512^3 absorbing: f32 is VMEM-capped at K=3; bf16 storage halves
+        # the field blocks and unlocks K=4 (~1.6x) — report both
+        if n == 512 and dev.platform == "tpu":
+            from fdtd_tpu.solver.cpml import Cpml
+            from fdtd_tpu.solver.pallas_cpml import init_pml_kernel_state
+            from fdtd_tpu.solver.pallas_cpml_k import pallas_cpml_stepk_fn
+
+            for cdt, ck in ((jnp.float32, 3), (jnp.bfloat16, 4)):
+                ckstep = pallas_cpml_stepk_fn(
+                    shape, ck, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
+                    constants=ft.REDUCED, cpml=Cpml.uniform(10),
+                    max_sources=1, dtype=cdt,
+                )
+                cstate = init_pml_kernel_state(shape, cdt,
+                                               cpml=Cpml.uniform(10))
+
+                def run_c5(state, k: int, _s=ckstep):
+                    def body(s, _):
+                        return _s(s, coeffs, src), None
+
+                    return jax.lax.scan(body, state, None, length=k)[0]
+
+                runc_j = jax.jit(run_c5, static_argnums=1)
+                c_calls = max(n_steps // ck, 1)
+                cstate = runc_j(cstate, c_calls)
+                cstate.ex[1, 1, 1].item()
+                t0 = time.perf_counter()
+                cstate = runc_j(cstate, c_calls)
+                cstate.ex[1, 1, 1].item()
+                dt_wall = time.perf_counter() - t0 - readback_s
+                print(
+                    f"{n}^3 CPML all axes ({jnp.dtype(cdt).name}, "
+                    f"in-kernel K={ck}): "
+                    f"{grid.num_cells*c_calls*ck/dt_wall/1e9:.3f} Gcell/s",
+                    file=sys.stderr,
+                )
+                del cstate, ckstep
+
         # compressed-material mode (uint8 matid + K-row table), 256^3 only
         if n == 256:
             tab = ft.MaterialTable()

@@ -70,10 +70,15 @@ def supports_cpml_k(shape, bc, cpml, k: int, dtype=jnp.float32) -> bool:
     if shape[0] < 2 * k:
         return False
     # VMEM guard: (k-1) levels of carries (6 fields + up to 4 x-psi planes
-    # + strip slots) plus the pipeline's double-buffered blocks must fit.
-    # Conservative: ~16 plane-equivalents per level + 50 for the pipeline.
-    plane_bytes = shape[1] * shape[2] * 4
-    if (16 * (k - 1) + 50) * plane_bytes > 90 * (1 << 20):
+    # + strip slots, all f32 scratch) plus the pipeline's double-buffered
+    # blocks. The field in/out blocks ride in the STORAGE dtype (bf16
+    # halves ~28 of the ~50 pipeline plane-equivalents); scratch carries
+    # and psi stay f32. Calibrated on v5e at 512^3: f32 K=3 fits / K=4
+    # OOMs, bf16 K=4 fits / K=5 OOMs.
+    plane_f32 = shape[1] * shape[2] * 4
+    plane_store = shape[1] * shape[2] * jnp.dtype(dtype).itemsize
+    vmem = 16 * (k - 1) * plane_f32 + 22 * plane_f32 + 28 * plane_store
+    if vmem > 90 * (1 << 20):
         return False
     return True
 

@@ -292,6 +292,12 @@ def test_supports_cpml_k_vmem_guard():
     ok_512 = [k for k in (8, 6, 4, 3, 2) if supports_cpml_k((512, 512, 512), bc, cp, k)]
     assert ok_256 == [8, 6, 4, 2]
     assert ok_512 == [3, 2]  # VMEM-bounded (validated on hardware at K=3)
+    # bf16 storage halves the pipeline's field blocks: K=4 fits at 512^3
+    # (validated on v5e: K=4 runs at 20.1 Gcell/s, K=5 OOMs)
+    ok_512_bf = [k for k in (8, 6, 5, 4, 3, 2)
+                 if supports_cpml_k((512, 512, 512), bc, cp, k,
+                                    dtype=jnp.bfloat16)]
+    assert ok_512_bf == [4, 3, 2]
 
 
 def _sources_jm(dtype=jnp.float32):
