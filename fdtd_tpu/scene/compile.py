@@ -33,31 +33,45 @@ from .voxelize import voxelize_materials
 
 
 def _cpml_from_scene_pml(scene: Scene, transforms: CoordinateTransforms, grid: Grid):
-    """Map scene-embedded GradedPml slab entities onto boundary CPML.
+    """Map scene-embedded GradedPml entities onto absorbers.
 
-    The reference computes per-cell PML coefficients from such entities but
-    never applies the psi fields (cem-solver/src/fdtd/cpu/mod.rs:424-425), so
-    they are physically inert there. Here an axis-aligned slab at a domain
-    edge becomes a real absorbing boundary: the slab's extent along its
-    normal sets the CPML thickness in cells, and its GradedPmlSpec carries
-    the grading. Non-axis-aligned or interior PML entities are ignored with
-    a warning (arbitrary-orientation PML is out of scope).
+    The reference computes per-cell PML coefficients from such entities by
+    collider ray-cast (cem-app/src/solver/runner.rs:633-676) but never
+    applies the psi fields (cem-solver/src/fdtd/cpu/mod.rs:424-425), so
+    they are physically inert there. Here they become REAL absorbers along
+    two routes, returned as a (cpml, dense) pair:
+
+    - an axis-aligned slab covering a full domain face -> boundary CPML
+      (the fast path: slab thickness in cells + the entity's grading spec);
+    - any other bounded shape with an axis-aligned normal -> a volumetric
+      per-cell region (solver/pml_region.py): depth per cell by vectorized
+      ray-marching on the entity's world-frame containment, the TPU-shaped
+      equivalent of the reference's per-cell cast_ray. One region is
+      supported per scene (the reference likewise takes the first PML it
+      finds per cell, runner.rs:672-674); extras warn.
+
+    Non-axis-aligned normals warn and are skipped: an oblique uniaxial
+    stretch is not representable in the per-axis Yee curl (the reference
+    stores an oblique b-vector but, with psi never applied, gives it no
+    semantics either).
     """
     import warnings
 
     from ..solver.cpml import Cpml
+    from ..solver.pml_region import dense_pml_from_depth, depth_from_contains
+    from .transform import _quat_to_matrix
 
     pmls = scene.pmls()
     if not pmls:
-        return None
+        return None, None
     thickness = [[0, 0], [0, 0], [0, 0]]
     spec = None
+    dense = None
+    nx, ny, nz = grid.shape
     for e in pmls:
         normal = np.asarray(e.pml.normal, np.float64)
         normal = normal / np.linalg.norm(normal)
         # into-the-absorber normal in lattice frame
-        from .transform import _quat_to_matrix
-
         r = _quat_to_matrix(transforms.rotation)
         n_lat = r.T @ normal
         axis = int(np.argmax(np.abs(n_lat)))
@@ -77,15 +91,57 @@ def _cpml_from_scene_pml(scene: Scene, transforms: CoordinateTransforms, grid: G
         lo = transforms.world_to_solver(ab[0].reshape(3, 1))[:, 0]
         hi = transforms.world_to_solver(ab[1].reshape(3, 1))[:, 0]
         lo, hi = np.minimum(lo, hi), np.maximum(lo, hi)
-        cells = max(1, int(round(hi[axis] - lo[axis])))
-        # slab at the low edge if the normal points +axis (absorber grows
-        # inward from the low boundary), else at the high edge
-        side = 0 if n_lat[axis] > 0 else 1
-        thickness[axis][side] = max(thickness[axis][side], cells)
-        spec = e.pml.spec
-    if spec is None:
-        return None
-    return Cpml(thickness=tuple(tuple(t) for t in thickness), spec=spec)
+        sign = 1 if n_lat[axis] > 0 else -1
+
+        # edge slab: touches the matching domain face and spans the full
+        # cross-section -> boundary CPML profile
+        others = [a for a in range(3) if a != axis]
+        spans_cross = all(
+            lo[a] <= 0.5 and hi[a] >= grid.shape[a] - 1.5 for a in others
+        )
+        at_edge = (lo[axis] <= 0.5) if sign > 0 else (
+            hi[axis] >= grid.shape[axis] - 1.5
+        )
+        if spans_cross and at_edge:
+            cells = max(1, int(round(hi[axis] - lo[axis])))
+            side = 0 if sign > 0 else 1
+            thickness[axis][side] = max(thickness[axis][side], cells)
+            spec = e.pml.spec
+            continue
+
+        # volumetric region (arbitrary shape / interior placement)
+        if dense is not None:
+            warnings.warn(
+                f"GradedPml entity {e.name!r}: only one volumetric PML "
+                f"region per scene is supported; ignoring extras",
+                stacklevel=2,
+            )
+            continue
+        box = tuple(
+            (max(0, int(np.floor(lo[a]))),
+             min(grid.shape[a], int(np.ceil(hi[a])) + 1))
+            for a in range(3)
+        )
+        if any(b1 <= b0 for b0, b1 in box):
+            warnings.warn(
+                f"GradedPml entity {e.name!r}: outside the simulation "
+                f"volume; ignoring", stacklevel=2,
+            )
+            continue
+        d_h, d_e = depth_from_contains(
+            e.contains_world, box, axis, sign,
+            to_world=transforms.solver_to_world,
+        )
+        dense = dense_pml_from_depth(
+            axis, box, d_h, d_e, spec=e.pml.spec,
+            dx=grid.resolution.spatial[axis], dt=grid.dt,
+            constants=grid.constants,
+        )
+    cpml = (
+        Cpml(thickness=tuple(tuple(t) for t in thickness), spec=spec)
+        if spec is not None else None
+    )
+    return cpml, dense
 
 __all__ = ["Volume", "CompiledScene", "compile_scene", "ResolvedObserver"]
 
@@ -213,10 +269,11 @@ def compile_scene(
             f"{memory_limit_bytes / 1e6:.1f} MB"
         )
 
-    # scene-embedded GradedPml slabs -> boundary CPML (unless the caller
-    # already supplied one)
+    # scene-embedded GradedPml entities -> boundary CPML and/or a
+    # volumetric per-cell region (unless the caller already supplied one)
+    dense_pml = None
     if cpml is None:
-        cpml = _cpml_from_scene_pml(scene, transforms, grid)
+        cpml, dense_pml = _cpml_from_scene_pml(scene, transforms, grid)
 
     matid, table = voxelize_materials(scene, transforms, default_material)
     ctable = coefficient_table(table.materials, resolution, constants)
@@ -259,7 +316,7 @@ def compile_scene(
 
     sim = Simulation(
         grid=grid, coeffs=coeffs, sources=sources, bc=bc, dtype=dtype,
-        cpml=cpml, matid=sim_matid, table=sim_table,
+        cpml=cpml, dense_pml=dense_pml, matid=sim_matid, table=sim_table,
     )
     return CompiledScene(
         simulation=sim,

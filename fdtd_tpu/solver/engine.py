@@ -56,6 +56,9 @@ class EngineState(NamedTuple):
     psi_e: Tuple[Tuple[jax.Array, jax.Array], ...]
     aux_e: jax.Array  # () if no TF/SF
     aux_h: jax.Array
+    # volumetric per-cell PML region (solver/pml_region.py): 4 psi arrays
+    # of the region's box shape (2 curl terms x 2 halves); () when unused
+    psi_d: Tuple[jax.Array, ...] = ()
 
     @property
     def e(self):
@@ -95,7 +98,8 @@ def _slab_extents(n, lo, hi, half):
     return lo_range, hi_range
 
 
-def init_engine_state(shape, dtype=jnp.float32, cpml=None, tfsf=None) -> EngineState:
+def init_engine_state(shape, dtype=jnp.float32, cpml=None, tfsf=None,
+                      dense=None) -> EngineState:
     z = lambda: jnp.zeros(shape, dtype)
     zs = lambda: jnp.zeros((), dtype)
     active = set(cpml.active_axes()) if cpml is not None else set()
@@ -121,10 +125,14 @@ def init_engine_state(shape, dtype=jnp.float32, cpml=None, tfsf=None) -> EngineS
         aux_e, aux_h = tfsf.init_aux(shape[0], dtype)
     else:
         aux_e, aux_h = zs(), zs()
+    psi_d = (
+        tuple(jnp.zeros(dense.box_shape, dtype) for _ in range(4))
+        if dense is not None else ()
+    )
     return EngineState(
         ex=z(), ey=z(), ez=z(), hx=z(), hy=z(), hz=z(),
         tick=jnp.zeros((), jnp.int32),
-        psi_h=psi_h, psi_e=psi_e, aux_e=aux_e, aux_h=aux_h,
+        psi_h=psi_h, psi_e=psi_e, aux_e=aux_e, aux_h=aux_h, psi_d=psi_d,
     )
 
 
@@ -138,8 +146,14 @@ def build_step(
     dtype=jnp.float32,
     cpml=None,
     tfsf=None,
+    dense=None,
 ):
-    """Build step(state: EngineState, coeffs, sources) -> EngineState."""
+    """Build step(state: EngineState, coeffs, sources) -> EngineState.
+
+    ``dense`` is an optional solver.pml_region.DensePml: a per-cell
+    uniaxial CPML on an AABB subgrid (arbitrary-shape absorbers,
+    runner.rs:633-676). It must not overlap boundary ``cpml`` slabs on
+    the same axis (the stretches would compound)."""
     active = set(cpml.active_axes()) if cpml is not None else set()
     profs = {}
     if cpml is not None:
@@ -185,15 +199,43 @@ def build_step(
         else:
             xs, ys, zs = slice(lo, hi + 1), slice(None), slice(None)
 
-    def curl_with_psi(f3, psi, diff, key):
+    if dense is not None:
+        dense.validate(shape)
+        if dense.axis in active:
+            (dx0, dx1) = dense.box[dense.axis]
+            lo, hi = cpml.thickness[dense.axis]
+            n = shape[dense.axis]
+            if dx0 < lo or dx1 > n - hi:
+                raise ValueError(
+                    "DensePml region overlaps a boundary CPML slab on axis "
+                    f"{dense.axis}: box [{dx0}, {dx1}) vs slabs "
+                    f"[0, {lo}) / [{n - hi}, {n})"
+                )
+        dense_coeffs = {
+            "h": tuple(jnp.asarray(c, dtype) for c in dense.coeffs_h),
+            "e": tuple(jnp.asarray(c, dtype) for c in dense.coeffs_e),
+        }
+        _dbox = tuple(slice(b0, b1) for b0, b1 in dense.box)
+
+    def curl_with_psi(f3, psi, diff, key, psi_d=()):
         """CPML-stretched curl with SLAB-resident psi: the recurrence and
         stretch touch only the absorber thickness along each term's axis
         (the interior passes through untouched — kappa there is 1 and psi
-        is identically 0)."""
+        is identically 0). ``psi_d`` carries this half's two volumetric
+        region psi arrays when a DensePml is configured."""
         d = {}
         new_psi = list(psi)
+        new_psi_d = list(psi_d)
+        n_dense = 0
         for idx, (comp, axis) in enumerate(_TERMS):
             raw = diff(f3[comp], axis, bc.axis(axis), comp) * inv_dx[axis]
+            if dense is not None and axis == dense.axis:
+                ik, b, c = dense_coeffs[key]
+                sub = raw[_dbox]
+                p = b * psi_d[n_dense] + c * sub
+                raw = raw.at[_dbox].set(ik * sub + p)
+                new_psi_d[n_dense] = p
+                n_dense += 1
             if axis in active:
                 (lo_prof, hi_prof, ((l0, l1), (h0, h1))) = profs[(key, axis)]
                 psi_lo, psi_hi = psi[idx]
@@ -221,7 +263,7 @@ def build_step(
         cx = d[(2, 1)] - d[(1, 2)]
         cy = d[(0, 2)] - d[(2, 0)]
         cz = d[(1, 0)] - d[(0, 1)]
-        return (cx, cy, cz), tuple(new_psi)
+        return (cx, cy, cz), tuple(new_psi), tuple(new_psi_d)
 
     def _coef_block(coef, *idx):
         return coef if jnp.ndim(coef) == 0 else coef[idx]
@@ -244,7 +286,9 @@ def build_step(
             j_vals = m_vals = None
 
         # --- H half-update -------------------------------------------------
-        ce, psi_h = curl_with_psi(state.e, state.psi_h, _diff_backward, "h")
+        ce, psi_h, psi_d_h = curl_with_psi(
+            state.e, state.psi_h, _diff_backward, "h", state.psi_d[0:2]
+        )
         h = [coeffs.d_a * state.h[c] - coeffs.d_b * ce[c] for c in range(3)]
 
         aux_e, aux_h = state.aux_e, state.aux_h
@@ -284,7 +328,9 @@ def build_step(
             ]
 
         # --- E half-update (uses the new H) ---------------------------------
-        ch, psi_e = curl_with_psi(tuple(h), state.psi_e, _diff_forward, "e")
+        ch, psi_e, psi_d_e = curl_with_psi(
+            tuple(h), state.psi_e, _diff_forward, "e", state.psi_d[2:4]
+        )
         e = [coeffs.c_a * state.e[c] + coeffs.c_b * ch[c] for c in range(3)]
 
         if tfsf is not None:
@@ -323,6 +369,7 @@ def build_step(
         return EngineState(
             ex=e[0], ey=e[1], ez=e[2], hx=h[0], hy=h[1], hz=h[2],
             tick=tick + 1, psi_h=psi_h, psi_e=psi_e, aux_e=aux_e, aux_h=aux_h,
+            psi_d=psi_d_h + psi_d_e,
         )
 
     return step

@@ -55,6 +55,9 @@ class Simulation:
     # Neumann(0) edges, no CPML/TFSF, J-only sources); "xla" forces the
     # reference path; "pallas" asserts.
     backend: str = "auto"
+    # Optional volumetric per-cell PML region (solver/pml_region.py):
+    # arbitrary-shape absorbers anywhere in the domain. XLA-engine only.
+    dense_pml: Any = None
     # compressed-material mode: per-cell uint8/uint16 index + (K, 4) table.
     # When set, the Pallas kernels stream the 1 B/cell index instead of
     # dense coefficients (coeffs should still hold the gathered dense form
@@ -72,11 +75,13 @@ class Simulation:
                 self.grid.shape, self.dtype, cpml=self._cpml_or_empty,
                 tfsf=self.tfsf,
             )
-        if self.cpml is not None or self.tfsf is not None:
+        if (self.cpml is not None or self.tfsf is not None
+                or self.dense_pml is not None):
             from .engine import init_engine_state
 
             return init_engine_state(
-                self.grid.shape, self.dtype, cpml=self.cpml, tfsf=self.tfsf
+                self.grid.shape, self.dtype, cpml=self.cpml, tfsf=self.tfsf,
+                dense=self.dense_pml,
             )
         return zero_state(self.grid.shape, self.dtype)
 
@@ -89,7 +94,8 @@ class Simulation:
 
         from .pallas_step import supports
 
-        if self.cpml is not None or self.tfsf is not None:
+        if (self.cpml is not None or self.tfsf is not None
+                or self.dense_pml is not None):
             return False
         if jax.default_backend() != "tpu":
             return False
@@ -116,6 +122,9 @@ class Simulation:
         from .pallas_cpml import supports_cpml
 
         if (self.cpml is None and self.tfsf is None) or self.backend == "xla":
+            return False
+        if self.dense_pml is not None:
+            # volumetric per-cell regions run on the XLA engine only
             return False
         if jax.default_backend() != "tpu":
             return False
@@ -199,7 +208,8 @@ class Simulation:
                 "Neumann(0) edges, slab TF/SF); this setup falls back to "
                 "the XLA engine — use backend='auto'"
             )
-        if self.cpml is not None or self.tfsf is not None:
+        if (self.cpml is not None or self.tfsf is not None
+                or self.dense_pml is not None):
             from .engine import build_step
 
             return self._wrap_lazy_coeffs(
@@ -212,6 +222,7 @@ class Simulation:
                     dtype=self.dtype,
                     cpml=self.cpml,
                     tfsf=self.tfsf,
+                    dense=self.dense_pml,
                 )
             )
         if (
