@@ -125,6 +125,8 @@ class Scene:
     def __init__(self, entities: Iterable[Entity] = ()):
         self.entities: List[Entity] = list(entities)
         self._plugins: set = set()
+        self._bvh = None
+        self._bvh_fp = None
 
     def add(self, entity: Entity) -> Entity:
         self.entities.append(entity)
@@ -144,10 +146,44 @@ class Scene:
 
     # -- queries (counterpart of cem-scene/src/spatial/queries.rs) ----------
 
+    def bvh(self):
+        """The scene's AABB BVH (cem-scene/src/spatial/bvh.rs), covering
+        entities WITH shapes, rebuilt lazily when any global pose / shape
+        changes (the reference updates incrementally via ECS
+        change-detection transactions, bvh.rs:133-245; here a snapshot
+        rebuild keyed on a pose fingerprint is cheaper than one compile
+        burst). Leaf indices map into ``self.shaped_entities()``."""
+        from .bvh import Bvh
+
+        shaped = self.shaped_entities()
+        fp = tuple((id(e), id(e.shape), e.global_pose()) for e in shaped)
+        if self._bvh is None or fp != self._bvh_fp:
+            self._bvh = Bvh(shaped)
+            self._bvh_fp = fp
+        return self._bvh
+
+    def shaped_entities(self) -> List[Entity]:
+        return [e for e in self.entities if e.shape is not None]
+
     def point_query(self, points: np.ndarray) -> List[Tuple[Entity, np.ndarray]]:
-        """All (entity, mask) pairs whose shape contains each point."""
+        """All (entity, mask) pairs whose shape contains each point.
+
+        BVH broad phase first: the narrow containment test runs only on
+        the points inside each entity's AABB (bvh.rs:120-130 per-point;
+        here batched over the whole point set per tree node)."""
+        shaped = self.shaped_entities()
+        flat = points.reshape(3, -1)
+        masks = {i: None for i in range(len(shaped))}
+        for i, box_mask in self.bvh().point_query(points):
+            bm = box_mask.reshape(-1)
+            m = np.zeros(flat.shape[1], bool)
+            if bm.any():
+                m[bm] = shaped[i].contains_world(flat[:, bm])
+            masks[i] = m.reshape(points.shape[1:])
+        empty = np.zeros(points.shape[1:], bool)
         return [
-            (e, e.contains_world(points)) for e in self.entities if e.shape is not None
+            (e, masks[i] if masks[i] is not None else empty.copy())
+            for i, e in enumerate(shaped)
         ]
 
     def world_aabb(
@@ -187,18 +223,23 @@ class Scene:
         max_dist: float = 1e6,
         predicate=lambda e: e.shape is not None,
     ) -> Optional[Tuple[Entity, float]]:
-        """First entity hit along a world-space ray (sphere tracing on the
-        shapes' SDFs) — the counterpart of the BVH ray-cast used for picking
-        and PML depth (cem-scene/src/spatial/bvh.rs:54-130)."""
+        """First entity hit along a world-space ray — BVH broad phase
+        near-to-far (cem-scene/src/spatial/bvh.rs:54-95), sphere-tracing
+        narrow phase on the shapes' SDFs, early-out once the best hit is
+        closer than the next candidate AABB."""
+        shaped = self.shaped_entities()
         o = np.asarray(origin, np.float64)
         d = np.asarray(direction, np.float64)
         d = d / np.linalg.norm(d)
         best: Optional[Tuple[Entity, float]] = None
-        for e in self.entities:
-            if not predicate(e) or e.shape is None:
+        for i, t_enter in self.bvh().ray_candidates(o, d, max_dist):
+            e = shaped[i]
+            if not predicate(e):
                 continue
+            if best is not None and best[1] <= t_enter:
+                break  # candidates are sorted: nothing closer remains
             pose = e.global_pose()
-            t = 0.0
+            t = t_enter
             for _ in range(256):
                 p = (o + t * d).reshape(3, 1)
                 dist = float(e.shape.sdf(pose.inverse_apply(p))[0])

@@ -55,6 +55,29 @@ def voxelize_materials(
 
     matid = np.zeros((nx, ny, nz), np.uint16)
 
+    # each entity's solver-space AABB (corner-mapped: exact under the
+    # lattice rotation) -> integer cell sub-box; the containment test
+    # runs ONLY there. With many small entities (NEC decks: hundreds of
+    # thin wires) this collapses the per-entity cost from O(chunk) to
+    # O(entity volume) — the counterpart of the reference's BVH-backed
+    # per-cell point query (runner.rs:616-631 over spatial/bvh.rs).
+    import itertools
+
+    def solver_box(e):
+        ab = e.world_aabb()
+        if ab is None:
+            return ((0, nx), (0, ny), (0, nz))
+        corners = np.array(list(itertools.product(*zip(ab[0], ab[1])))).T
+        s = transforms.world_to_solver(corners)
+        lo = np.floor(s.min(axis=1)).astype(np.int64)
+        hi = np.ceil(s.max(axis=1)).astype(np.int64) + 1
+        return tuple(
+            (max(0, int(l)), min(n, int(h)))
+            for l, h, n in zip(lo, hi, (nx, ny, nz))
+        )
+
+    boxes = [solver_box(e) for e in entities]
+
     chunk_x = max(1, _CHUNK_CELLS // max(ny * nz, 1))
     ys = np.arange(ny, dtype=np.float64)
     zs = np.arange(nz, dtype=np.float64)
@@ -65,17 +88,17 @@ def voxelize_materials(
         world = transforms.solver_to_world(pts)
         assigned = np.zeros(world.shape[1:], bool)
         out = matid[x0:x1]
-        w_min = world.reshape(3, -1).min(axis=1)
-        w_max = world.reshape(3, -1).max(axis=1)
-        for e, mid in zip(entities, mat_ids):
-            # cheap reject: skip entities whose AABB misses the chunk
-            ab = e.world_aabb()
-            if ab is not None:
-                if np.any(ab[1] < w_min) or np.any(ab[0] > w_max):
-                    continue
-            mask = e.contains_world(world) & ~assigned
-            out[mask] = mid
-            assigned |= mask
+        for (e, mid), ((bx0, bx1), (by0, by1), (bz0, bz1)) in zip(
+            zip(entities, mat_ids), boxes
+        ):
+            cx0, cx1 = max(bx0, x0) - x0, min(bx1, x1) - x0
+            if cx1 <= cx0 or by1 <= by0 or bz1 <= bz0:
+                continue
+            sub = (slice(cx0, cx1), slice(by0, by1), slice(bz0, bz1))
+            mask = e.contains_world(world[(slice(None),) + sub])
+            mask &= ~assigned[sub]
+            out[sub][mask] = mid
+            assigned[sub] |= mask
 
     if len(table) <= 256:
         matid = matid.astype(np.uint8)
