@@ -32,6 +32,9 @@ def best_sharded_absorbing_step(
     tfsf=None,
     max_sources: int = 0,
     with_m: bool = False,
+    matid=None,
+    n_materials: int = 1,
+    dtype=None,
     max_k: int = 8,
     interpret: bool = False,
     axis: str = "x",
@@ -43,8 +46,11 @@ def best_sharded_absorbing_step(
     layouts). ``kind`` is "pallas_cpml_k" or "xla_engine".
 
     The kernel path needs: a mesh sharded only along ``axis``, no TF/SF,
-    no M sources, uniform scalar coefficients (caller's responsibility),
-    f32, and x-PML confined to the edge shards (supports_sharded_cpml).
+    uniform scalar coefficients or a compressed matid volume, f32/bf16
+    storage, and x-PML confined to the edge shards
+    (supports_sharded_cpml). M sources and compressed materials ride the
+    kernel; TF/SF and dense per-cell coefficients fall back to the XLA
+    engine.
     """
     from .pallas_sharded_cpml import (
         init_sharded_pml_state,
@@ -56,29 +62,38 @@ def best_sharded_absorbing_step(
         make_sharded_engine_step,
     )
 
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
     n_dev = mesh.shape.get(axis, 1)
     one_d = all(n == 1 for name, n in mesh.shape.items() if name != axis)
     kernel_backend = interpret or jax.default_backend() == "tpu"
+    matid_ok = matid is None or (
+        shape[1] % 32 == 0 and n_materials <= 256
+    )
+    m_ok = not with_m or max_sources > 0
     if (
         cpml is not None
         and tfsf is None
-        and not with_m
         and one_d
         and n_dev > 1
         and kernel_backend
+        and matid_ok
+        and m_ok
     ):
         for k in range(max_k, 1, -1):
-            if supports_sharded_cpml(shape, n_dev, bc, cpml, k):
+            if supports_sharded_cpml(shape, n_dev, bc, cpml, k, dtype):
                 step = make_pallas_sharded_cpml_stepk(
                     mesh, shape, k, inv_dx=inv_dx, dt=dt, bc=bc,
                     constants=constants, cpml=cpml,
                     max_sources=max_sources, interpret=interpret,
-                    axis=axis,
+                    axis=axis, with_m=with_m, matid=matid,
+                    n_materials=n_materials, dtype=dtype,
                 )
 
                 def init_state(k=k):
                     return init_sharded_pml_state(
-                        shape, mesh, k, cpml=cpml, axis=axis
+                        shape, mesh, k, cpml=cpml, axis=axis, dtype=dtype
                     )
 
                 return step, init_state, k, "pallas_cpml_k"

@@ -159,10 +159,13 @@ def _plane_maps(nx, nl, k, layout):
 
 
 def init_sharded_pml_state(
-    shape, mesh: Mesh, k: int, *, cpml, axis: str = "x"
+    shape, mesh: Mesh, k: int, *, cpml, axis: str = "x",
+    dtype=jnp.float32,
 ) -> PmlKernelState:
     """Zero PmlKernelState in the extended sharded layout for a global
-    ``shape`` lattice decomposed along x over ``mesh``."""
+    ``shape`` lattice decomposed along x over ``mesh``. ``dtype`` is the
+    field storage dtype (f32/bf16); psi stays f32 (solver/pallas_cpml.py
+    bf16 notes)."""
     n_dev = mesh.shape[axis]
     nx, ny, nz = shape
     nl = nx // n_dev
@@ -171,19 +174,37 @@ def init_sharded_pml_state(
     fs = NamedSharding(mesh, P(axis, None, None))
     r = NamedSharding(mesh, P())
 
-    def z(s, sh):
-        return jax.device_put(jnp.zeros(s, jnp.float32), sh)
+    def z(s, sh, dt_=jnp.float32):
+        return jax.device_put(jnp.zeros(s, dt_), sh)
 
     ext = (n_dev * nle, ny, nz)
     psi = tuple(
         z((n_dev * ts[0],) + ts[1:], fs) for *_, ts, _ in layout
     )
     return PmlKernelState(
-        **{name: z(ext, fs) for name in _FIELDS},
+        **{name: z(ext, fs, dtype) for name in _FIELDS},
         tick=z((), r).astype(jnp.int32),
         psi=psi,
         aux_e=z((), r), aux_h=z((), r),
     )
+
+
+def extend_matid(matid, n_dev: int, k: int):
+    """Global (nx, ny, nz) material-index volume -> per-shard extended
+    layout (n_dev*nle, ny, nz): each shard carries its owned planes plus
+    k halo planes per side copied from the NEIGHBOR'S OWNED planes
+    (edge-clamped at the global ends), so the redundant halo recompute
+    sees the same materials the owner does."""
+    m = np.asarray(matid)
+    nx = m.shape[0]
+    nl = nx // n_dev
+    nle = nl + 2 * k
+    out = np.empty((n_dev * nle,) + m.shape[1:], m.dtype)
+    for d in range(n_dev):
+        g0 = d * nl - k
+        idx = np.clip(np.arange(g0, g0 + nle), 0, nx - 1)
+        out[d * nle: (d + 1) * nle] = m[idx]
+    return jnp.asarray(out)
 
 
 def extend_pml_state(
@@ -291,21 +312,33 @@ def make_pallas_sharded_cpml_stepk(
     max_sources: int = 0,
     interpret: bool = False,
     axis: str = "x",
+    with_m: bool = False,
+    matid=None,
+    n_materials: int = 1,
+    dtype=jnp.float32,
 ):
     """Build step(state_ext, coeffs, sources) advancing ``k_steps``
     absorbing ticks per pass on each shard of a 1-D x decomposition.
 
     ``shape`` is the GLOBAL lattice; the state uses the extended sharded
-    layout (init_sharded_pml_state / extend_pml_state). Uniform scalar
-    coefficients; J sources inject in-kernel at every level (max_sources
-    must equal the real count). TF/SF is not supported on this path."""
+    layout (init_sharded_pml_state / extend_pml_state). J (and with
+    ``with_m``, M) sources inject in-kernel at every level (max_sources
+    must equal the real count). ``matid`` (a GLOBAL (nx, ny, nz) index
+    volume) switches on compressed-material mode: ``coeffs`` becomes the
+    (K_mat, 4) table. ``dtype`` is the field storage dtype (f32/bf16).
+    TF/SF is not supported on this path."""
     n_dev = mesh.shape[axis]
-    if not supports_sharded_cpml(shape, n_dev, bc, cpml, k_steps):
+    if not supports_sharded_cpml(shape, n_dev, bc, cpml, k_steps, dtype):
         raise ValueError(
             f"sharded CPML kernel does not support {shape=} {n_dev=} "
             f"{k_steps=} {cpml=}"
         )
+    if with_m and max_sources == 0:
+        raise ValueError("with_m requires in-kernel sources (max_sources > 0)")
     nx, ny, nz = shape
+    if matid is not None and (ny % 32 != 0 or n_materials > 256):
+        raise ValueError("matid mode needs ny % 32 == 0 and <= 256 materials")
+    n_mat = n_materials if matid is not None else 1
     nl = nx // n_dev
     k = int(k_steps)
     nle = nl + 2 * k
@@ -322,15 +355,17 @@ def make_pallas_sharded_cpml_stepk(
         if has_x
         else jnp.zeros((n_dev, 1, 1, 1), jnp.float32)
     )
+    mid_ext = extend_matid(matid, n_dev, k) if matid is not None else None
 
     call, x_inputs, strip_inputs = _build_call(
         shape_ext, inv_dx, cpml, k, False, (0, 0), None, float(dt),
-        constants_key, interpret, int(max_sources), 1,
+        constants_key, interpret, int(max_sources), n_mat,
         x_extra=k, runtime_edges=True, runtime_xprof=True,
+        with_m=bool(with_m), dtype_name=jnp.dtype(dtype).name,
     )
     assert not x_inputs  # runtime_xprof: profiles come in as an operand
 
-    def local_step(state: PmlKernelState, coeffs, sources, xprof_l):
+    def local_step(state: PmlKernelState, coeffs, sources, xprof_l, mid_l):
         idx = lax.axis_index(axis)
         up = [(i, i + 1) for i in range(n_dev - 1)]
         down = [(i + 1, i) for i in range(n_dev - 1)]
@@ -351,32 +386,40 @@ def make_pallas_sharded_cpml_stepk(
         hi_edge = jnp.where(idx == n_dev - 1, nl + k - 1, 2**30)
         edges = jnp.stack([lo_edge, hi_edge]).astype(jnp.int32).reshape(1, 2)
 
-        row = jnp.stack(
-            [
-                jnp.asarray(coeffs.c_a, jnp.float32),
-                jnp.asarray(coeffs.c_b, jnp.float32),
-                jnp.asarray(coeffs.d_a, jnp.float32),
-                jnp.asarray(coeffs.d_b, jnp.float32),
-            ]
-        ).reshape(1, 4)
+        if matid is not None:
+            row = jnp.asarray(coeffs, jnp.float32)  # (K_mat, 4) table
+        else:
+            row = jnp.stack(
+                [
+                    jnp.asarray(coeffs.c_a, jnp.float32),
+                    jnp.asarray(coeffs.c_b, jnp.float32),
+                    jnp.asarray(coeffs.d_a, jnp.float32),
+                    jnp.asarray(coeffs.d_b, jnp.float32),
+                ]
+            ).reshape(1, 4)
 
         args = [row, edges]
         if has_x:
             args.append(xprof_l.reshape(2, 5, nle))
         if max_sources > 0:
-            # rows [px_ext, py, pz, J levels 1..K]; the extended x
-            # coordinate is NOT clipped, so halo copies get the injection
-            # the redundant recompute needs
+            # rows [px_ext, py, pz, J levels 1..K (+ M levels 1..K)]; the
+            # extended x coordinate is NOT clipped, so halo copies get the
+            # injection the redundant recompute needs
             off = (k - idx * nl).astype(jnp.float32)
             pts = sources.points.astype(jnp.float32)
             pts = pts.at[:, 0].add(off)
             rows = [pts]
+            m_rows = []
             for lvl in range(k):
                 t = (state.tick + lvl).astype(jnp.float32) * jnp.float32(dt)
-                j_vals, _ = sources.values(t)
+                j_vals, m_vals = sources.values(t)
                 rows.append(j_vals.astype(jnp.float32))
-            args.append(jnp.concatenate(rows, axis=1))
+                if with_m:
+                    m_rows.append(m_vals.astype(jnp.float32))
+            args.append(jnp.concatenate(rows + m_rows, axis=1))
         args += strip_inputs
+        if matid is not None:
+            args += [mid_l] * k
         args += [fields[n] for n in _FIELDS]
         args += [fields["ey"], fields["ez"]]
         args += psi
@@ -404,6 +447,10 @@ def make_pallas_sharded_cpml_stepk(
                 f"kernel built for {max_sources} in-kernel sources, got "
                 f"{0 if sources is None else sources.num_sources}"
             )
+        mid_arg = (
+            mid_ext if mid_ext is not None
+            else jnp.zeros((n_dev, 1, 1), jnp.uint8)
+        )
         return jax.shard_map(
             local_step,
             mesh=mesh,
@@ -412,9 +459,10 @@ def make_pallas_sharded_cpml_stepk(
                 jax.tree.map(lambda _: P(), coeffs),
                 jax.tree.map(lambda _: P(), sources),
                 P(axis, None, None, None),
+                P(axis, None, None),
             ),
             out_specs=state_spec,
             check_vma=False,
-        )(state, coeffs, sources, xprof)
+        )(state, coeffs, sources, xprof, mid_arg)
 
     return step

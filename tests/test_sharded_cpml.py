@@ -26,38 +26,51 @@ from fdtd_tpu.solver.pallas_cpml import init_pml_kernel_state
 from fdtd_tpu.solver.pallas_cpml_k import pallas_cpml_stepk_fn
 
 
-def _run_pair(shape, n_dev, k, cpml, n_passes, src_px):
+def _run_pair(shape, n_dev, k, cpml, n_passes, src_px, *,
+              with_m=False, matid=None, n_materials=1,
+              dtype=jnp.float32):
     mesh = make_mesh(n_dev, ("x",))
     bc = BoundaryConditions()
-    assert supports_sharded_cpml(shape, n_dev, bc, cpml, k)
+    assert supports_sharded_cpml(shape, n_dev, bc, cpml, k, dtype)
 
     res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
     dt = res.temporal
-    table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
-    coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
+    if matid is not None:
+        tab = ft.MaterialTable()
+        tab.register(ft.Material(relative_permittivity=2.5))
+        ctable = ft.coefficient_table(tab.materials, res, ft.REDUCED)
+        coeffs = jnp.asarray(ctable, jnp.float32)
+    else:
+        table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+        coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
     src = ft.SourceSet.build(
         [
             ft.PointSource(
                 (src_px, shape[1] // 2, shape[2] // 2),
                 ft.GaussianPulse(4 * dt, 2 * dt),
                 j=(0.3, -0.2, 1.0),
+                m=(0.1, 0.4, -0.3) if with_m else (0.0, 0.0, 0.0),
             )
         ]
     )
 
+    kw = dict(max_sources=1, interpret=True, with_m=with_m, dtype=dtype)
     ref_step = pallas_cpml_stepk_fn(
         shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
-        cpml=cpml, max_sources=1, interpret=True,
+        cpml=cpml,
+        matid=None if matid is None else jnp.asarray(matid),
+        n_materials=n_materials, **kw,
     )
-    ref = init_pml_kernel_state(shape, cpml=cpml)
+    ref = init_pml_kernel_state(shape, dtype, cpml=cpml)
     for _ in range(n_passes):
         ref = ref_step(ref, coeffs, src)
 
     sh_step = make_pallas_sharded_cpml_stepk(
         mesh, shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt,
-        constants=ft.REDUCED, cpml=cpml, max_sources=1, interpret=True,
+        constants=ft.REDUCED, cpml=cpml,
+        matid=matid, n_materials=n_materials, **kw,
     )
-    st = init_sharded_pml_state(shape, mesh, k, cpml=cpml)
+    st = init_sharded_pml_state(shape, mesh, k, cpml=cpml, dtype=dtype)
     for _ in range(n_passes):
         st = sh_step(st, coeffs, src)
     got = collapse_pml_state(st, mesh, k, shape, cpml=cpml)
@@ -163,3 +176,49 @@ def test_best_sharded_absorbing_dispatch():
     assert kind2 == "xla_engine" and k2 == 1
     st2 = step2(init2(), coeffs, None)
     assert int(st2.tick) == 1
+
+
+def test_sharded_cpml_m_sources():
+    """M (magnetic-current) sources on the sharded absorbing path: per-level
+    in-kernel H-half injection must survive halo redundant recompute (the
+    source sits 1 plane from the shard boundary)."""
+    shape, n_dev, k = (32, 32, 256), 2, 2
+    cpml = Cpml(thickness=((6, 6), (4, 4), (4, 4)))
+    ref, got = _run_pair(shape, n_dev, k, cpml, n_passes=3, src_px=15,
+                         with_m=True)
+    assert float(jnp.abs(ref.hy).max()) > 0
+    _assert_state_equal(ref, got)
+
+
+def test_sharded_cpml_matid():
+    """Compressed materials on the sharded absorbing path: the extended
+    per-shard matid volume (halo copies of neighbor planes) must reproduce
+    the single-device kernel across a material boundary that straddles the
+    shard cut."""
+    shape, n_dev, k = (32, 32, 256), 2, 2
+    cpml = Cpml(thickness=((6, 6), (4, 4), (4, 4)))
+    matid = np.zeros(shape, np.uint8)
+    matid[12:20, 8:24, 96:160] = 1  # dielectric brick across the x=16 cut
+    ref, got = _run_pair(shape, n_dev, k, cpml, n_passes=3, src_px=15,
+                         matid=matid, n_materials=2)
+    assert float(jnp.abs(ref.ez).max()) > 0
+    _assert_state_equal(ref, got)
+
+
+def test_sharded_cpml_bf16():
+    """bf16 storage on the sharded absorbing path: identical rounding on
+    both sides (f32 compute, bf16 write-back per pass) keeps the sharded
+    run bit-compatible with the single-device bf16 kernel."""
+    shape, n_dev, k = (32, 32, 256), 2, 2
+    cpml = Cpml(thickness=((6, 6), (4, 4), (4, 4)))
+    ref, got = _run_pair(shape, n_dev, k, cpml, n_passes=3, src_px=15,
+                         dtype=jnp.bfloat16)
+    assert ref.ex.dtype == jnp.bfloat16 and got.ex.dtype == jnp.bfloat16
+    assert all(p.dtype == jnp.float32 for p in got.psi)
+    assert float(jnp.abs(jnp.asarray(ref.ez, jnp.float32)).max()) > 0
+    _assert_state_equal(
+        ref._replace(**{f: jnp.asarray(getattr(ref, f), jnp.float32)
+                        for f in ("ex", "ey", "ez", "hx", "hy", "hz")}),
+        got._replace(**{f: jnp.asarray(getattr(got, f), jnp.float32)
+                        for f in ("ex", "ey", "ez", "hx", "hy", "hz")}),
+    )
