@@ -1,4 +1,4 @@
-from .topology import make_mesh, choose_mesh_shape
+from .topology import (make_mesh, choose_mesh_shape, init_distributed, make_multihost_mesh)
 from .pallas_sharded import make_pallas_sharded_step
 from .pallas_sharded_k import (
     collapse_state,
@@ -29,6 +29,8 @@ __all__ = [
     "make_sharded_engine_step",
     "sharded_engine_state_sharding",
     "make_mesh",
+    "init_distributed",
+    "make_multihost_mesh",
     "choose_mesh_shape",
     "make_pallas_sharded_step",
     "make_pallas_sharded_stepk",

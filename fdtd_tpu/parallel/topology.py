@@ -14,7 +14,12 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-__all__ = ["choose_mesh_shape", "make_mesh"]
+__all__ = [
+    "choose_mesh_shape",
+    "make_mesh",
+    "init_distributed",
+    "make_multihost_mesh",
+]
 
 
 def choose_mesh_shape(n_devices: int, n_axes: int = 2) -> Tuple[int, ...]:
@@ -58,4 +63,77 @@ def make_mesh(
     devices = devices[:n_devices]
     shape = choose_mesh_shape(n_devices, len(axis_names))
     arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, tuple(axis_names))
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Initialize jax.distributed for a multi-host run; returns True when
+    a multi-process runtime is (already or newly) active.
+
+    On managed platforms (GKE/Borg TPU pods) ``jax.distributed.initialize``
+    discovers everything from the environment, so all arguments are
+    optional. Calling this when the single-process environment has no
+    coordinator configured is a no-op — single-host meshes never require
+    it. Idempotent: a second call is ignored."""
+    import os
+
+    if jax.process_count() > 1:
+        return True  # already initialized by the launcher
+    env_coord = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    )
+    if coordinator_address is None and env_coord is None and (
+        num_processes is None or num_processes <= 1
+    ):
+        return False
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        # already initialized (race with the launcher) — fine
+        pass
+    return jax.process_count() > 1
+
+
+def make_multihost_mesh(
+    axis_names: Sequence[str] = ("x", "y"),
+    *,
+    dcn_axis: int = 0,
+) -> Mesh:
+    """Mesh spanning every process of a multi-host run.
+
+    The process (DCN) dimension lands on ``axis_names[dcn_axis]`` and the
+    per-slice devices factor over the remaining axes, so halo ppermutes
+    along non-DCN axes ride ICI and only the one decomposition axis
+    crosses the data-center network — the layout rule for FDTD's
+    nearest-neighbor traffic (one halo exchange per step per axis; put
+    the slowest link on the axis with the fewest exchanges).
+
+    Single-process runs (this repo's test/bench environment) fall back to
+    ``make_mesh`` over the local devices, so callers can use this
+    unconditionally."""
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return make_mesh(axis_names=axis_names)
+    from jax.experimental import mesh_utils
+
+    n_axes = len(axis_names)
+    local = jax.local_device_count()
+    ici_axes = [a for a in range(n_axes) if a != dcn_axis]
+    ici_factors = choose_mesh_shape(local, len(ici_axes)) if ici_axes else ()
+    ici_shape = [1] * n_axes
+    for a, f in zip(ici_axes, ici_factors):
+        ici_shape[a] = f
+    dcn_shape = [1] * n_axes
+    dcn_shape[dcn_axis] = n_proc
+    arr = mesh_utils.create_hybrid_device_mesh(
+        tuple(ici_shape), tuple(dcn_shape)
+    )
     return Mesh(arr, tuple(axis_names))

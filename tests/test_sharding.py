@@ -157,3 +157,18 @@ def test_sharded_slice_extraction(rng):
     )
     assert img.shape == (32, 32, 4)
     assert np.isfinite(np.asarray(plane)).all()
+
+
+def test_multihost_helpers_single_process():
+    """Single-process fallbacks: init_distributed is a no-op and
+    make_multihost_mesh degrades to a local mesh (the multi-process branch
+    needs a real coordinator; its layout logic is pure factoring)."""
+    from fdtd_tpu.parallel.topology import (
+        init_distributed,
+        make_multihost_mesh,
+    )
+
+    assert init_distributed() is False
+    mesh = make_multihost_mesh(("x", "y"))
+    assert set(mesh.shape) == {"x", "y"}
+    assert mesh.shape["x"] * mesh.shape["y"] == len(jax.devices())
