@@ -7,6 +7,7 @@ from .pallas_sharded_k import (
     make_pallas_sharded_stepk,
 )
 from .best import best_sharded_absorbing_step
+from .simulation import ShardedSimulation
 from .pallas_sharded_cpml import (
     collapse_pml_state,
     extend_pml_state,
@@ -24,6 +25,7 @@ from .sharded_engine import (
 
 __all__ = [
     "best_sharded_absorbing_step",
+    "ShardedSimulation",
     "ShardedEngineState",
     "init_sharded_engine_state",
     "make_sharded_engine_step",

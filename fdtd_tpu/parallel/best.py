@@ -45,11 +45,11 @@ def best_sharded_absorbing_step(
     builds the matching zero state (the two paths use different state
     layouts). ``kind`` is "pallas_cpml_k" or "xla_engine".
 
-    The kernel path needs: a mesh sharded only along ``axis``, no TF/SF,
-    uniform scalar coefficients or a compressed matid volume, f32/bf16
-    storage, and x-PML confined to the edge shards
-    (supports_sharded_cpml). M sources and compressed materials ride the
-    kernel; TF/SF and dense per-cell coefficients fall back to the XLA
+    The kernel path needs: a mesh sharded only along ``axis``, uniform
+    scalar coefficients or a compressed matid volume, f32/bf16 storage,
+    and x-PML confined to the edge shards (supports_sharded_cpml).
+    M sources, compressed materials, and SLAB TF/SF all ride the kernel;
+    box TF/SF and dense per-cell coefficients fall back to the XLA
     engine.
     """
     from .pallas_sharded_cpml import (
@@ -72,9 +72,10 @@ def best_sharded_absorbing_step(
         shape[1] % 32 == 0 and n_materials <= 256
     )
     m_ok = not with_m or max_sources > 0
+    tfsf_ok = tfsf is None or not tfsf.is_box
     if (
         cpml is not None
-        and tfsf is None
+        and tfsf_ok
         and one_d
         and n_dev > 1
         and kernel_backend
@@ -85,7 +86,7 @@ def best_sharded_absorbing_step(
             if supports_sharded_cpml(shape, n_dev, bc, cpml, k, dtype):
                 step = make_pallas_sharded_cpml_stepk(
                     mesh, shape, k, inv_dx=inv_dx, dt=dt, bc=bc,
-                    constants=constants, cpml=cpml,
+                    constants=constants, cpml=cpml, tfsf=tfsf,
                     max_sources=max_sources, interpret=interpret,
                     axis=axis, with_m=with_m, matid=matid,
                     n_materials=n_materials, dtype=dtype,
@@ -93,7 +94,8 @@ def best_sharded_absorbing_step(
 
                 def init_state(k=k):
                     return init_sharded_pml_state(
-                        shape, mesh, k, cpml=cpml, axis=axis, dtype=dtype
+                        shape, mesh, k, cpml=cpml, axis=axis, dtype=dtype,
+                        tfsf=tfsf,
                     )
 
                 return step, init_state, k, "pallas_cpml_k"

@@ -160,7 +160,7 @@ def _plane_maps(nx, nl, k, layout):
 
 def init_sharded_pml_state(
     shape, mesh: Mesh, k: int, *, cpml, axis: str = "x",
-    dtype=jnp.float32,
+    dtype=jnp.float32, tfsf=None,
 ) -> PmlKernelState:
     """Zero PmlKernelState in the extended sharded layout for a global
     ``shape`` lattice decomposed along x over ``mesh``. ``dtype`` is the
@@ -181,11 +181,17 @@ def init_sharded_pml_state(
     psi = tuple(
         z((n_dev * ts[0],) + ts[1:], fs) for *_, ts, _ in layout
     )
+    if tfsf is not None:
+        ae, ah = tfsf.init_aux(nx, jnp.float32)
+        aux_e = jax.device_put(ae, r)
+        aux_h = jax.device_put(ah, r)
+    else:
+        aux_e, aux_h = z((), r), z((), r)
     return PmlKernelState(
         **{name: z(ext, fs, dtype) for name in _FIELDS},
         tick=z((), r).astype(jnp.int32),
         psi=psi,
-        aux_e=z((), r), aux_h=z((), r),
+        aux_e=aux_e, aux_h=aux_h,
     )
 
 
@@ -316,6 +322,7 @@ def make_pallas_sharded_cpml_stepk(
     matid=None,
     n_materials: int = 1,
     dtype=jnp.float32,
+    tfsf=None,
 ):
     """Build step(state_ext, coeffs, sources) advancing ``k_steps``
     absorbing ticks per pass on each shard of a 1-D x decomposition.
@@ -326,7 +333,14 @@ def make_pallas_sharded_cpml_stepk(
     must equal the real count). ``matid`` (a GLOBAL (nx, ny, nz) index
     volume) switches on compressed-material mode: ``coeffs`` becomes the
     (K_mat, 4) table. ``dtype`` is the field storage dtype (f32/bf16).
-    TF/SF is not supported on this path."""
+
+    ``tfsf`` (SLAB mode only) rides in-kernel: the replicated 1-D aux grid
+    ticks K times outside shard_map, the four plane-adjacent aux scalars
+    per level go in as a (2K, 2) SMEM row, and the injection planes enter
+    as runtime per-shard EXTENDED coordinates — the masks then fire on
+    owned AND halo copies of the planes, which is exactly what the
+    redundant halo recompute requires (same mechanism as the runtime
+    Neumann edges)."""
     n_dev = mesh.shape[axis]
     if not supports_sharded_cpml(shape, n_dev, bc, cpml, k_steps, dtype):
         raise ValueError(
@@ -357,15 +371,36 @@ def make_pallas_sharded_cpml_stepk(
     )
     mid_ext = extend_matid(matid, n_dev, k) if matid is not None else None
 
+    aux_coeffs = None
+    if tfsf is not None:
+        if tfsf.is_box:
+            raise ValueError(
+                "sharded in-kernel TF/SF supports slab mode only"
+            )
+        tfsf.validate(shape)
+        from ..coefficients import update_coefficients
+        from ..grid import Resolution
+        from ..material import VACUUM
+
+        dx0 = 1.0 / inv_dx[0]
+        vacuum_row = update_coefficients(
+            VACUUM, Resolution(spatial=(dx0,) * 3, temporal=dt), constants
+        )
+        aux_coeffs = tfsf.build_aux(nx, vacuum_row, dt, dx0, constants,
+                                    jnp.float32)
+    tf_lo, tf_hi = tuple(tfsf.span) if tfsf is not None else (0, 0)
+
     call, x_inputs, strip_inputs = _build_call(
-        shape_ext, inv_dx, cpml, k, False, (0, 0), None, float(dt),
-        constants_key, interpret, int(max_sources), n_mat,
+        shape_ext, inv_dx, cpml, k, tfsf is not None, (0, 0), None,
+        float(dt), constants_key, interpret, int(max_sources), n_mat,
         x_extra=k, runtime_edges=True, runtime_xprof=True,
         with_m=bool(with_m), dtype_name=jnp.dtype(dtype).name,
+        runtime_tfsf=tfsf is not None,
     )
     assert not x_inputs  # runtime_xprof: profiles come in as an operand
 
-    def local_step(state: PmlKernelState, coeffs, sources, xprof_l, mid_l):
+    def local_step(state: PmlKernelState, coeffs, sources, xprof_l, mid_l,
+                   tf_rows):
         idx = lax.axis_index(axis)
         up = [(i, i + 1) for i in range(n_dev - 1)]
         down = [(i + 1, i) for i in range(n_dev - 1)]
@@ -401,6 +436,13 @@ def make_pallas_sharded_cpml_stepk(
         args = [row, edges]
         if has_x:
             args.append(xprof_l.reshape(2, 5, nle))
+        if tfsf is not None:
+            args.append(tf_rows)  # (2K, 2) pre-gathered aux scalars
+            off = k - idx * nl
+            args.append(
+                jnp.stack([tf_lo + off, tf_hi + off])
+                .astype(jnp.int32).reshape(1, 2)
+            )
         if max_sources > 0:
             # rows [px_ext, py, pz, J levels 1..K (+ M levels 1..K)]; the
             # extended x coordinate is NOT clipped, so halo copies get the
@@ -451,7 +493,24 @@ def make_pallas_sharded_cpml_stepk(
             mid_ext if mid_ext is not None
             else jnp.zeros((n_dev, 1, 1), jnp.uint8)
         )
-        return jax.shard_map(
+        aux_e, aux_h = state.aux_e, state.aux_h
+        if tfsf is not None:
+            # tick the replicated 1-D aux grid K times OUTSIDE shard_map,
+            # gathering the four plane-adjacent scalars per level (the
+            # single-chip kernel's rows, pre-gathered)
+            rows = []
+            for lvl in range(k):
+                t = (state.tick + lvl).astype(jnp.float32) * jnp.float32(dt)
+                new_e, new_h = tfsf.aux_step(
+                    aux_e, aux_h, aux_coeffs, t, inv_dx[0], jnp.float32
+                )
+                rows.append(jnp.stack([aux_e[tf_lo - 1], aux_e[tf_hi]]))
+                rows.append(jnp.stack([new_h[tf_lo], new_h[tf_hi + 1]]))
+                aux_e, aux_h = new_e, new_h
+            tf_rows = jnp.stack(rows)
+        else:
+            tf_rows = jnp.zeros((1, 2), jnp.float32)
+        out = jax.shard_map(
             local_step,
             mesh=mesh,
             in_specs=(
@@ -460,9 +519,13 @@ def make_pallas_sharded_cpml_stepk(
                 jax.tree.map(lambda _: P(), sources),
                 P(axis, None, None, None),
                 P(axis, None, None),
+                P(None, None),
             ),
             out_specs=state_spec,
             check_vma=False,
-        )(state, coeffs, sources, xprof, mid_arg)
+        )(state, coeffs, sources, xprof, mid_arg, tf_rows)
+        if tfsf is not None:
+            out = out._replace(aux_e=aux_e, aux_h=aux_h)
+        return out
 
     return step

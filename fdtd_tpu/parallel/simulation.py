@@ -1,0 +1,212 @@
+"""High-level multi-chip simulation: Simulation's API over a device mesh.
+
+The single-chip `solver.simulation.Simulation` auto-dispatches each
+configuration to its fastest kernel tier; this is the same contract for
+multi-chip runs (SURVEY §2.7 / BASELINE config 5 — the reference has no
+distributed layer at all). Construction mirrors Simulation; `plan()`
+reports which path the configuration rides:
+
+  - "pallas_cpml_k": sharded in-kernel CPML K-step (absorbing; supports
+    J/M sources, compressed materials, bf16 storage, slab TF/SF)
+  - "xla_engine":    composed sharded engine (box TF/SF, dense
+    coefficients, multi-axis meshes — exact, slower)
+  - "pallas_k":      sharded free-space K-step kernel
+  - "xla":           plain sharded XLA step (free space fallback)
+
+States on the kernel paths use an EXTENDED per-shard layout (k halo
+planes per side); `gather()` collapses any state kind back to plain
+global (nx, ny, nz) arrays for analysis, and `init()` always builds the
+matching layout — callers never touch the layout details.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import SI, PhysicalConstants
+from ..grid import Grid
+from ..solver.boundary import BoundaryConditions
+from ..solver.sources import SourceSet
+
+__all__ = ["ShardedSimulation"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedSimulation:
+    """Immutable multi-chip simulation setup; all methods are pure."""
+
+    grid: Grid
+    coeffs: Any = None              # CellCoefficients (uniform scalars)
+    sources: Optional[SourceSet] = None
+    bc: BoundaryConditions = BoundaryConditions()
+    dtype: Any = jnp.float32
+    cpml: Any = None
+    tfsf: Any = None
+    # compressed materials: GLOBAL (nx, ny, nz) index + (K, 4) table
+    matid: Any = None
+    table: Any = None
+    # device mesh; None = 1-D mesh over every visible device
+    mesh: Any = None
+    axis: str = "x"
+    interpret: bool = False
+    max_k: int = 8
+
+    # -- planning -----------------------------------------------------------
+
+    @cached_property
+    def _mesh(self):
+        if self.mesh is not None:
+            return self.mesh
+        from .topology import make_mesh
+
+        return make_mesh(axis_names=(self.axis,))
+
+    def _has_m_sources(self) -> bool:
+        if self.sources is None or self.sources.num_sources == 0:
+            return False
+        return bool(np.any(np.asarray(self.sources.m_amp) != 0))
+
+    @cached_property
+    def _plan(self):
+        """(step, init_state, k, kind)."""
+        inv_dx = tuple(1.0 / d for d in self.grid.dx)
+        n_src = self.sources.num_sources if self.sources is not None else 0
+        n_mat = 0 if self.table is None else int(np.shape(self.table)[0])
+
+        if self.cpml is not None or self.tfsf is not None:
+            from .best import best_sharded_absorbing_step
+
+            return best_sharded_absorbing_step(
+                self._mesh, self.grid.shape, inv_dx=inv_dx, dt=self.grid.dt,
+                bc=self.bc, constants=self.grid.constants, cpml=self.cpml,
+                tfsf=self.tfsf, max_sources=n_src,
+                with_m=self._has_m_sources(), matid=self.matid,
+                n_materials=n_mat, dtype=self.dtype, max_k=self.max_k,
+                interpret=self.interpret, axis=self.axis,
+            )
+
+        # free space: try the sharded K-step kernel, else the XLA step
+        mesh = self._mesh
+        n_dev = mesh.shape.get(self.axis, 1)
+        one_d = all(
+            n == 1 for name, n in mesh.shape.items() if name != self.axis
+        )
+        kernel_backend = self.interpret or jax.default_backend() == "tpu"
+        nx = self.grid.shape[0]
+        if (
+            one_d and n_dev > 1 and kernel_backend and nx % n_dev == 0
+            and self.matid is None
+        ):
+            from ..solver.pallas_stepk import supports_k
+            from .pallas_sharded_k import (
+                extend_state,
+                make_pallas_sharded_stepk,
+            )
+
+            nl = nx // n_dev
+            for k in range(self.max_k, 1, -1):
+                ext_shape = (nl + 2 * k, *self.grid.shape[1:])
+                if nl >= 2 * k and supports_k(
+                    ext_shape, self.bc, k, dtype=self.dtype
+                ):
+                    step = make_pallas_sharded_stepk(
+                        mesh, k, nl, inv_dx=inv_dx, dt=self.grid.dt,
+                        bc=self.bc, max_sources=max(n_src, 1),
+                        interpret=self.interpret, dtype=self.dtype,
+                        with_m=self._has_m_sources(),
+                    )
+
+                    def init_state(k=k):
+                        from ..solver.state import zero_state
+
+                        return extend_state(
+                            zero_state(self.grid.shape, self.dtype),
+                            mesh, k, self.axis,
+                        )
+
+                    return step, init_state, k, "pallas_k"
+
+        from .sharded import make_sharded_step, shard_state
+
+        names = list(mesh.shape)
+        dims = tuple(
+            (names[i] if i < len(names) and mesh.shape[names[i]] > 1
+             else None)
+            for i in range(3)
+        )
+        step = jax.jit(
+            make_sharded_step(mesh, dims, inv_dx=inv_dx, dt=self.grid.dt,
+                              bc=self.bc)
+        )
+
+        def init_state():
+            from ..solver.state import zero_state
+
+            return shard_state(zero_state(self.grid.shape, self.dtype),
+                               mesh, dims)
+
+        return step, init_state, 1, "xla"
+
+    def plan(self):
+        """(k, kind): ticks per step call and the dispatched path name."""
+        _, _, k, kind = self._plan
+        return k, kind
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def init(self):
+        _, init_state, _, _ = self._plan
+        return init_state()
+
+    def run(self, state, n_steps: int):
+        """Advance ``n_steps`` ticks (must be divisible by plan()'s k)."""
+        step, _, k, _ = self._plan
+        if n_steps % k != 0:
+            raise ValueError(f"{n_steps=} not divisible by plan k={k}")
+        coeffs = self._step_coeffs
+        for _ in range(n_steps // k):
+            state = step(state, coeffs, self.sources)
+        return state
+
+    @cached_property
+    def _step_coeffs(self):
+        _, _, _, kind = self._plan
+        if self.matid is not None and kind == "pallas_cpml_k":
+            return jnp.asarray(self.table, jnp.float32)
+        if self.coeffs is None:
+            raise ValueError(
+                "ShardedSimulation needs uniform `coeffs` (or matid+table "
+                "on the absorbing kernel path)"
+            )
+        return self.coeffs
+
+    def gather(self, state):
+        """Any state layout -> plain global field arrays (host round-trip):
+        a SimState/EngineState-like named tuple on the caller's side."""
+        _, _, k, kind = self._plan
+        if kind == "pallas_cpml_k":
+            from .pallas_sharded_cpml import collapse_pml_state
+
+            return collapse_pml_state(
+                state, self._mesh, k, self.grid.shape, cpml=self._cpml_pad,
+                axis=self.axis,
+            )
+        if kind == "pallas_k":
+            from .pallas_sharded_k import collapse_state
+
+            return collapse_state(state, self._mesh, k, self.axis)
+        return state  # XLA paths hold plain (sharded) global arrays
+
+    @property
+    def _cpml_pad(self):
+        if self.cpml is not None:
+            return self.cpml
+        from ..solver.cpml import Cpml
+
+        return Cpml(thickness=((0, 0), (0, 0), (0, 0)))

@@ -56,8 +56,12 @@ from .pallas_cpml import (
 # input_output_aliases on these many-operand custom calls MISCOMPILE under
 # lax.scan on the axon TPU runtime for some K (deterministic NaN at 256^3
 # K=6 after 33 chained passes; pass-by-pass execution is clean) — the same
-# bug class as the donation flake. Copies cost ~15%; correctness wins.
-_USE_IO_ALIASES = False
+# bug class as the donation flake. RE-TESTED round 2 on the then-current
+# libtpu: the original repro (256^3 K=6, 160 chained scan passes) is
+# clean and BIT-IDENTICAL to the copy path, at +32% throughput; soak
+# matrix in tools/soak_aliasing.py. Re-flip to False if a stack update
+# brings the NaNs back (bench.py's selfcheck gates this every run).
+_USE_IO_ALIASES = True
 
 __all__ = ["pallas_cpml_stepk_fn", "supports_cpml_k"]
 
@@ -85,7 +89,7 @@ def supports_cpml_k(shape, bc, cpml, k: int, dtype=jnp.float32) -> bool:
 
 def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                  tfsf_box, n_src, n_materials, runtime_edges=False,
-                 with_m=False):
+                 with_m=False, runtime_tfsf=False):
     inv_x, inv_y, inv_z = inv_dx
     n_psi = len(layout)
     # x-axis terms share one carry per (half, comp); y/z one per term
@@ -104,6 +108,11 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
             xprof_ref = refs[k]; k += 1
         if with_tfsf:
             tfsf_ref = refs[k]; k += 1
+            if runtime_tfsf:
+                # sharded mode: plane indices are per-shard EXTENDED
+                # coordinates from SMEM; the aux values arrive pre-gathered
+                # as (2K, 2) rows instead of whole aux arrays
+                tfp_ref = refs[k]; k += 1
         if n_src > 0:
             src_ref = refs[k]; k += 1
         strip_prof = {}
@@ -271,7 +280,11 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                     else jnp.concatenate(out_pieces, axis=cat_ax))
 
         if with_tfsf:
-            tf_lo, tf_hi = tfsf_planes
+            if runtime_tfsf:
+                tf_lo = tfp_ref[0, 0]
+                tf_hi = tfp_ref[0, 1]
+            else:
+                tf_lo, tf_hi = tfsf_planes
             if tfsf_box is not None:
                 (ty0, ty1), (tz0, tz1) = tfsf_box
                 lat_mask = jnp.logical_and(
@@ -336,11 +349,13 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
 
             if with_tfsf:
                 r = 2 * (st - 1)
-                amp = jnp.where(
-                    q == tf_lo, -d_b * tfsf_ref[r, tf_lo - 1] * inv_x, 0.0
-                )
+                e_lo = tfsf_ref[r, 0] if runtime_tfsf else \
+                    tfsf_ref[r, tf_lo - 1]
+                e_hi = tfsf_ref[r, 1] if runtime_tfsf else \
+                    tfsf_ref[r, tf_hi]
+                amp = jnp.where(q == tf_lo, -d_b * e_lo * inv_x, 0.0)
                 amp = amp + jnp.where(
-                    q == tf_hi + 1, d_b * tfsf_ref[r, tf_hi] * inv_x, 0.0
+                    q == tf_hi + 1, d_b * e_hi * inv_x, 0.0
                 )
                 if tfsf_box is None:
                     hk[1] = hk[1] + amp
@@ -397,11 +412,13 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
 
             if with_tfsf:
                 r = 2 * (st - 1) + 1
-                amp = jnp.where(
-                    q == tf_lo - 1, -c_b * tfsf_ref[r, tf_lo] * inv_x, 0.0
-                )
+                h_lo = tfsf_ref[r, 0] if runtime_tfsf else \
+                    tfsf_ref[r, tf_lo]
+                h_hi = tfsf_ref[r, 1] if runtime_tfsf else \
+                    tfsf_ref[r, tf_hi + 1]
+                amp = jnp.where(q == tf_lo - 1, -c_b * h_lo * inv_x, 0.0)
                 amp = amp + jnp.where(
-                    q == tf_hi, c_b * tfsf_ref[r, tf_hi + 1] * inv_x, 0.0
+                    q == tf_hi, c_b * h_hi * inv_x, 0.0
                 )
                 if tfsf_box is None:
                     ek[2] = ek[2] + amp
@@ -463,7 +480,9 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
 def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
                 dt, constants_key, interpret, n_src, n_materials=1,
                 x_extra=0, runtime_edges=False, runtime_xprof=False,
-                with_m=False, dtype_name="float32"):
+                with_m=False, dtype_name="float32", runtime_tfsf=False):
+    if runtime_tfsf and tfsf_box is not None:
+        raise ValueError("runtime TF/SF planes support slab mode only")
     from ..constants import REDUCED
 
     constants = SI if constants_key == "si" else REDUCED
@@ -537,6 +556,10 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
             static_inputs.append(np.stack([profs[("h", 0)], profs[("e", 0)]]))
     if with_tfsf:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # (2K, aux)
+        if runtime_tfsf:
+            in_specs.append(
+                pl.BlockSpec(memory_space=pltpu.SMEM)  # (1, 2) i32 planes
+            )
     if n_src > 0:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # (n, 3+3K)
     strip_inputs = []
@@ -565,7 +588,7 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
 
     kernel, x_terms, yz_terms = _make_kernel(
         shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes, tfsf_box,
-        n_src, n_materials, runtime_edges, with_m,
+        n_src, n_materials, runtime_edges, with_m, runtime_tfsf,
     )
 
     # scratch per level: 6 field planes + per-term psi slots

@@ -166,16 +166,33 @@ def test_best_sharded_absorbing_dispatch():
     st = step(init_state(), coeffs, None)
     assert int(st.tick) == k
 
-    # TF/SF forces the XLA-engine fallback
+    # slab TF/SF rides the kernel path (round 2: runtime plane coords)
     tfsf = Tfsf(span=(8, 23),
                 waveform=ft.GaussianPulse(4 * res.temporal, 2 * res.temporal))
     step2, init2, k2, kind2 = best_sharded_absorbing_step(
         mesh, shape, inv_dx=(1.0, 1.0, 1.0), dt=res.temporal,
         constants=ft.REDUCED, cpml=cpml, tfsf=tfsf, interpret=True,
     )
-    assert kind2 == "xla_engine" and k2 == 1
-    st2 = step2(init2(), coeffs, None)
-    assert int(st2.tick) == 1
+    assert kind2 == "pallas_cpml_k" and k2 >= 2
+    st2 = init2()
+    for _ in range(3):
+        st2 = step2(st2, coeffs, None)
+    assert int(st2.tick) == 3 * k2
+    # collapse drops the halo/trash planes (garbage by construction —
+    # interpret mode fills never-written output planes with NaN)
+    g2 = collapse_pml_state(st2, mesh, k2, shape, cpml=cpml)
+    ez = np.asarray(g2.ez)
+    assert np.all(np.isfinite(ez))
+    assert float(np.abs(ez).max()) > 0  # plane wave injected
+
+    # box TF/SF still falls back to the XLA engine
+    box = Tfsf(span=(8, 23), span_y=(8, 23), span_z=(64, 191),
+               waveform=ft.GaussianPulse(4 * res.temporal, 2 * res.temporal))
+    _, _, k3, kind3 = best_sharded_absorbing_step(
+        mesh, shape, inv_dx=(1.0, 1.0, 1.0), dt=res.temporal,
+        constants=ft.REDUCED, cpml=cpml, tfsf=box, interpret=True,
+    )
+    assert kind3 == "xla_engine" and k3 == 1
 
 
 def test_sharded_cpml_m_sources():
@@ -222,3 +239,47 @@ def test_sharded_cpml_bf16():
         got._replace(**{f: jnp.asarray(getattr(got, f), jnp.float32)
                         for f in ("ex", "ey", "ez", "hx", "hy", "hz")}),
     )
+
+
+def test_sharded_cpml_tfsf_slab():
+    """Slab TF/SF on the sharded absorbing path: runtime per-shard plane
+    coordinates + pre-gathered aux rows must reproduce the single-device
+    kernel, with the injection planes straddling shard boundaries."""
+    from fdtd_tpu.solver.tfsf import Tfsf
+
+    shape, n_dev, k = (32, 32, 256), 2, 2
+    cpml = Cpml(thickness=((6, 6), (4, 4), (4, 4)))
+    mesh = make_mesh(n_dev, ("x",))
+    bc = BoundaryConditions()
+    assert supports_sharded_cpml(shape, n_dev, bc, cpml, k)
+
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    # plane at x=15: one inside shard 0, one plane from the cut; hi at 24
+    tfsf = Tfsf(span=(15, 24), waveform=ft.GaussianPulse(6 * dt, 2 * dt))
+    coeffs = ft.CellCoefficients.uniform(
+        ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)[0], jnp.float32)
+    src = ft.SourceSet.build([ft.PointSource(
+        (20, 16, 128), ft.GaussianPulse(4 * dt, 2 * dt), j=(0, 0, 0.4))])
+
+    ref_step = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, tfsf=tfsf, max_sources=1, interpret=True,
+    )
+    ref = init_pml_kernel_state(shape, cpml=cpml, tfsf=tfsf)
+    sh_step = make_pallas_sharded_cpml_stepk(
+        mesh, shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+        constants=ft.REDUCED, cpml=cpml, tfsf=tfsf, max_sources=1,
+        interpret=True,
+    )
+    st = init_sharded_pml_state(shape, mesh, k, cpml=cpml, tfsf=tfsf)
+
+    for _ in range(3):
+        ref = ref_step(ref, coeffs, src)
+        st = sh_step(st, coeffs, src)
+    got = collapse_pml_state(st, mesh, k, shape, cpml=cpml)
+    assert float(jnp.abs(ref.ez).max()) > 1e-5
+    np.testing.assert_allclose(
+        np.asarray(got.aux_e), np.asarray(ref.aux_e), atol=1e-7,
+    )
+    _assert_state_equal(ref, got)

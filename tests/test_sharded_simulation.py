@@ -1,0 +1,132 @@
+"""High-level ShardedSimulation (parallel/simulation.py).
+
+The multi-chip mirror of solver.Simulation: auto-dispatch to the best
+sharded path per configuration, uniform init/run/gather regardless of the
+underlying state layout. Gates: correct dispatch kind per config and
+equality with the single-chip reference paths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fdtd_tpu as ft
+from fdtd_tpu.parallel import make_mesh
+from fdtd_tpu.parallel.simulation import ShardedSimulation
+from fdtd_tpu.solver.cpml import Cpml
+from fdtd_tpu.solver.tfsf import Tfsf
+
+
+def _grid(shape):
+    return ft.Grid(shape=shape,
+                   resolution=ft.Resolution.courant(1.0, ft.REDUCED,
+                                                    safety=0.9),
+                   constants=ft.REDUCED)
+
+
+def _uniform_coeffs(grid):
+    table = ft.coefficient_table([ft.VACUUM], grid.resolution, ft.REDUCED)
+    return ft.CellCoefficients.uniform(table[0], jnp.float32)
+
+
+def _src(grid, cell):
+    return ft.SourceSet.build([ft.PointSource(
+        cell, ft.GaussianPulse(4 * grid.dt, 2 * grid.dt), j=(0, 0, 1.0))])
+
+
+def test_absorbing_dispatch_and_gather_matches_single_chip():
+    shape = (32, 32, 256)
+    grid = _grid(shape)
+    cpml = Cpml(thickness=((6, 6), (4, 4), (4, 4)))
+    coeffs = _uniform_coeffs(grid)
+    src = _src(grid, (15, 16, 128))
+    mesh = make_mesh(2, ("x",))
+
+    sim = ShardedSimulation(grid=grid, coeffs=coeffs, sources=src,
+                            cpml=cpml, mesh=mesh, interpret=True, max_k=2)
+    k, kind = sim.plan()
+    assert kind == "pallas_cpml_k" and k == 2
+
+    st = sim.init()
+    st = sim.run(st, 3 * k)
+    g = sim.gather(st)
+    assert int(g.tick) == 3 * k
+
+    # single-chip reference
+    from fdtd_tpu.solver.pallas_cpml import init_pml_kernel_state
+    from fdtd_tpu.solver.pallas_cpml_k import pallas_cpml_stepk_fn
+
+    one = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, interpret=True)
+    ref = init_pml_kernel_state(shape, cpml=cpml)
+    for _ in range(3):
+        ref = one(ref, coeffs, src)
+    scale = float(jnp.abs(ref.ez).max())
+    assert scale > 1e-6
+    for c in range(3):
+        np.testing.assert_allclose(np.asarray(g.e[c]), np.asarray(ref.e[c]),
+                                   rtol=0, atol=1e-6, err_msg=f"e[{c}]")
+
+
+def test_free_space_kernel_dispatch():
+    shape = (64, 16, 128)
+    grid = _grid(shape)
+    coeffs = _uniform_coeffs(grid)
+    src = _src(grid, (31, 8, 64))
+    mesh = make_mesh(4, ("x",))
+
+    sim = ShardedSimulation(grid=grid, coeffs=coeffs, sources=src,
+                            mesh=mesh, interpret=True, max_k=3)
+    k, kind = sim.plan()
+    assert kind == "pallas_k" and k >= 2
+
+    st = sim.init()
+    st = sim.run(st, 2 * k)
+    g = sim.gather(st)
+    assert int(g.tick) == 2 * k
+    ez = np.asarray(g.ez)
+    assert np.all(np.isfinite(ez)) and np.abs(ez).max() > 1e-9
+
+    # equality vs the single-chip XLA step
+    ref = ft.zero_state(shape)
+    f = jax.jit(ft.step_fn(inv_dx=(1.0, 1.0, 1.0), dt=grid.dt))
+    for _ in range(2 * k):
+        ref = f(ref, coeffs, src)
+    np.testing.assert_allclose(np.asarray(g.ez), np.asarray(ref.ez),
+                               rtol=0, atol=2e-6)
+
+
+def test_xla_fallback_on_2d_mesh():
+    shape = (32, 32, 64)
+    grid = _grid(shape)
+    coeffs = _uniform_coeffs(grid)
+    src = _src(grid, (16, 16, 32))
+    mesh = make_mesh(4, ("x", "y"))
+
+    sim = ShardedSimulation(grid=grid, coeffs=coeffs, sources=src, mesh=mesh)
+    k, kind = sim.plan()
+    assert kind == "xla" and k == 1
+    st = sim.init()
+    st = sim.run(st, 5)
+    g = sim.gather(st)
+    assert int(g.tick) == 5
+    assert np.isfinite(np.asarray(g.ez)).all()
+
+
+def test_box_tfsf_routes_to_engine():
+    shape = (32, 16, 64)
+    grid = _grid(shape)
+    coeffs = _uniform_coeffs(grid)
+    box = Tfsf(span=(8, 23), span_y=(4, 11), span_z=(16, 47),
+               waveform=ft.GaussianPulse(4 * grid.dt, 2 * grid.dt))
+    mesh = make_mesh(2, ("x",))
+    sim = ShardedSimulation(grid=grid, coeffs=coeffs, tfsf=box, mesh=mesh,
+                            interpret=True)
+    k, kind = sim.plan()
+    assert kind == "xla_engine" and k == 1
+    st = sim.init()
+    st = sim.run(st, 12)
+    g = sim.gather(st)
+    assert int(g.tick) == 12
+    assert float(jnp.abs(g.ez).max()) > 0
