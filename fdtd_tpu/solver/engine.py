@@ -121,9 +121,10 @@ def init_engine_state(shape, dtype=jnp.float32, cpml=None, tfsf=None,
         slab_pair(axis, True) if axis in active else (zs(), zs())
         for _, axis in _TERMS
     )
-    if tfsf is not None:
+    if tfsf is not None and hasattr(tfsf, "init_aux"):
         aux_e, aux_h = tfsf.init_aux(shape[0], dtype)
     else:
+        # no TF/SF, or an ObliqueTfsf (analytic incident — no aux grid)
         aux_e, aux_h = zs(), zs()
     psi_d = (
         tuple(jnp.zeros(dense.box_shape, dtype) for _ in range(4))
@@ -180,6 +181,21 @@ def build_step(
                     (slab(ik, h0, h1), slab(b, h0, h1), slab(c, h0, h1)),
                     ((l0, l1), (h0, h1)),
                 )
+
+    oblique = None
+    if tfsf is not None:
+        from .tfsf_oblique import ObliqueTfsf
+
+        if isinstance(tfsf, ObliqueTfsf):
+            # arbitrary-direction plane wave: analytic incident fields via
+            # the masking-curl commutator (tfsf_oblique.py); no aux grid
+            from .tfsf_oblique import build_oblique
+
+            oblique = tfsf
+            ob_sub, ob_corr_h, ob_corr_e = build_oblique(
+                tfsf, shape, inv_dx, dt, constants, dtype
+            )
+            tfsf = None
 
     if tfsf is not None:
         from ..coefficients import update_coefficients
@@ -291,6 +307,16 @@ def build_step(
         )
         h = [coeffs.d_a * state.h[c] - coeffs.d_b * ce[c] for c in range(3)]
 
+        if oblique is not None:
+            # surface currents of the oblique plane wave (incident E at
+            # the OLD time level, like the aux-grid path)
+            corr = ob_corr_h(t)
+            for c in range(3):
+                db_sub = _coef_block(coeffs.d_b, *ob_sub)
+                h[c] = h[c].at[ob_sub].add(
+                    (-db_sub * corr[c]).astype(dtype)
+                )
+
         aux_e, aux_h = state.aux_e, state.aux_h
         if tfsf is not None:
             # incident E at the old time level (aux not yet stepped).
@@ -332,6 +358,15 @@ def build_step(
             tuple(h), state.psi_e, _diff_forward, "e", state.psi_d[2:4]
         )
         e = [coeffs.c_a * state.e[c] + coeffs.c_b * ch[c] for c in range(3)]
+
+        if oblique is not None:
+            # incident H at the NEW (half-step advanced) time level
+            corr = ob_corr_e(t + jnp.asarray(0.5 * dt, dtype))
+            for c in range(3):
+                cb_sub = _coef_block(coeffs.c_b, *ob_sub)
+                e[c] = e[c].at[ob_sub].add(
+                    (cb_sub * corr[c]).astype(dtype)
+                )
 
         if tfsf is not None:
             # incident H at the new time level (aux just stepped).

@@ -126,6 +126,9 @@ class Simulation:
         if self.dense_pml is not None:
             # volumetric per-cell regions run on the XLA engine only
             return False
+        if self.tfsf is not None and not hasattr(self.tfsf, "span"):
+            # ObliqueTfsf (analytic incident) runs on the XLA engine only
+            return False
         if jax.default_backend() != "tpu":
             return False
         if self.matid is not None:
