@@ -84,13 +84,13 @@ def best_sharded_absorbing_step(
     ):
         for k in range(max_k, 1, -1):
             if supports_sharded_cpml(shape, n_dev, bc, cpml, k, dtype):
-                step = make_pallas_sharded_cpml_stepk(
+                step = jax.jit(make_pallas_sharded_cpml_stepk(
                     mesh, shape, k, inv_dx=inv_dx, dt=dt, bc=bc,
                     constants=constants, cpml=cpml, tfsf=tfsf,
                     max_sources=max_sources, interpret=interpret,
                     axis=axis, with_m=with_m, matid=matid,
                     n_materials=n_materials, dtype=dtype,
-                )
+                ))
 
                 def init_state(k=k):
                     return init_sharded_pml_state(
@@ -106,10 +106,10 @@ def best_sharded_absorbing_step(
         (names[i] if i < len(names) and mesh.shape[names[i]] > 1 else None)
         for i in range(3)
     )
-    step = make_sharded_engine_step(
+    step = jax.jit(make_sharded_engine_step(
         mesh, shape, dims, inv_dx=inv_dx, dt=dt, bc=bc,
         constants=constants, cpml=cpml, tfsf=tfsf,
-    )
+    ))
 
     def init_state():
         return init_sharded_engine_state(

@@ -189,25 +189,33 @@ def make_sharded_engine_step(
         tfsf.validate(shape)
         tf_lo, tf_hi = tfsf.span
         if tfsf.is_box:
-            if dims[1] is not None or dims[2] is not None:
-                raise NotImplementedError(
-                    "sharded box TF/SF supports x-axis decomposition only "
-                    "(the lateral faces sit at static y/z indices)"
-                )
             (tf_ylo, tf_yhi), (tf_zlo, tf_zhi) = tfsf.span_y, tfsf.span_z
-            ys = slice(tf_ylo, tf_yhi + 1)
-            zs = slice(tf_zlo, tf_zhi + 1)
-        else:
-            ys = zs = slice(None)
+
+    def _axis_offset(a, local_n):
+        """Global index of this shard's first plane along lattice axis a."""
+        if dims[a] is None or n_devs[a] == 1:
+            return jnp.zeros((), jnp.int32)
+        return (lax.axis_index(dims[a]) * local_n).astype(jnp.int32)
 
     def _x_offset(local_nx):
-        if dims[0] is None or n_devs[0] == 1:
-            return jnp.zeros((), jnp.int32)
-        return (lax.axis_index(dims[0]) * local_nx).astype(jnp.int32)
+        return _axis_offset(0, local_nx)
 
-    def _plane_add(f, coef, g_idx, off, val_scalar, ys, zs):
-        """f[g_idx (global x-plane), ys, zs] += coef_block * val_scalar,
-        shard-local: masked to zero on shards that don't own the plane."""
+    def _lat_masks(local_shape):
+        """Shard-local boolean masks of the box's y and z spans (all-True
+        for slab mode) — the lateral faces and x-plane restrictions then
+        work under ANY decomposition, not just x."""
+        if tfsf is None or not tfsf.is_box:
+            return (jnp.ones((local_shape[1],), bool),
+                    jnp.ones((local_shape[2],), bool))
+        gy = _axis_offset(1, local_shape[1]) + jnp.arange(local_shape[1])
+        gz = _axis_offset(2, local_shape[2]) + jnp.arange(local_shape[2])
+        return (jnp.logical_and(gy >= tf_ylo, gy <= tf_yhi),
+                jnp.logical_and(gz >= tf_zlo, gz <= tf_zhi))
+
+    def _plane_add(f, coef, g_idx, off, val_scalar, ymask, zmask):
+        """f[g_idx (global x-plane), box y rows, box z cols] +=
+        coef_block * val_scalar, shard-local: masked to zero on shards
+        that own neither the plane nor the lateral rows."""
         nl = f.shape[0]
         loc = jnp.asarray(g_idx, jnp.int32) - off
         ok = jnp.logical_and(loc >= 0, loc < nl)
@@ -216,17 +224,34 @@ def make_sharded_engine_step(
         if jnp.ndim(coef) == 0:
             cblock = coef
         else:
-            cblock = lax.dynamic_slice_in_dim(coef, locc, 1, axis=0)[:, ys, zs]
-        add = jnp.where(ok, jnp.asarray(val_scalar, f.dtype), 0) * cblock
-        plane = plane.at[:, ys, zs].add(add)
-        return lax.dynamic_update_slice_in_dim(f, plane, locc, axis=0)
+            cblock = lax.dynamic_slice_in_dim(coef, locc, 1, axis=0)
+        m = jnp.logical_and(ok, jnp.logical_and(ymask[None, :, None],
+                                                zmask[None, None, :]))
+        add = jnp.where(m, jnp.asarray(val_scalar, f.dtype), 0) * cblock
+        return lax.dynamic_update_slice_in_dim(f, plane + add, locc, axis=0)
 
-    def _lateral_coef(coef, ax1_idx_or_slice, ax2_idx_or_slice):
-        return (
-            coef
-            if jnp.ndim(coef) == 0
-            else coef[:, ax1_idx_or_slice, ax2_idx_or_slice]
-        )
+    def _lat_plane_add(f, coef, axis, g_idx, val_row, other_mask):
+        """f[:, g_idx, other-axis box cols] += coef_block * val_row
+        along lateral ``axis`` (1 or 2); val_row is the per-local-x
+        incident value (already in_x-masked)."""
+        nl = f.shape[axis]
+        loc = jnp.asarray(g_idx, jnp.int32) - _axis_offset(axis, nl)
+        ok = jnp.logical_and(loc >= 0, loc < nl)
+        locc = jnp.clip(loc, 0, nl - 1)
+        plane = lax.dynamic_slice_in_dim(f, locc, 1, axis=axis)
+        if jnp.ndim(coef) == 0:
+            cblock = coef
+        else:
+            cblock = lax.dynamic_slice_in_dim(coef, locc, 1, axis=axis)
+        if axis == 1:
+            m = other_mask[None, None, :]      # z mask
+            val = val_row[:, None, None]
+        else:
+            m = other_mask[None, :, None]      # y mask
+            val = val_row[:, None, None]
+        add = jnp.where(jnp.logical_and(ok, m), val.astype(f.dtype), 0) * cblock
+        return lax.dynamic_update_slice_in_dim(f, plane + add, locc,
+                                               axis=axis)
 
     def local_step(state, coeffs, sources, lprofs):
         local_shape = state.ex.shape
@@ -271,12 +296,15 @@ def make_sharded_engine_step(
         aux_e, aux_h = state.aux_e, state.aux_h
         if tfsf is not None:
             off = _x_offset(local_shape[0])
+            ymask, zmask = _lat_masks(local_shape)
             # incident E at the old time level (aux not yet stepped)
             h[1] = _plane_add(
-                h[1], coeffs.d_b, tf_lo, off, -aux_e[tf_lo - 1] * inv_dx[0], ys, zs
+                h[1], coeffs.d_b, tf_lo, off, -aux_e[tf_lo - 1] * inv_dx[0],
+                ymask, zmask,
             )
             h[1] = _plane_add(
-                h[1], coeffs.d_b, tf_hi + 1, off, aux_e[tf_hi] * inv_dx[0], ys, zs
+                h[1], coeffs.d_b, tf_hi + 1, off, aux_e[tf_hi] * inv_dx[0],
+                ymask, zmask,
             )
             if tfsf.is_box:
                 # y faces: incident Ez = aux_e[global x], masked to this
@@ -286,13 +314,11 @@ def make_sharded_engine_step(
                 ez_inc = (
                     jnp.where(in_x, aux_e[jnp.clip(gx, 0, shape[0] - 1)], 0)
                     * inv_dx[1]
-                )[:, None].astype(dtype)
-                h[0] = h[0].at[:, tf_ylo, zs].add(
-                    _lateral_coef(coeffs.d_b, tf_ylo, zs) * ez_inc
-                )
-                h[0] = h[0].at[:, tf_yhi + 1, zs].add(
-                    -_lateral_coef(coeffs.d_b, tf_yhi + 1, zs) * ez_inc
-                )
+                ).astype(dtype)
+                h[0] = _lat_plane_add(h[0], coeffs.d_b, 1, tf_ylo,
+                                      ez_inc, zmask)
+                h[0] = _lat_plane_add(h[0], coeffs.d_b, 1, tf_yhi + 1,
+                                      -ez_inc, zmask)
             aux_e, aux_h = tfsf.aux_step(aux_e, aux_h, aux_coeffs, t, inv_dx[0], dtype)
 
         if m_vals is not None:
@@ -311,23 +337,23 @@ def make_sharded_engine_step(
         if tfsf is not None:
             # incident H at the new time level (aux just stepped)
             e[2] = _plane_add(
-                e[2], coeffs.c_b, tf_lo - 1, off, -aux_h[tf_lo] * inv_dx[0], ys, zs
+                e[2], coeffs.c_b, tf_lo - 1, off, -aux_h[tf_lo] * inv_dx[0],
+                ymask, zmask,
             )
             e[2] = _plane_add(
-                e[2], coeffs.c_b, tf_hi, off, aux_h[tf_hi + 1] * inv_dx[0], ys, zs
+                e[2], coeffs.c_b, tf_hi, off, aux_h[tf_hi + 1] * inv_dx[0],
+                ymask, zmask,
             )
             if tfsf.is_box:
                 # z faces: incident Hy = aux_h[global x], same x-mask
                 hy_inc = (
                     jnp.where(in_x, aux_h[jnp.clip(gx, 0, shape[0] - 1)], 0)
                     * inv_dx[2]
-                )[:, None].astype(dtype)
-                e[0] = e[0].at[:, ys, tf_zlo - 1].add(
-                    _lateral_coef(coeffs.c_b, ys, tf_zlo - 1) * hy_inc
-                )
-                e[0] = e[0].at[:, ys, tf_zhi].add(
-                    -_lateral_coef(coeffs.c_b, ys, tf_zhi) * hy_inc
-                )
+                ).astype(dtype)
+                e[0] = _lat_plane_add(e[0], coeffs.c_b, 2, tf_zlo - 1,
+                                      hy_inc, ymask)
+                e[0] = _lat_plane_add(e[0], coeffs.c_b, 2, tf_zhi,
+                                      -hy_inc, ymask)
 
         if j_vals is not None:
             cb = _cells(coeffs.c_b, px, py, pz, sources.num_sources, dtype)

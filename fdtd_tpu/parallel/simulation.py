@@ -115,12 +115,12 @@ class ShardedSimulation:
                 if nl >= 2 * k and supports_k(
                     ext_shape, self.bc, k, dtype=self.dtype
                 ):
-                    step = make_pallas_sharded_stepk(
+                    step = jax.jit(make_pallas_sharded_stepk(
                         mesh, k, nl, inv_dx=inv_dx, dt=self.grid.dt,
                         bc=self.bc, max_sources=max(n_src, 1),
                         interpret=self.interpret, dtype=self.dtype,
                         with_m=self._has_m_sources(),
-                    )
+                    ))
 
                     def init_state(k=k):
                         from ..solver.state import zero_state

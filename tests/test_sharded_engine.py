@@ -114,16 +114,18 @@ def test_sharded_tfsf_box_matches_engine():
     _run_pair(cpml, tfsf, _sources(), ("x", None, None), ("x",))
 
 
-def test_sharded_tfsf_box_rejects_lateral_sharding():
-    import pytest
-
-    if len(jax.devices()) < 8:
-        pytest.skip("needs 8 virtual devices")
+def test_sharded_tfsf_box_lateral_sharding():
+    """Closed-box TF/SF under x-AND-y decomposition (round 2): the
+    lateral faces live at runtime per-shard offsets with global masks, so
+    y faces straddling the y-shard cut must match the single device."""
     tfsf = Tfsf(span=(8, 24), waveform=ft.GaussianPulse(10 * DT, 4 * DT),
                 span_y=(4, 11), span_z=(4, 11))
-    mesh = make_mesh(8, ("x", "y"))
-    with pytest.raises(NotImplementedError, match="x-axis decomposition"):
-        make_sharded_engine_step(
-            mesh, SHAPE, ("x", "y", None), inv_dx=INV_DX, dt=DT,
-            constants=ft.REDUCED, dtype=jnp.float64, tfsf=tfsf,
-        )
+    cpml = Cpml(thickness=((5, 5), (0, 0), (0, 0)))
+    _run_pair(cpml, tfsf, _sources(), ("x", "y", None), ("x", "y"))
+
+
+def test_sharded_tfsf_box_z_sharding():
+    """Box TF/SF with the z axis sharded (z faces cross the cut)."""
+    tfsf = Tfsf(span=(8, 24), waveform=ft.GaussianPulse(10 * DT, 4 * DT),
+                span_y=(4, 11), span_z=(4, 11))
+    _run_pair(None, tfsf, _sources(), ("x", None, "z"), ("x", "z"))
