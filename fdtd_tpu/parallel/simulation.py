@@ -164,15 +164,60 @@ class ShardedSimulation:
         _, init_state, _, _ = self._plan
         return init_state()
 
-    def run(self, state, n_steps: int):
-        """Advance ``n_steps`` ticks (must be divisible by plan()'s k)."""
+    def run(self, state, n_steps: int, probes=(), probe_every: int = 1):
+        """Advance ``n_steps`` ticks (must be divisible by plan()'s k).
+
+        With ``probes`` (the solver.probes classes), samples every
+        ``probe_every`` ticks from a DEVICE-SIDE global view of the state
+        (owned regions only — no host round-trip per sample, the
+        multi-chip analog of Simulation.run's on-device observation) and
+        returns (state, probe_stacks). ``probe_every`` must be a multiple
+        of k on the K-step kernel paths."""
         step, _, k, _ = self._plan
         if n_steps % k != 0:
             raise ValueError(f"{n_steps=} not divisible by plan k={k}")
         coeffs = self._step_coeffs
-        for _ in range(n_steps // k):
+        if not probes:
+            for _ in range(n_steps // k):
+                state = step(state, coeffs, self.sources)
+            return state
+        if probe_every % k != 0 or n_steps % probe_every != 0:
+            raise ValueError(
+                f"{probe_every=} must be a multiple of plan k={k} and "
+                f"divide {n_steps=}"
+            )
+        outs = [[] for _ in probes]
+        for i in range(n_steps // k):
             state = step(state, coeffs, self.sources)
-        return state
+            if ((i + 1) * k) % probe_every == 0:
+                view = self._global_view(state)
+                for j, p in enumerate(probes):
+                    outs[j].append(p.sample(view, self.grid.dt))
+        return state, tuple(jnp.stack(o) for o in outs)
+
+    def _global_view(self, state):
+        """Device-side global-layout SimState view of any state kind
+        (owned planes only; halo/trash planes dropped by static slicing —
+        XLA keeps the result sharded, nothing crosses to the host)."""
+        _, _, k, kind = self._plan
+        if kind not in ("pallas_cpml_k", "pallas_k"):
+            return state  # plain global arrays already
+        from ..solver.state import SimState
+
+        n_dev = self._mesh.shape[self.axis]
+        nx = self.grid.shape[0]
+        nl = nx // n_dev
+        nle = nl + 2 * k
+
+        def owned(arr):
+            r = arr.reshape(n_dev, nle, *arr.shape[1:])
+            return r[:, k: k + nl].reshape(n_dev * nl, *arr.shape[1:])
+
+        return SimState(
+            ex=owned(state.ex), ey=owned(state.ey), ez=owned(state.ez),
+            hx=owned(state.hx), hy=owned(state.hy), hz=owned(state.hz),
+            tick=state.tick,
+        )
 
     @cached_property
     def _step_coeffs(self):

@@ -130,3 +130,40 @@ def test_box_tfsf_routes_to_engine():
     g = sim.gather(st)
     assert int(g.tick) == 12
     assert float(jnp.abs(g.ez).max()) > 0
+
+
+def test_probes_on_kernel_and_engine_paths():
+    """ShardedSimulation.run(probes=...): device-side global views must
+    produce the same samples as collapsing + sampling on the host, on
+    both the extended-layout kernel path and the plain engine path."""
+    from fdtd_tpu.probes import FieldComponent, PointProbe, SliceProbe
+
+    shape = (32, 32, 256)
+    grid = _grid(shape)
+    cpml = Cpml(thickness=((6, 6), (4, 4), (4, 4)))
+    coeffs = _uniform_coeffs(grid)
+    src = _src(grid, (15, 16, 128))
+    mesh = make_mesh(2, ("x",))
+    probes = (PointProbe(points=((15, 16, 128), (20, 8, 64))),
+              SliceProbe(axis=0, index=17, component=FieldComponent.E))
+
+    sim = ShardedSimulation(grid=grid, coeffs=coeffs, sources=src,
+                            cpml=cpml, mesh=mesh, interpret=True, max_k=2)
+    k, kind = sim.plan()
+    assert kind == "pallas_cpml_k"
+    st = sim.init()
+    st, stacks = sim.run(st, 3 * k, probes=probes, probe_every=k)
+    assert stacks[0].shape == (3, 2, 3)
+    assert stacks[1].shape == (3, 3, 32, 256)
+
+    # cross-check the final sample against the collapsed state
+    g = sim.gather(st)
+    np.testing.assert_allclose(
+        np.asarray(stacks[0][-1]),
+        np.asarray(probes[0].sample(g, grid.dt)), atol=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(stacks[1][-1]),
+        np.asarray(probes[1].sample(g, grid.dt)), atol=0,
+    )
+    assert np.abs(np.asarray(stacks[1])).max() > 0
