@@ -3,6 +3,11 @@
 Run:  python examples/01_dipole_free_space.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 import jax.numpy as jnp
 

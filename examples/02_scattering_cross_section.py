@@ -4,6 +4,11 @@
 Run:  python examples/02_scattering_cross_section.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 import fdtd_tpu as ft

@@ -3,6 +3,11 @@
 Run:  python examples/03_antenna_pattern.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 from fdtd_tpu.io import parse_nec

@@ -5,6 +5,11 @@ Run on hardware with several chips, or simulate with:
       python examples/04_sharded_multichip.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -35,3 +40,23 @@ for _ in range(50):
     state = step(state, coeffs, src)
 e = np.abs(np.asarray(state.ez)).max()
 print(f"after 50 sharded steps over mesh {dict(mesh.shape)}: max|Ez| = {e:.3e}")
+
+# --- high-level API: ShardedSimulation auto-dispatches like Simulation ---
+from fdtd_tpu.parallel import ShardedSimulation
+from fdtd_tpu.probes import PointProbe
+from fdtd_tpu.solver.cpml import Cpml
+
+sim = ShardedSimulation(
+    grid=grid, coeffs=coeffs, sources=src,
+    cpml=Cpml(thickness=((4, 4), (0, 0), (0, 0))),
+    mesh=make_mesh(len(devices), ("x",)), max_k=4,
+    interpret=devices[0].platform == "cpu",
+)
+k, kind = sim.plan()
+print(f"ShardedSimulation dispatched to {kind} (K={k})")
+st = sim.init()
+st, (trace,) = sim.run(st, 8 * k, probes=(PointProbe(points=((32, 32, 32),)),),
+                       probe_every=k)
+g = sim.gather(st)
+print(f"after {int(g.tick)} ticks: max|Ez| = "
+      f"{np.abs(np.asarray(g.ez)).max():.3e}; probe trace {trace.shape}")
