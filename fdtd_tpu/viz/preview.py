@@ -31,8 +31,14 @@ def render_scene_preview(
     *,
     title: Optional[str] = None,
     dpi: int = 110,
+    camera=None,
 ) -> Path:
-    """Render shaded entity geometry + markers to ``path`` (PNG)."""
+    """Render shaded entity geometry + markers to ``path`` (PNG).
+
+    ``camera`` (a viz.camera.Camera) sets the viewpoint: its forward
+    vector maps to the matplotlib elevation/azimuth — so the same Camera
+    driven by fit/orbit/pan_tilt also frames the offline preview (the
+    composer's scene-view + camera-proxy pairing, headless)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -130,6 +136,16 @@ def render_scene_preview(
             ax.set_xlim(lo[0], hi[0])
             ax.set_ylim(lo[1], hi[1])
             ax.set_zlim(lo[2], hi[2])
+
+    if camera is not None:
+        import math
+
+        v = -np.asarray(camera.forward, np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        ax.view_init(
+            elev=math.degrees(math.asin(float(np.clip(v[2], -1, 1)))),
+            azim=math.degrees(math.atan2(float(v[1]), float(v[0]))),
+        )
 
     ax.set_xlabel("x")
     ax.set_ylabel("y")

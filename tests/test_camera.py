@@ -139,3 +139,14 @@ def test_scene_tree_and_selection():
     assert sel.is_empty()  # clicking empty space clears
     sel.select_all(scene)
     assert sel.count() == len(scene.entities)
+
+
+def test_preview_accepts_camera(tmp_path):
+    """render_scene_preview(camera=...) frames the view from the Camera's
+    orientation (the composer scene-view + camera-proxy pairing)."""
+    from fdtd_tpu.viz.preview import render_scene_preview
+
+    scene = _scene()
+    cam = Camera.look_at((10.0, 10.0, 10.0), (0.0, 0.0, 0.0))
+    p = render_scene_preview(scene, tmp_path / "view.png", camera=cam)
+    assert p.exists() and p.stat().st_size > 1000
