@@ -210,6 +210,12 @@ def main() -> None:
     import numpy as np
 
     import fdtd_tpu as ft
+    from fdtd_tpu.utils.observability import enable_compilation_cache
+
+    # repeated bench invocations reuse Mosaic/XLA compiles (the K-step
+    # kernels are compile-heavy); see BENCH_NO_CACHE to opt out
+    if not os.environ.get("BENCH_NO_CACHE"):
+        enable_compilation_cache()
     from fdtd_tpu.probes import PointProbe
 
     sizes = [

@@ -234,6 +234,9 @@ def cmd_bench(args) -> int:
 
 
 def main(argv=None) -> int:
+    from .utils.observability import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(prog="fdtd-tpu", description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
 

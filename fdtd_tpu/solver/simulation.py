@@ -372,11 +372,11 @@ class Simulation:
             from .pallas_stepk import pallas_stepk_fn, supports_k
 
             n_mat = self._n_materials if self.matid is not None else 1
-            # matid-mode kernels unroll K stages x K_mat selects: K=10
-            # compiles ~2 minutes in Mosaic for ~25% over K=6 — cap it
-            k_candidates = (6, 5, 4, 3, 2) if self.matid is not None else (
-                10, 8, 6, 5, 4, 3, 2
-            )
+            # matid-mode kernels unroll K stages x K_mat selects. Round 1
+            # capped K at 6 (K=10 Mosaic compiles took ~2 min); on the
+            # round-2 stack K=10 compiles in ~15 s and runs ~15% faster
+            # than K=6, so matid gets the full ladder too.
+            k_candidates = (10, 8, 6, 5, 4, 3, 2)
             for cand in k_candidates:
                 cadence = probe_every if probes else n_steps
                 if (

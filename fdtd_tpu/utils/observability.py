@@ -17,7 +17,8 @@ import time
 from collections import defaultdict
 from typing import Dict, Optional
 
-__all__ = ["format_size", "trace_span", "Tracer", "get_tracer", "build_info"]
+__all__ = ["format_size", "trace_span", "Tracer", "get_tracer",
+           "build_info", "enable_compilation_cache"]
 
 _log = logging.getLogger("fdtd_tpu")
 _level = os.environ.get("FDTD_TPU_LOG")
@@ -115,3 +116,33 @@ def build_info() -> Dict[str, object]:
     except Exception:  # noqa: BLE001 — provenance is best-effort
         pass
     return info
+
+
+def enable_compilation_cache(path: str = "") -> str:
+    """Point JAX's persistent compilation cache at an XDG cache dir.
+
+    The temporally-blocked Mosaic kernels are compile-heavy (the
+    compressed-material CPML K kernel takes minutes at high K); the
+    persistent cache makes every compile a once-per-machine cost instead
+    of once-per-process. Safe to call multiple times; respects an
+    existing JAX_COMPILATION_CACHE_DIR. Returns the directory used."""
+    import os
+
+    import jax
+
+    path = (
+        path
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or os.path.join(
+            os.environ.get("XDG_CACHE_HOME")
+            or os.path.join(os.path.expanduser("~"), ".cache"),
+            "fdtd-tpu", "xla",
+        )
+    )
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass  # older jax without the knobs: the env var still applies
+    return path
