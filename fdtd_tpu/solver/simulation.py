@@ -316,9 +316,11 @@ class Simulation:
             # single-pass absorbing kernel when the cadence allows
             from .pallas_cpml_k import pallas_cpml_stepk_fn, supports_cpml_k
 
-            cands = (6, 5, 4, 3, 2) if self.matid is not None else (
-                8, 6, 5, 4, 3, 2
-            )
+            # matid CPML at K=8 runs +25% over K=6 (20.7 vs 16.5 Gcell/s
+            # at 256^3) but Mosaic-compiles in ~4 min — a once-per-machine
+            # cost with the persistent compilation cache
+            # (utils.observability.enable_compilation_cache)
+            cands = (8, 6, 5, 4, 3, 2)
             for cand in cands:
                 cadence = probe_every if probes else n_steps
                 if (
