@@ -107,3 +107,35 @@ def test_scattering_cross_section_pec_sphere():
         # a vacuum marker so the volume resolves; material == background
     ]), **_KWARGS)
     assert empty.sigma_scat < 0.05 * geo, empty
+
+
+def test_scattering_oblique_rotation_invariance():
+    """A sphere's cross-section cannot depend on the incidence direction:
+    sigma at 45-degree (x-y) oblique incidence (analytic ObliqueTfsf path)
+    must match the axis-aligned aux-grid path on the SAME staircased
+    sphere. Agreement is bounded by the oblique path's dispersion leakage
+    and the (direction-dependent) staircasing — measured at 1.3% at this
+    resolution (the 30% gate is generous)."""
+    kwargs = dict(
+        domain_half_extents=(18.0, 18.0, 16.0),
+        dx=1.0,
+        pulse_duration_steps=12,
+        n_steps=400,
+        cpml_cells=8,
+    )
+
+    def sphere_scene():
+        scene = Scene()
+        scene.spawn(shape=Ball(3.0),
+                    pose=Isometry.from_translation((0.0, 0.0, 0.0)),
+                    material=ft.PEC)
+        return scene
+
+    res_axis = scattering_cross_section(sphere_scene(), **kwargs)
+    res_45 = scattering_cross_section(
+        sphere_scene(), direction=(1.0, 1.0, 0.0),
+        polarization=(0.0, 0.0, 1.0), **kwargs,
+    )
+    assert res_axis.sigma_scat > 0 and res_45.sigma_scat > 0
+    rel = abs(res_45.sigma_scat - res_axis.sigma_scat) / res_axis.sigma_scat
+    assert rel < 0.3, (res_axis.sigma_scat, res_45.sigma_scat, rel)
