@@ -29,6 +29,23 @@ import sys
 import time
 
 
+def _timed(run1, state, sync):
+    """Wall time of ONE `run1` application with the sync-readback cost
+    CANCELLED: times a (1x work + readback) region and a (2x work +
+    readback) region back to back and returns their difference. Immune to
+    tunnel-latency drift within a run (a fixed pre-measured readback
+    constant can exceed short regions entirely and go negative)."""
+    t0 = time.perf_counter()
+    state = run1(state)
+    sync(state)
+    t1 = time.perf_counter()
+    state = run1(state)
+    state = run1(state)
+    sync(state)
+    t2 = time.perf_counter()
+    return max((t2 - t1) - (t1 - t0), 1e-9), state
+
+
 def _measure_readback(jnp, n: int = 8) -> float:
     """Round-trip cost of the scalar sync readback, measured on a READY
     array (subtracted once from each timed region)."""
@@ -278,10 +295,7 @@ def main() -> None:
         # put a fresh compilation inside the timed region)
         state = run_j(state, n_calls)
         _sync(state)
-        t0 = time.perf_counter()
-        state = run_j(state, n_calls)
-        _sync(state)
-        dt_wall = time.perf_counter() - t0 - readback_s
+        dt_wall, state = _timed(lambda s: run_j(s, n_calls), state, _sync)
 
         steps_done = n_calls * k_per_call
         cells_per_s = grid.num_cells * steps_done / dt_wall
@@ -372,10 +386,8 @@ def main() -> None:
             bcalls = max(n_steps // bk, 1)
             state = runb_j(state, bcalls)
             _sync(state)
-            t0 = time.perf_counter()
-            state = runb_j(state, bcalls)
-            _sync(state)
-            dt_wall = time.perf_counter() - t0 - readback_s
+            dt_wall, state = _timed(
+                lambda s: runb_j(s, bcalls), state, _sync)
             print(
                 f"{n}^3 bf16 storage (K={bk}): "
                 f"{grid.num_cells*bcalls*bk/dt_wall/1e9:.3f} Gcell/s",
@@ -415,11 +427,9 @@ def main() -> None:
             runc_j = jax.jit(run_c, static_argnums=1)
             c_calls = max(n_steps // ck, 1)
             cstate = runc_j(cstate, c_calls)
-            cstate.ex[1, 1, 1].item()
-            t0 = time.perf_counter()
-            cstate = runc_j(cstate, c_calls)
-            cstate.ex[1, 1, 1].item()
-            dt_wall = time.perf_counter() - t0 - readback_s
+            _sync(cstate)
+            dt_wall, cstate = _timed(
+                lambda s: runc_j(s, c_calls), cstate, _sync)
             print(
                 f"{n}^3 CPML all axes (in-kernel, K={ck}): "
                 f"{grid.num_cells*c_calls*ck/dt_wall/1e9:.3f} Gcell/s",
@@ -452,11 +462,9 @@ def main() -> None:
                 runc_j = jax.jit(run_c5, static_argnums=1)
                 c_calls = max(n_steps // ck, 1)
                 cstate = runc_j(cstate, c_calls)
-                cstate.ex[1, 1, 1].item()
-                t0 = time.perf_counter()
-                cstate = runc_j(cstate, c_calls)
-                cstate.ex[1, 1, 1].item()
-                dt_wall = time.perf_counter() - t0 - readback_s
+                _sync(cstate)
+                dt_wall, cstate = _timed(
+                    lambda s, _r=runc_j: _r(s, c_calls), cstate, _sync)
                 print(
                     f"{n}^3 CPML all axes ({jnp.dtype(cdt).name}, "
                     f"in-kernel K={ck}): "
@@ -498,10 +506,8 @@ def main() -> None:
                 mcalls = max(n_steps // 10, 1)
                 state = runm_j(state, mcalls)
                 _sync(state)
-                t0 = time.perf_counter()
-                state = runm_j(state, mcalls)
-                _sync(state)
-                dt_wall = time.perf_counter() - t0 - readback_s
+                dt_wall, state = _timed(
+                    lambda s: runm_j(s, mcalls), state, _sync)
                 print(
                     f"{n}^3 compressed-material ({len(tab)} materials, "
                     f"K=10): {grid.num_cells*mcalls*10/dt_wall/1e9:.3f} Gcell/s",
@@ -541,11 +547,13 @@ def main() -> None:
             state = bstep(state, coeffs, src)  # warmup/compile
             _sync(state)
             ticks = 10
-            t0 = time.perf_counter()
-            for _ in range(ticks):
-                state = bstep(state, coeffs, src)
-            _sync(state)
-            dt_wall = time.perf_counter() - t0 - readback_s
+
+            def _run1024(s):
+                for _ in range(ticks):
+                    s = bstep(s, coeffs, src)
+                return s
+
+            dt_wall, state = _timed(_run1024, state, _sync)
             print(
                 f"1024^3 bf16 in-place (single-step, pass-by-pass): "
                 f"{grid.num_cells*ticks/dt_wall/1e9:.3f} Gcell/s",
