@@ -164,7 +164,8 @@ class ShardedSimulation:
         _, init_state, _, _ = self._plan
         return init_state()
 
-    def run(self, state, n_steps: int, probes=(), probe_every: int = 1):
+    def run(self, state, n_steps: int, probes=(), probe_every: int = 1,
+            accumulators=()):
         """Advance ``n_steps`` ticks (must be divisible by plan()'s k).
 
         With ``probes`` (the solver.probes classes), samples every
@@ -172,11 +173,38 @@ class ShardedSimulation:
         (owned regions only — no host round-trip per sample, the
         multi-chip analog of Simulation.run's on-device observation) and
         returns (state, probe_stacks). ``probe_every`` must be a multiple
-        of k on the K-step kernel paths."""
+        of k on the K-step kernel paths.
+
+        ``accumulators`` (running per-tick reductions, e.g. the
+        scattering flux box) need every intermediate state, so they
+        require a per-tick path (plan k == 1: the sharded XLA engine or
+        plain XLA step) — same rule as Simulation.run, where
+        accumulators force single-stepping. Returns
+        (state, probe_stacks, accumulator_finals) when given."""
         step, _, k, _ = self._plan
         if n_steps % k != 0:
             raise ValueError(f"{n_steps=} not divisible by plan k={k}")
         coeffs = self._step_coeffs
+        if accumulators:
+            if k != 1:
+                raise ValueError(
+                    "accumulators need every tick; this configuration "
+                    f"dispatched to a K={k} kernel path — force the "
+                    "engine path (e.g. backend via box TF/SF/dense "
+                    "coefficients) or drop the accumulators"
+                )
+            accs = tuple(a.init(state, self.grid.dt) for a in accumulators)
+            outs = [[] for _ in probes]
+            for i in range(n_steps):
+                state = step(state, coeffs, self.sources)
+                accs = tuple(
+                    a.update(acc, state, self.grid.dt)
+                    for a, acc in zip(accumulators, accs)
+                )
+                if probes and (i + 1) % probe_every == 0:
+                    for j, p in enumerate(probes):
+                        outs[j].append(p.sample(state, self.grid.dt))
+            return (state, tuple(jnp.stack(o) for o in outs), accs)
         if not probes:
             for _ in range(n_steps // k):
                 state = step(state, coeffs, self.sources)

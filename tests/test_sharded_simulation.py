@@ -167,3 +167,50 @@ def test_probes_on_kernel_and_engine_paths():
         np.asarray(probes[1].sample(g, grid.dt)), atol=0,
     )
     assert np.abs(np.asarray(stacks[1])).max() > 0
+
+
+def test_accumulators_on_engine_path_match_single_chip():
+    """Flux accumulators on the per-tick sharded paths (the multi-chip
+    scattering workflow): the running box-flux total around a radiating
+    source must match the single-chip Simulation bit-for-bit."""
+    from fdtd_tpu.models.scattering import _BoxFluxAccumulator
+    from fdtd_tpu.solver.simulation import Simulation
+
+    shape = (32, 32, 64)
+    grid = _grid(shape)
+    coeffs = _uniform_coeffs(grid)
+    src = _src(grid, (16, 16, 32))
+    flux_box = ((8, 25), (8, 25), (16, 49))
+    dxs = grid.dx
+    areas = (dxs[1] * dxs[2], dxs[0] * dxs[2], dxs[0] * dxs[1])
+    n_steps = 40
+
+    mesh = make_mesh(4, ("x", "y"))  # 2-D mesh -> per-tick "xla" path
+    ssim = ShardedSimulation(grid=grid, coeffs=coeffs, sources=src,
+                             mesh=mesh)
+    k, kind = ssim.plan()
+    assert kind == "xla" and k == 1
+    acc = _BoxFluxAccumulator(flux_box, areas, grid.dt)
+    st = ssim.init()
+    st, _, (sh_flux,) = ssim.run(st, n_steps, accumulators=(acc,))
+
+    sim = Simulation(grid=grid, coeffs=coeffs, sources=src, backend="xla")
+    st1 = sim.init()
+    st1, _, (one_flux,) = sim.run(st1, n_steps, accumulators=(acc,))
+
+    a, b = float(sh_flux), float(one_flux)
+    assert np.isfinite(a) and np.isfinite(b)
+    assert b > 1e-8, b  # the source actually radiated through the box
+    assert abs(a - b) <= 1e-5 * abs(b), (a, b)
+
+    # K-step kernel paths must refuse accumulators (they skip ticks)
+    cpml = Cpml(thickness=((6, 6), (4, 4), (4, 4)))
+    kgrid = _grid((32, 32, 256))
+    ksim = ShardedSimulation(grid=kgrid, coeffs=_uniform_coeffs(kgrid),
+                             sources=_src(kgrid, (15, 16, 128)),
+                             cpml=cpml, mesh=make_mesh(2, ("x",)),
+                             interpret=True, max_k=2)
+    kk, kkind = ksim.plan()
+    assert kkind == "pallas_cpml_k"
+    with pytest.raises(ValueError, match="every tick"):
+        ksim.run(ksim.init(), 2 * kk, accumulators=(acc,))
