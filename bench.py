@@ -426,16 +426,19 @@ def main() -> None:
             # still alias in place inside the scan
             runc_j = jax.jit(run_c, static_argnums=1)
             c_calls = max(n_steps // ck, 1)
-            cstate = runc_j(cstate, c_calls)
-            _sync(cstate)
-            dt_wall, cstate = _timed(
-                lambda s: runc_j(s, c_calls), cstate, _sync)
-            print(
-                f"{n}^3 CPML all axes (in-kernel, K={ck}): "
-                f"{grid.num_cells*c_calls*ck/dt_wall/1e9:.3f} Gcell/s",
-                file=sys.stderr,
-            )
-            del cstate
+            try:
+                cstate = runc_j(cstate, c_calls)
+                _sync(cstate)
+                dt_wall, cstate = _timed(
+                    lambda s: runc_j(s, c_calls), cstate, _sync)
+                print(
+                    f"{n}^3 CPML all axes (in-kernel, K={ck}): "
+                    f"{grid.num_cells*c_calls*ck/dt_wall/1e9:.3f} Gcell/s",
+                    file=sys.stderr,
+                )
+                del cstate
+            except Exception as e:
+                print(f"{n}^3 CPML K={ck} failed: {e!r}", file=sys.stderr)
 
         # 512^3 absorbing: f32 is VMEM-capped at K=3; bf16 storage halves
         # the field blocks and unlocks K=4 (~1.6x) — report both
@@ -445,33 +448,42 @@ def main() -> None:
             from fdtd_tpu.solver.pallas_cpml_k import pallas_cpml_stepk_fn
 
             for cdt, ck in ((jnp.float32, 3), (jnp.bfloat16, 4)):
-                ckstep = pallas_cpml_stepk_fn(
-                    shape, ck, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
-                    constants=ft.REDUCED, cpml=Cpml.uniform(10),
-                    max_sources=1, dtype=cdt,
-                )
-                cstate = init_pml_kernel_state(shape, cdt,
-                                               cpml=Cpml.uniform(10))
+                try:
+                    ckstep = pallas_cpml_stepk_fn(
+                        shape, ck, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
+                        constants=ft.REDUCED, cpml=Cpml.uniform(10),
+                        max_sources=1, dtype=cdt,
+                    )
+                    cstate = init_pml_kernel_state(shape, cdt,
+                                                   cpml=Cpml.uniform(10))
 
-                def run_c5(state, k: int, _s=ckstep):
-                    def body(s, _):
-                        return _s(s, coeffs, src), None
+                    def run_c5(state, k: int, _s=ckstep):
+                        def body(s, _):
+                            return _s(s, coeffs, src), None
 
-                    return jax.lax.scan(body, state, None, length=k)[0]
+                        return jax.lax.scan(body, state, None, length=k)[0]
 
-                runc_j = jax.jit(run_c5, static_argnums=1)
-                c_calls = max(n_steps // ck, 1)
-                cstate = runc_j(cstate, c_calls)
-                _sync(cstate)
-                dt_wall, cstate = _timed(
-                    lambda s, _r=runc_j: _r(s, c_calls), cstate, _sync)
-                print(
-                    f"{n}^3 CPML all axes ({jnp.dtype(cdt).name}, "
-                    f"in-kernel K={ck}): "
-                    f"{grid.num_cells*c_calls*ck/dt_wall/1e9:.3f} Gcell/s",
-                    file=sys.stderr,
-                )
-                del cstate, ckstep
+                    runc_j = jax.jit(run_c5, static_argnums=1)
+                    c_calls = max(n_steps // ck, 1)
+                    cstate = runc_j(cstate, c_calls)
+                    _sync(cstate)
+                    dt_wall, cstate = _timed(
+                        lambda s, _r=runc_j: _r(s, c_calls), cstate, _sync)
+                    print(
+                        f"{n}^3 CPML all axes ({jnp.dtype(cdt).name}, "
+                        f"in-kernel K={ck}): "
+                        f"{grid.num_cells*c_calls*ck/dt_wall/1e9:.3f} Gcell/s",
+                        file=sys.stderr,
+                    )
+                    del cstate, ckstep
+                except Exception as e:  # transient HBM pressure: report
+                    print(
+                        f"{n}^3 CPML {jnp.dtype(cdt).name} K={ck} "
+                        f"failed: {e!r}", file=sys.stderr,
+                    )
+                import gc
+
+                gc.collect()
 
         # compressed-material mode (uint8 matid + K-row table), 256^3 only
         if n == 256:
