@@ -252,10 +252,20 @@ class ShardedSimulation:
         _, _, _, kind = self._plan
         if self.matid is not None and kind == "pallas_cpml_k":
             return jnp.asarray(self.table, jnp.float32)
+        if self.matid is not None and kind in ("xla", "xla_engine"):
+            # the XLA paths shard dense 3-D coefficient arrays natively
+            # (their shard_map in_specs give field sharding to any
+            # ndim==3 leaf), so gather dense coefficients from the
+            # compressed form once
+            from ..solver.step import CellCoefficients
+
+            return CellCoefficients.from_table(
+                jnp.asarray(self.table, self.dtype),
+                jnp.asarray(self.matid),
+            )
         if self.coeffs is None:
             raise ValueError(
-                "ShardedSimulation needs uniform `coeffs` (or matid+table "
-                "on the absorbing kernel path)"
+                "ShardedSimulation needs uniform `coeffs` or matid+table"
             )
         return self.coeffs
 

@@ -214,3 +214,38 @@ def test_accumulators_on_engine_path_match_single_chip():
     assert kkind == "pallas_cpml_k"
     with pytest.raises(ValueError, match="every tick"):
         ksim.run(ksim.init(), 2 * kk, accumulators=(acc,))
+
+
+def test_compressed_materials_on_xla_path():
+    """matid + table on a 2-D mesh: the dense gathered coefficients shard
+    over the fields and reproduce the single-chip dense run."""
+    from fdtd_tpu.solver.step import CellCoefficients
+
+    shape = (32, 32, 64)
+    grid = _grid(shape)
+    src = _src(grid, (16, 16, 32))
+    tab = ft.MaterialTable()
+    tab.register(ft.Material(relative_permittivity=2.5))
+    ctable = np.asarray(ft.coefficient_table(tab.materials, grid.resolution,
+                                             ft.REDUCED))
+    mid = np.zeros(shape, np.uint8)
+    mid[10:22, 10:22, 20:44] = 1
+    mesh = make_mesh(4, ("x", "y"))
+
+    sim = ShardedSimulation(grid=grid, sources=src, mesh=mesh,
+                            matid=mid, table=ctable)
+    k, kind = sim.plan()
+    assert kind == "xla" and k == 1
+    st = sim.init()
+    st = sim.run(st, 24)
+    g = sim.gather(st)
+
+    dense = CellCoefficients.from_table(jnp.asarray(ctable, jnp.float32),
+                                        jnp.asarray(mid))
+    ref = ft.zero_state(shape)
+    f = jax.jit(ft.step_fn(inv_dx=(1.0, 1.0, 1.0), dt=grid.dt))
+    for _ in range(24):
+        ref = f(ref, dense, src)
+    assert float(jnp.abs(ref.ez).max()) > 1e-8
+    np.testing.assert_allclose(np.asarray(g.ez), np.asarray(ref.ez),
+                               rtol=0, atol=2e-6)
