@@ -27,3 +27,17 @@ def test_build_info():
     info = build_info()
     assert info["backend"] == "cpu"
     assert info["devices"]
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    from fdtd_tpu.utils.observability import enable_compilation_cache
+
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    target = str(tmp_path / "xla-cache")
+    got = enable_compilation_cache(target)
+    assert got == target
+    import os
+    assert os.path.isdir(target)
+    # env var wins when set and no explicit path is given
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "env"))
+    assert enable_compilation_cache() == str(tmp_path / "env")
