@@ -2,10 +2,12 @@
 
 The multi-chip analog of solver/best.py: absorbing (CPML) multi-chip runs
 prefer the sharded in-kernel CPML K-step (pallas_sharded_cpml.py, runs at
-Pallas-kernel speed per chip) and fall back to the composed XLA sharded
-engine (sharded_engine.py, exact but ~XLA speed) only for configurations
-the kernel path doesn't cover: TF/SF, M sources, dense per-cell
-coefficients, multi-axis meshes, or slabs too deep for the shard layout.
+Pallas-kernel speed per chip) — which covers slab TF/SF, M sources,
+compressed (matid) materials, and bf16 storage — and fall back to the
+composed XLA sharded engine (sharded_engine.py, exact but ~XLA speed)
+only for configurations the kernel path doesn't cover: box TF/SF, dense
+per-cell coefficients, multi-axis meshes, or x-PML slabs too deep for
+the shard layout.
 """
 
 from __future__ import annotations
@@ -17,7 +19,25 @@ import jax
 from ..constants import SI, PhysicalConstants
 from ..solver.boundary import BoundaryConditions
 
-__all__ = ["best_sharded_absorbing_step"]
+__all__ = ["best_sharded_absorbing_step", "kernel_lateral_axis"]
+
+
+def kernel_lateral_axis(mesh, axis: str = "x"):
+    """The mesh axis the KERNEL paths can decompose laterally, or None.
+
+    The kernel tier maps mesh axis names to lattice dims positionally
+    (like the sharded engine), so a 2-D kernel mesh must be
+    (axis, <lat>) with every further axis trivial; the lateral axis then
+    shards lattice y. Returns None for 1-D meshes (lateral unsharded) and
+    for shapes the kernel can't take (lat axis not second, or a third
+    nontrivial axis — those are not kernel-decomposable, so with a None
+    here AND a non-1-D mesh the caller falls back to the XLA engine)."""
+    names = list(mesh.shape)
+    lat = [n for n in names if n != axis and mesh.shape[n] > 1]
+    if (len(lat) == 1 and len(names) >= 2 and names[0] == axis
+            and lat[0] == names[1]):
+        return lat[0]
+    return None
 
 
 def best_sharded_absorbing_step(
@@ -48,8 +68,8 @@ def best_sharded_absorbing_step(
     The kernel path needs: a mesh sharded only along ``axis``, uniform
     scalar coefficients or a compressed matid volume, f32/bf16 storage,
     and x-PML confined to the edge shards (supports_sharded_cpml).
-    M sources, compressed materials, and SLAB TF/SF all ride the kernel;
-    box TF/SF and dense per-cell coefficients fall back to the XLA
+    M sources, compressed materials, and TF/SF (slab AND closed box) all
+    ride the kernel; dense per-cell coefficients fall back to the XLA
     engine.
     """
     from .pallas_sharded_cpml import (
@@ -66,36 +86,42 @@ def best_sharded_absorbing_step(
 
     dtype = dtype or jnp.float32
     n_dev = mesh.shape.get(axis, 1)
+    y_axis = kernel_lateral_axis(mesh, axis)
     one_d = all(n == 1 for name, n in mesh.shape.items() if name != axis)
+    kernel_mesh_ok = one_d or y_axis is not None
+    n_dy = mesh.shape[y_axis] if y_axis is not None else 1
     kernel_backend = interpret or jax.default_backend() == "tpu"
-    matid_ok = matid is None or (
-        shape[1] % 32 == 0 and n_materials <= 256
-    )
     m_ok = not with_m or max_sources > 0
-    tfsf_ok = tfsf is None or not tfsf.is_box
+    # box TF/SF lateral faces are cut by a 2-D mesh: engine handles that
+    tfsf_ok = tfsf is None or not (tfsf.is_box and y_axis is not None)
     if (
         cpml is not None
+        and kernel_mesh_ok
         and tfsf_ok
-        and one_d
-        and n_dev > 1
+        and n_dev * n_dy > 1
         and kernel_backend
-        and matid_ok
         and m_ok
+        and n_materials <= 256
     ):
         for k in range(max_k, 1, -1):
-            if supports_sharded_cpml(shape, n_dev, bc, cpml, k, dtype):
+            ny_ext = (shape[1] // n_dy + 2 * k) if y_axis is not None \
+                else shape[1]
+            if matid is not None and ny_ext % 32 != 0:
+                continue
+            if supports_sharded_cpml(shape, n_dev, bc, cpml, k, dtype,
+                                     n_dev_y=n_dy):
                 step = jax.jit(make_pallas_sharded_cpml_stepk(
                     mesh, shape, k, inv_dx=inv_dx, dt=dt, bc=bc,
                     constants=constants, cpml=cpml, tfsf=tfsf,
                     max_sources=max_sources, interpret=interpret,
                     axis=axis, with_m=with_m, matid=matid,
-                    n_materials=n_materials, dtype=dtype,
+                    n_materials=n_materials, dtype=dtype, y_axis=y_axis,
                 ))
 
                 def init_state(k=k):
                     return init_sharded_pml_state(
                         shape, mesh, k, cpml=cpml, axis=axis, dtype=dtype,
-                        tfsf=tfsf,
+                        tfsf=tfsf, y_axis=y_axis,
                     )
 
                 return step, init_state, k, "pallas_cpml_k"

@@ -36,8 +36,9 @@ parallel/pallas_sharded_k.py, plus two CPML-specific pieces):
 J point sources inject in-kernel at every level in extended coordinates
 WITHOUT clipping, so sources within K planes of a shard boundary also
 land in the neighbor's halo copy — required for the redundant recompute
-to agree. TF/SF and compressed materials stay on the sharded XLA engine
-for now (documented in docs/ROADMAP.md).
+to agree. TF/SF (slab AND closed box), M sources, compressed materials
+and bf16 storage all ride this kernel path; see
+make_pallas_sharded_cpml_stepk for the per-feature mechanisms.
 
 Equivalence vs the single-device CPML K kernel is gated in interpret mode
 on the 8-device CPU mesh (tests/test_sharded_cpml.py).
@@ -71,20 +72,31 @@ _FIELDS = ("ex", "ey", "ez", "hx", "hy", "hz")
 
 
 def supports_sharded_cpml(
-    shape, n_dev: int, bc, cpml, k: int, dtype=jnp.float32
+    shape, n_dev: int, bc, cpml, k: int, dtype=jnp.float32,
+    n_dev_y: int = 1,
 ) -> bool:
     """True when the sharded in-kernel CPML path supports this config.
 
     Beyond the per-shard kernel's own requirements, the x-PML slabs (plus
     the E-half's one-plane inward reach) must end >= k planes inside the
     first/last shard's owned region, so halo recompute never overlaps
-    live x-psi owned by a neighbor."""
+    live x-psi owned by a neighbor. With ``n_dev_y`` > 1 (2-D (x, y)
+    decomposition) the same containment applies to the y-PML strips in
+    the first/last y-shard's owned columns, and the PADDED strip widths
+    must fit inside the owned lateral width (the kernel's static segment
+    positions assume it)."""
+    from ..solver.pallas_cpml import _pad8
+
     nx, ny, nz = shape
-    if nx % n_dev != 0:
+    if nx % n_dev != 0 or ny % n_dev_y != 0:
         return False
     nl = nx // n_dev
     nle = nl + 2 * k
-    if not supports_cpml_k((nle, ny, nz), bc, cpml, k, dtype):
+    nly = ny // n_dev_y
+    ny_ext = nly + 2 * k if n_dev_y > 1 else ny
+    if n_dev_y > 1 and ny_ext % 8 != 0:
+        return False
+    if not supports_cpml_k((nle, ny_ext, nz), bc, cpml, k, dtype):
         return False
     lo, hi = cpml.thickness[0]
     for half in (False, True):
@@ -93,7 +105,50 @@ def supports_sharded_cpml(
             return False
         if h1 > h0 and (nx - h0) > nl - k:
             return False
+    if n_dev_y > 1:
+        ylo, yhi = cpml.thickness[1]
+        for half in (False, True):
+            (l0, l1), (h0, h1) = _slab_extents(ny, ylo, yhi, half)
+            if l1 > nly - k:
+                return False
+            if h1 > h0 and (ny - h0) > nly - k:
+                return False
+            if _pad8(l1 - l0) + _pad8(h1 - h0) > nly:
+                return False
     return True
+
+
+def _ystrips_sharded(ny, nly, k, n_dy, half_is_e, cpml, inv_dx, dt,
+                     constants):
+    """(n_dy, 3, plo+phi, 1) per-y-shard strip profile rows for one half.
+
+    Row content matches solver/pallas_cpml._profiles' axis-1 strips; the
+    lo part is live only on y-shard 0 and the hi part only on the last
+    y-shard — everywhere else rows are the identity (ik=1, b=c=0), which
+    makes the kernel's stretch a no-op and keeps psi = 0 there."""
+    from ..solver.cpml import _profiles_1d
+    from ..solver.pallas_cpml import _pad8
+
+    lo, hi = cpml.thickness[1]
+    dy = 1.0 / inv_dx[1]
+    ik, b, c = _profiles_1d(ny, lo, hi, cpml.spec, dy, dt, constants,
+                            half_is_e)
+    (l0, l1), (h0, h1) = _slab_extents(ny, lo, hi, half_is_e)
+    plo, phi = _pad8(l1 - l0), _pad8(h1 - h0)
+
+    def strip(arr, fill):
+        s_lo = np.full(plo, fill)
+        s_lo[: l1 - l0] = arr[l0:l1]
+        s_hi = np.full(phi, fill)
+        s_hi[phi - (h1 - h0):] = arr[h0:h1]
+        return np.concatenate([s_lo, s_hi]).astype(np.float32)
+
+    rows = np.stack([strip(ik, 1.0), strip(b, 0.0), strip(c, 0.0)])
+    out = np.zeros((n_dy, 3, plo + phi, 1), np.float32)
+    out[:, 0] = 1.0
+    out[0, :, :plo, 0] = rows[:, :plo]
+    out[n_dy - 1, :, plo:, 0] = rows[:, plo:]
+    return out
 
 
 def _xprof_sharded(nx, nl, k, n_dev, cpml, inv_dx, dt, constants):
@@ -160,26 +215,32 @@ def _plane_maps(nx, nl, k, layout):
 
 def init_sharded_pml_state(
     shape, mesh: Mesh, k: int, *, cpml, axis: str = "x",
-    dtype=jnp.float32, tfsf=None,
+    dtype=jnp.float32, tfsf=None, y_axis: Optional[str] = None,
 ) -> PmlKernelState:
     """Zero PmlKernelState in the extended sharded layout for a global
-    ``shape`` lattice decomposed along x over ``mesh``. ``dtype`` is the
+    ``shape`` lattice decomposed along x over ``mesh`` (and along y too
+    when ``y_axis`` names a second mesh axis: every tensor's lateral dim
+    then carries k halo slots per side per y-shard). ``dtype`` is the
     field storage dtype (f32/bf16); psi stays f32 (solver/pallas_cpml.py
     bf16 notes)."""
     n_dev = mesh.shape[axis]
+    n_dy = mesh.shape[y_axis] if y_axis is not None else 1
     nx, ny, nz = shape
     nl = nx // n_dev
     nle = nl + 2 * k
-    layout = _psi_layout((nle, ny, nz), cpml, k)
-    fs = NamedSharding(mesh, P(axis, None, None))
+    nly = ny // n_dy
+    ny_ext = nly + 2 * k if y_axis is not None else ny
+    layout = _psi_layout((nle, ny_ext, nz), cpml, k)
+    fs = NamedSharding(mesh, P(axis, y_axis, None))
     r = NamedSharding(mesh, P())
 
     def z(s, sh, dt_=jnp.float32):
         return jax.device_put(jnp.zeros(s, dt_), sh)
 
-    ext = (n_dev * nle, ny, nz)
+    ext = (n_dev * nle, n_dy * ny_ext, nz)
     psi = tuple(
-        z((n_dev * ts[0],) + ts[1:], fs) for *_, ts, _ in layout
+        z((n_dev * ts[0], n_dy * ts[1], ts[2]), fs)
+        for *_, ts, _ in layout
     )
     if tfsf is not None:
         ae, ah = tfsf.init_aux(nx, jnp.float32)
@@ -195,56 +256,110 @@ def init_sharded_pml_state(
     )
 
 
-def extend_matid(matid, n_dev: int, k: int):
-    """Global (nx, ny, nz) material-index volume -> per-shard extended
-    layout (n_dev*nle, ny, nz): each shard carries its owned planes plus
-    k halo planes per side copied from the NEIGHBOR'S OWNED planes
-    (edge-clamped at the global ends), so the redundant halo recompute
-    sees the same materials the owner does."""
-    m = np.asarray(matid)
-    nx = m.shape[0]
-    nl = nx // n_dev
+def _ext_clamped(m: np.ndarray, n_dev: int, k: int, dim: int) -> np.ndarray:
+    """Extend one dim to per-shard [halo(k) | owned | halo(k)] slots whose
+    halos copy the NEIGHBOR'S OWNED entries (edge-clamped at the global
+    ends)."""
+    n = m.shape[dim]
+    nl = n // n_dev
     nle = nl + 2 * k
-    out = np.empty((n_dev * nle,) + m.shape[1:], m.dtype)
-    for d in range(n_dev):
-        g0 = d * nl - k
-        idx = np.clip(np.arange(g0, g0 + nle), 0, nx - 1)
-        out[d * nle: (d + 1) * nle] = m[idx]
-    return jnp.asarray(out)
+    idx = np.concatenate([
+        np.clip(np.arange(d * nl - k, d * nl - k + nle), 0, n - 1)
+        for d in range(n_dev)
+    ])
+    return np.take(m, idx, axis=dim)
+
+
+def extend_matid(matid, n_dev: int, k: int, n_dy: Optional[int] = None):
+    """Global (nx, ny, nz) material-index volume -> per-shard extended
+    layout (n_dev*nle[, n_dy*ny_ext], nz): each shard carries its owned
+    region plus k halo slots per side per decomposed dim, copied from the
+    neighbor's owned entries, so the redundant halo recompute sees the
+    same materials the owner does. ``n_dy`` switches on the 2-D lateral
+    extension."""
+    m = _ext_clamped(np.asarray(matid), n_dev, k, 0)
+    if n_dy is not None:
+        m = _ext_clamped(m, n_dy, k, 1)
+    return jnp.asarray(m)
+
+
+def _lat_maps(nly: int, k: int, layout, n_dy: int):
+    """Per psi entry (2-D layouts): f(dy, j1) -> global dim-1 index for
+    extended lateral index j1 on y-shard dy, or None for halo/dead slots.
+
+    Axis-1 (y-strip) entries live in strip-index space: the lo rows exist
+    only on y-shard 0 and the hi rows only on the last y-shard. All other
+    entries are lattice-aligned with k halo slots per side."""
+    maps = []
+    for half, axis, comp, end, tshape, pads in layout:
+        if axis == 1:
+            plo = pads[2]
+
+            def m(dy, j1, plo=plo):
+                if dy == 0 and j1 < plo:
+                    return j1
+                if dy == n_dy - 1 and j1 >= plo:
+                    return j1
+                return None
+        else:
+
+            def m(dy, j1, nly=nly, k=k):
+                g = j1 - k + dy * nly
+                return g if (k <= j1 < k + nly) else None
+
+        maps.append(m)
+    return maps
 
 
 def extend_pml_state(
-    state: PmlKernelState, mesh: Mesh, k: int, *, cpml, axis: str = "x"
+    state: PmlKernelState, mesh: Mesh, k: int, *, cpml, axis: str = "x",
+    y_axis: Optional[str] = None,
 ) -> PmlKernelState:
     """Global PmlKernelState -> extended sharded layout (host round-trip).
-    Halo/trash planes start zero; the first pass refreshes the field and
-    strip halos before anything reads them."""
+    Halo/trash slots start zero; the first pass refreshes the field and
+    strip halos before anything reads them. ``y_axis`` switches on the
+    2-D (x, y) layout."""
+    from .pallas_sharded_k import _ext_axis
+
     n_dev = mesh.shape[axis]
+    n_dy = mesh.shape[y_axis] if y_axis is not None else 1
     nx, ny, nz = state.ex.shape
     nl = nx // n_dev
     nle = nl + 2 * k
-    elayout = _psi_layout((nle, ny, nz), cpml, k)
-    maps = _plane_maps(nx, nl, k, elayout)
-    fs = NamedSharding(mesh, P(axis, None, None))
+    nly = ny // n_dy
+    ny_ext = nly + 2 * k if y_axis is not None else ny
+    elayout = _psi_layout((nle, ny_ext, nz), cpml, k)
+    xmaps = _plane_maps(nx, nl, k, elayout)
+    ymaps = (_lat_maps(nly, k, elayout, n_dy)
+             if y_axis is not None else [None] * len(elayout))
+    fs = NamedSharding(mesh, P(axis, y_axis, None))
     r = NamedSharding(mesh, P())
 
     def ext_field(f):
-        host = np.asarray(f)
-        out = np.zeros((n_dev * nle, ny, nz), host.dtype)
-        for d in range(n_dev):
-            out[d * nle + k: d * nle + k + nl] = host[d * nl: (d + 1) * nl]
-        return jnp.asarray(out)
+        host = _ext_axis(np.asarray(f), n_dev, k, 0)
+        if y_axis is not None:
+            host = _ext_axis(host, n_dy, k, 1)
+        return jnp.asarray(host)
 
     psi = []
-    for m, (entry, g) in zip(maps, zip(elayout, state.psi)):
-        per = entry[4][0]
+    for xm, ym, (entry, g) in zip(xmaps, ymaps, zip(elayout, state.psi)):
+        per0, per1 = entry[4][0], entry[4][1]
         ghost = np.asarray(g)
-        out = np.zeros((n_dev * per,) + entry[4][1:], np.float32)
+        out = np.zeros((n_dev * per0, n_dy * per1) + entry[4][2:],
+                       np.float32)
         for d in range(n_dev):
-            for j in range(per):
-                gi = m(d, j)
-                if gi is not None:
-                    out[d * per + j] = ghost[gi]
+            for j in range(per0):
+                gi = xm(d, j)
+                if gi is None:
+                    continue
+                if ym is None:
+                    out[d * per0 + j] = ghost[gi]
+                    continue
+                for dy in range(n_dy):
+                    for j1 in range(per1):
+                        gy = ym(dy, j1)
+                        if gy is not None:
+                            out[d * per0 + j, dy * per1 + j1] = ghost[gi, gy]
         psi.append(jnp.asarray(out))
 
     new = PmlKernelState(
@@ -267,35 +382,51 @@ def collapse_pml_state(
     *,
     cpml,
     axis: str = "x",
+    y_axis: Optional[str] = None,
 ) -> PmlKernelState:
     """Extended sharded layout -> plain global PmlKernelState (host
-    round-trip); halo and trash planes are dropped."""
+    round-trip); halo and trash slots are dropped."""
+    from .pallas_sharded_k import _col_axis
+
     n_dev = mesh.shape[axis]
+    n_dy = mesh.shape[y_axis] if y_axis is not None else 1
     nx, ny, nz = global_shape
     nl = nx // n_dev
     nle = nl + 2 * k
+    nly = ny // n_dy
+    ny_ext = nly + 2 * k if y_axis is not None else ny
     glayout = _psi_layout(global_shape, cpml)
-    elayout = _psi_layout((nle, ny, nz), cpml, k)
-    maps = _plane_maps(nx, nl, k, elayout)
+    elayout = _psi_layout((nle, ny_ext, nz), cpml, k)
+    xmaps = _plane_maps(nx, nl, k, elayout)
+    ymaps = (_lat_maps(nly, k, elayout, n_dy)
+             if y_axis is not None else [None] * len(elayout))
 
     def col_field(f):
-        host = np.asarray(f)
-        return jnp.asarray(
-            np.concatenate(
-                [host[d * nle + k: d * nle + k + nl] for d in range(n_dev)]
-            )
-        )
+        host = _col_axis(np.asarray(f), n_dev, k, 0)
+        if y_axis is not None:
+            host = _col_axis(host, n_dy, k, 1)
+        return jnp.asarray(host)
 
     psi = []
-    for m, gentry, eentry, t in zip(maps, glayout, elayout, state_ext.psi):
+    for xm, ym, gentry, eentry, t in zip(
+        xmaps, ymaps, glayout, elayout, state_ext.psi
+    ):
         host = np.asarray(t)
-        per = eentry[4][0]
+        per0, per1 = eentry[4][0], eentry[4][1]
         out = np.zeros(gentry[4], np.float32)
         for d in range(n_dev):
-            for j in range(per):
-                gi = m(d, j)
-                if gi is not None:
-                    out[gi] = host[d * per + j]
+            for j in range(per0):
+                gi = xm(d, j)
+                if gi is None:
+                    continue
+                if ym is None:
+                    out[gi] = host[d * per0 + j]
+                    continue
+                for dy in range(n_dy):
+                    for j1 in range(per1):
+                        gy = ym(dy, j1)
+                        if gy is not None:
+                            out[gi, gy] = host[d * per0 + j, dy * per1 + j1]
         psi.append(jnp.asarray(out))
 
     return PmlKernelState(
@@ -323,9 +454,11 @@ def make_pallas_sharded_cpml_stepk(
     n_materials: int = 1,
     dtype=jnp.float32,
     tfsf=None,
+    y_axis: Optional[str] = None,
 ):
     """Build step(state_ext, coeffs, sources) advancing ``k_steps``
-    absorbing ticks per pass on each shard of a 1-D x decomposition.
+    absorbing ticks per pass on each shard of a 1-D x decomposition — or
+    a 2-D (x, y) decomposition when ``y_axis`` names a second mesh axis.
 
     ``shape`` is the GLOBAL lattice; the state uses the extended sharded
     layout (init_sharded_pml_state / extend_pml_state). J (and with
@@ -334,21 +467,48 @@ def make_pallas_sharded_cpml_stepk(
     volume) switches on compressed-material mode: ``coeffs`` becomes the
     (K_mat, 4) table. ``dtype`` is the field storage dtype (f32/bf16).
 
-    ``tfsf`` (SLAB mode only) rides in-kernel: the replicated 1-D aux grid
-    ticks K times outside shard_map, the four plane-adjacent aux scalars
-    per level go in as a (2K, 2) SMEM row, and the injection planes enter
-    as runtime per-shard EXTENDED coordinates — the masks then fire on
-    owned AND halo copies of the planes, which is exactly what the
-    redundant halo recompute requires (same mechanism as the runtime
-    Neumann edges)."""
+    ``tfsf`` rides in-kernel in BOTH modes: the replicated 1-D aux grid
+    ticks K times outside shard_map and the injection planes enter as
+    runtime per-shard EXTENDED coordinates — the masks then fire on owned
+    AND halo copies of the planes, which is exactly what the redundant
+    halo recompute requires (same mechanism as the runtime Neumann
+    edges). Slab mode pre-gathers the four plane-adjacent aux scalars per
+    level into a (2K, 2) SMEM row; closed-box mode ships the full
+    (2K, aux_len) rows plus the extended->global offset, because the
+    lateral faces (uncut by the x decomposition, so still static masks)
+    gather aux at every plane inside the box x-span. Box mode is x-only:
+    under a 2-D mesh the lateral faces WOULD be cut, so box TF/SF raises
+    (the dispatcher falls back to the sharded XLA engine).
+
+    2-D mechanics on top of the 1-D recipe (module docstring):
+    every tensor whose lateral dim is lattice-aligned (fields, x-slab psi,
+    z-strip psi, matid) carries k halo COLUMNS per side per y-shard,
+    refreshed by an ordered two-phase exchange (lateral first on owned
+    columns, then x at full lateral width — the x phase ships the fresh
+    lateral halos, covering the corners). y-strip psi stays in strip-index
+    space (live >= k inside the edge shards' owned columns, enforced by
+    supports_sharded_cpml), so it needs NO lateral exchange — instead the
+    strip PROFILES become per-y-shard runtime operands (_ystrips_sharded)
+    and the kernel's strip segments sit y_halo=k columns inside the plane.
+    Lateral Neumann edge masks ride the same runtime edges row as x."""
     n_dev = mesh.shape[axis]
-    if not supports_sharded_cpml(shape, n_dev, bc, cpml, k_steps, dtype):
+    two_d = y_axis is not None
+    n_dy = mesh.shape[y_axis] if two_d else 1
+    if not supports_sharded_cpml(
+        shape, n_dev, bc, cpml, k_steps, dtype,
+        n_dev_y=n_dy if two_d else 1,
+    ):
         raise ValueError(
             f"sharded CPML kernel does not support {shape=} {n_dev=} "
-            f"{k_steps=} {cpml=}"
+            f"{n_dy=} {k_steps=} {cpml=}"
         )
     if with_m and max_sources == 0:
         raise ValueError("with_m requires in-kernel sources (max_sources > 0)")
+    if two_d and tfsf is not None and tfsf.is_box:
+        raise ValueError(
+            "box TF/SF lateral faces are cut by a 2-D decomposition; "
+            "use the sharded XLA engine for this configuration"
+        )
     nx, ny, nz = shape
     if matid is not None and (ny % 32 != 0 or n_materials > 256):
         raise ValueError("matid mode needs ny % 32 == 0 and <= 256 materials")
@@ -356,12 +516,16 @@ def make_pallas_sharded_cpml_stepk(
     nl = nx // n_dev
     k = int(k_steps)
     nle = nl + 2 * k
-    shape_ext = (nle, ny, nz)
+    nly = ny // n_dy
+    ny_ext = nly + 2 * k if two_d else ny
+    shape_ext = (nle, ny_ext, nz)
     inv_dx = tuple(float(v) for v in inv_dx)
     constants_key = "si" if constants is SI or constants == SI else "reduced"
 
     layout = _psi_layout(shape_ext, cpml, k)
     has_x = any(a == 0 for _, a, *_ in layout)
+    has_ystrips = any(a == 1 for _, a, *_ in layout)
+    has_zstrips = any(a == 2 for _, a, *_ in layout)
     xprof = (
         jnp.asarray(
             _xprof_sharded(nx, nl, k, n_dev, cpml, inv_dx, dt, constants)
@@ -369,15 +533,23 @@ def make_pallas_sharded_cpml_stepk(
         if has_x
         else jnp.zeros((n_dev, 1, 1, 1), jnp.float32)
     )
-    mid_ext = extend_matid(matid, n_dev, k) if matid is not None else None
+    runtime_ystrips = two_d and has_ystrips
+    if runtime_ystrips:
+        ystr_h = jnp.asarray(_ystrips_sharded(
+            ny, nly, k, n_dy, False, cpml, inv_dx, dt, constants))
+        ystr_e = jnp.asarray(_ystrips_sharded(
+            ny, nly, k, n_dy, True, cpml, inv_dx, dt, constants))
+    mid_ext = (
+        extend_matid(matid, n_dev, k, n_dy if two_d else None)
+        if matid is not None else None
+    )
 
     aux_coeffs = None
+    tfsf_box = None
     if tfsf is not None:
-        if tfsf.is_box:
-            raise ValueError(
-                "sharded in-kernel TF/SF supports slab mode only"
-            )
         tfsf.validate(shape)
+        if tfsf.is_box:
+            tfsf_box = (tuple(tfsf.span_y), tuple(tfsf.span_z))
         from ..coefficients import update_coefficients
         from ..grid import Resolution
         from ..material import VACUUM
@@ -391,35 +563,71 @@ def make_pallas_sharded_cpml_stepk(
     tf_lo, tf_hi = tuple(tfsf.span) if tfsf is not None else (0, 0)
 
     call, x_inputs, strip_inputs = _build_call(
-        shape_ext, inv_dx, cpml, k, tfsf is not None, (0, 0), None,
+        shape_ext, inv_dx, cpml, k, tfsf is not None, (0, 0), tfsf_box,
         float(dt), constants_key, interpret, int(max_sources), n_mat,
         x_extra=k, runtime_edges=True, runtime_xprof=True,
         with_m=bool(with_m), dtype_name=jnp.dtype(dtype).name,
         runtime_tfsf=tfsf is not None,
+        y_halo=k if two_d else 0, runtime_ystrips=runtime_ystrips,
     )
     assert not x_inputs  # runtime_xprof: profiles come in as an operand
 
     def local_step(state: PmlKernelState, coeffs, sources, xprof_l, mid_l,
-                   tf_rows):
+                   tf_rows, *ystr_l):
         idx = lax.axis_index(axis)
         up = [(i, i + 1) for i in range(n_dev - 1)]
         down = [(i + 1, i) for i in range(n_dev - 1)]
+        if two_d:
+            idx_y = lax.axis_index(y_axis)
+            up_y = [(i, i + 1) for i in range(n_dy - 1)]
+            down_y = [(i + 1, i) for i in range(n_dy - 1)]
 
-        def refresh(f):
-            # my outermost OWNED planes -> neighbors' halos
+        def refresh_x(f):
+            # my outermost OWNED planes -> x neighbors' halos, at full
+            # lateral width (runs AFTER refresh_y so the fresh lateral
+            # halos ride along and cover the corner regions)
             recv_lo = lax.ppermute(f[nl: nl + k], axis, up)
             recv_hi = lax.ppermute(f[k: 2 * k], axis, down)
             return f.at[0:k].set(recv_lo).at[nl + k:].set(recv_hi)
 
-        fields = {name: refresh(getattr(state, name)) for name in _FIELDS}
-        psi = [
-            t if entry[1] == 0 else refresh(t)
-            for entry, t in zip(layout, state.psi)
-        ]
+        def refresh_y(f):
+            # my outermost OWNED columns -> lateral neighbors' halos
+            recv_lo = lax.ppermute(f[:, nly: nly + k], y_axis, up_y)
+            recv_hi = lax.ppermute(f[:, k: 2 * k], y_axis, down_y)
+            return f.at[:, 0:k].set(recv_lo).at[:, nly + k:].set(recv_hi)
 
-        lo_edge = jnp.where(idx == 0, k, -(2**30))
-        hi_edge = jnp.where(idx == n_dev - 1, nl + k - 1, 2**30)
-        edges = jnp.stack([lo_edge, hi_edge]).astype(jnp.int32).reshape(1, 2)
+        def refresh_field(f):
+            if two_d:
+                f = refresh_y(f)
+            return refresh_x(f)
+
+        fields = {name: refresh_field(getattr(state, name))
+                  for name in _FIELDS}
+        # psi exchange per entry kind: x-slabs (axis 0) persist at every
+        # lateral column -> lateral refresh only; y-strips (axis 1) are
+        # plane-local in x -> x refresh only (their lateral live region
+        # never overlaps halo recompute); z-strips (axis 2) need both.
+        psi = []
+        for entry, t in zip(layout, state.psi):
+            a = entry[1]
+            if two_d and a in (0, 2):
+                t = refresh_y(t)
+            if a in (1, 2):
+                t = refresh_x(t)
+            psi.append(t)
+
+        big = 2**30
+        lo_edge = jnp.where(idx == 0, k, -big)
+        hi_edge = jnp.where(idx == n_dev - 1, nl + k - 1, big)
+        if two_d:
+            ylo_e = jnp.where(idx_y == 0, k, -big)
+            yhi_e = jnp.where(idx_y == n_dy - 1, nly + k - 1, big)
+        else:
+            ylo_e, yhi_e = jnp.int32(0), jnp.int32(ny - 1)
+        edges = jnp.stack(
+            [lo_edge, hi_edge, ylo_e, yhi_e,
+             jnp.int32(0), jnp.int32(nz - 1)]
+        ).astype(jnp.int32).reshape(1, 6)
 
         if matid is not None:
             row = jnp.asarray(coeffs, jnp.float32)  # (K_mat, 4) table
@@ -437,19 +645,25 @@ def make_pallas_sharded_cpml_stepk(
         if has_x:
             args.append(xprof_l.reshape(2, 5, nle))
         if tfsf is not None:
-            args.append(tf_rows)  # (2K, 2) pre-gathered aux scalars
+            # slab: (2K, 2) pre-gathered aux scalars; box: full (2K, aux)
+            # rows (the lateral faces gather aux at every in-box plane)
+            args.append(tf_rows)
             off = k - idx * nl
+            vals = [tf_lo + off, tf_hi + off]
+            if tfsf_box is not None:
+                vals.append(off)  # extended -> global coordinate offset
             args.append(
-                jnp.stack([tf_lo + off, tf_hi + off])
-                .astype(jnp.int32).reshape(1, 2)
+                jnp.stack(vals).astype(jnp.int32).reshape(1, len(vals))
             )
         if max_sources > 0:
-            # rows [px_ext, py, pz, J levels 1..K (+ M levels 1..K)]; the
-            # extended x coordinate is NOT clipped, so halo copies get the
-            # injection the redundant recompute needs
-            off = (k - idx * nl).astype(jnp.float32)
+            # rows [px_ext, py(_ext), pz, J levels 1..K (+ M levels
+            # 1..K)]; extended coordinates are NOT clipped, so halo
+            # copies get the injection the redundant recompute needs
             pts = sources.points.astype(jnp.float32)
-            pts = pts.at[:, 0].add(off)
+            pts = pts.at[:, 0].add((k - idx * nl).astype(jnp.float32))
+            if two_d:
+                pts = pts.at[:, 1].add(
+                    (k - idx_y * nly).astype(jnp.float32))
             rows = [pts]
             m_rows = []
             for lvl in range(k):
@@ -459,7 +673,16 @@ def make_pallas_sharded_cpml_stepk(
                 if with_m:
                     m_rows.append(m_vals.astype(jnp.float32))
             args.append(jnp.concatenate(rows + m_rows, axis=1))
-        args += strip_inputs
+        if runtime_ystrips:
+            # interleave per-shard y-strip profiles with the baked z
+            # strips in the kernel's (h,1),(h,2),(e,1),(e,2) order
+            z_iter = iter(strip_inputs)
+            for ystr in ystr_l:
+                args.append(ystr.reshape(ystr.shape[1:]))
+                if has_zstrips:
+                    args.append(next(z_iter))
+        else:
+            args += strip_inputs
         if matid is not None:
             args += [mid_l] * k
         args += [fields[n] for n in _FIELDS]
@@ -473,7 +696,7 @@ def make_pallas_sharded_cpml_stepk(
             aux_e=state.aux_e, aux_h=state.aux_h,
         )
 
-    fspec = P(axis, None, None)
+    fspec = P(axis, y_axis, None)
     state_spec = PmlKernelState(
         **{n: fspec for n in _FIELDS}, tick=P(),
         psi=tuple(fspec for _ in layout), aux_e=P(), aux_h=P(),
@@ -491,39 +714,50 @@ def make_pallas_sharded_cpml_stepk(
             )
         mid_arg = (
             mid_ext if mid_ext is not None
-            else jnp.zeros((n_dev, 1, 1), jnp.uint8)
+            else jnp.zeros((n_dev, n_dy, 1), jnp.uint8)
         )
         aux_e, aux_h = state.aux_e, state.aux_h
         if tfsf is not None:
-            # tick the replicated 1-D aux grid K times OUTSIDE shard_map,
-            # gathering the four plane-adjacent scalars per level (the
-            # single-chip kernel's rows, pre-gathered)
+            # tick the replicated 1-D aux grid K times OUTSIDE shard_map.
+            # Slab mode pre-gathers the four plane-adjacent scalars per
+            # level; box mode ships the full rows (OLD aux_e / NEW aux_h
+            # per tick, the single-chip kernel's pack) because the
+            # lateral faces read aux at every plane inside the box span.
             rows = []
             for lvl in range(k):
                 t = (state.tick + lvl).astype(jnp.float32) * jnp.float32(dt)
                 new_e, new_h = tfsf.aux_step(
                     aux_e, aux_h, aux_coeffs, t, inv_dx[0], jnp.float32
                 )
-                rows.append(jnp.stack([aux_e[tf_lo - 1], aux_e[tf_hi]]))
-                rows.append(jnp.stack([new_h[tf_lo], new_h[tf_hi + 1]]))
+                if tfsf_box is not None:
+                    rows.append(aux_e)
+                    rows.append(new_h)
+                else:
+                    rows.append(jnp.stack([aux_e[tf_lo - 1], aux_e[tf_hi]]))
+                    rows.append(jnp.stack([new_h[tf_lo], new_h[tf_hi + 1]]))
                 aux_e, aux_h = new_e, new_h
             tf_rows = jnp.stack(rows)
         else:
             tf_rows = jnp.zeros((1, 2), jnp.float32)
+        operands = [state, coeffs, sources, xprof, mid_arg, tf_rows]
+        specs = [
+            state_spec,
+            jax.tree.map(lambda _: P(), coeffs),
+            jax.tree.map(lambda _: P(), sources),
+            P(axis, None, None, None),
+            P(axis, y_axis, None),
+            P(None, None),
+        ]
+        if runtime_ystrips:
+            operands += [ystr_h, ystr_e]
+            specs += [P(y_axis, None, None, None)] * 2
         out = jax.shard_map(
             local_step,
             mesh=mesh,
-            in_specs=(
-                state_spec,
-                jax.tree.map(lambda _: P(), coeffs),
-                jax.tree.map(lambda _: P(), sources),
-                P(axis, None, None, None),
-                P(axis, None, None),
-                P(None, None),
-            ),
+            in_specs=tuple(specs),
             out_specs=state_spec,
             check_vma=False,
-        )(state, coeffs, sources, xprof, mid_arg, tf_rows)
+        )(*operands)
         if tfsf is not None:
             out = out._replace(aux_e=aux_e, aux_h=aux_h)
         return out

@@ -53,51 +53,80 @@ __all__ = [
 _FIELDS = ("ex", "ey", "ez", "hx", "hy", "hz")
 
 
-def extend_state(
-    state: SimState, mesh: Mesh, k: int, axis: str = "x"
-) -> SimState:
-    """Global (nx, ny, nz) state -> extended sharded layout
-    (n_dev*(nl+2k), ny, nz). Halo planes start zero; the first pass
-    refreshes them before any compute reads them."""
-    n_dev = mesh.shape[axis]
-    nx, ny, nz = state.ex.shape
-    assert nx % n_dev == 0, (nx, n_dev)
-    nl = nx // n_dev
+def _ext_axis(host: np.ndarray, n_dev: int, k: int, dim: int) -> np.ndarray:
+    """Extend one array dimension to the per-shard halo layout
+    [halo_lo(k) | owned(nl) | halo_hi(k)] per shard; halos start zero."""
+    n = host.shape[dim]
+    assert n % n_dev == 0, (n, n_dev)
+    nl = n // n_dev
     nle = nl + 2 * k
+    shp = list(host.shape)
+    shp[dim] = n_dev * nle
+    out = np.zeros(shp, host.dtype)
+    src = [slice(None)] * host.ndim
+    dst = [slice(None)] * host.ndim
+    for d in range(n_dev):
+        src[dim] = slice(d * nl, (d + 1) * nl)
+        dst[dim] = slice(d * nle + k, d * nle + k + nl)
+        out[tuple(dst)] = host[tuple(src)]
+    return out
+
+
+def _col_axis(host: np.ndarray, n_dev: int, k: int, dim: int) -> np.ndarray:
+    """Inverse of _ext_axis: drop the halo slots, keep owned regions."""
+    nle = host.shape[dim] // n_dev
+    nl = nle - 2 * k
+    idx = [slice(None)] * host.ndim
+    parts = []
+    for d in range(n_dev):
+        idx[dim] = slice(d * nle + k, d * nle + k + nl)
+        parts.append(host[tuple(idx)])
+    return np.concatenate(parts, axis=dim)
+
+
+def extend_state(
+    state: SimState, mesh: Mesh, k: int, axis: str = "x",
+    axes: Optional[Tuple[str, ...]] = None,
+) -> SimState:
+    """Global (nx, ny, nz) state -> extended sharded layout. ``axes``
+    names the decomposed mesh axes in lattice-dimension order (("x",) or
+    ("x", "y")); each decomposed lattice dimension becomes n_dev*(nl+2k)
+    with k halo slots per side per shard. Halos start zero; the first
+    pass refreshes them before any compute reads them."""
+    axes = axes if axes is not None else (axis,)
+    spec = [None, None, None]
+    for dim, name in enumerate(axes):
+        spec[dim] = name
 
     def ext(f):
         host = np.asarray(f)
-        out = np.zeros((n_dev * nle, ny, nz), host.dtype)
-        for d in range(n_dev):
-            out[d * nle + k: d * nle + k + nl] = host[d * nl: (d + 1) * nl]
-        return jnp.asarray(out)
+        for dim, name in enumerate(axes):
+            host = _ext_axis(host, mesh.shape[name], k, dim)
+        return jnp.asarray(host)
 
-    fs = NamedSharding(mesh, P(axis, None, None))
-    r = NamedSharding(mesh, P())
     new = SimState(
         **{name: ext(getattr(state, name)) for name in _FIELDS},
         tick=state.tick,
     )
+    fs = NamedSharding(mesh, P(*spec))
+    r = NamedSharding(mesh, P())
     return jax.device_put(
         new, SimState(**{n: fs for n in _FIELDS}, tick=r)
     )
 
 
 def collapse_state(
-    state_ext: SimState, mesh: Mesh, k: int, axis: str = "x"
+    state_ext: SimState, mesh: Mesh, k: int, axis: str = "x",
+    axes: Optional[Tuple[str, ...]] = None,
 ) -> SimState:
     """Extended sharded layout -> plain global state (host round-trip)."""
-    n_dev = mesh.shape[axis]
-    nxe, ny, nz = state_ext.ex.shape
-    nle = nxe // n_dev
-    nl = nle - 2 * k
+    axes = axes if axes is not None else (axis,)
 
     def col(f):
         host = np.asarray(f)
-        out = np.concatenate(
-            [host[d * nle + k: d * nle + k + nl] for d in range(n_dev)]
-        )
-        return jnp.asarray(out)
+        for dim, name in enumerate(axes):
+            host = _col_axis(host, mesh.shape[name], k, dim)
+        return jnp.asarray(host)
 
     return SimState(
         **{name: col(getattr(state_ext, name)) for name in _FIELDS},
@@ -167,17 +196,32 @@ def make_pallas_sharded_stepk(
     interpret: bool = False,
     dtype=jnp.float32,
     with_m: bool = False,
+    nl_y: Optional[int] = None,
 ):
     """Build step(state_ext, coeffs, sources) advancing ``k_steps`` ticks on
     an extended sharded state (see extend_state). ``nl`` is the owned plane
-    count per shard; coeffs must be uniform scalars."""
+    count per shard along x; coeffs must be uniform scalars.
+
+    ``nl_y`` switches on 2-D ("x", "y") decomposition: the state is then
+    extended along BOTH lattice dims (axes=("x", "y")), with ``nl_y`` owned
+    lateral columns per shard. The kernel needs no in-plane tiling for
+    this — the lateral halo columns are physically present in the extended
+    layout, so the in-plane rolls read correct neighbor data; only the
+    global Neumann edge masks become runtime per-shard lateral coordinates
+    (sentinels on interior shards). Halo exchange is two ordered ppermute
+    phases: lateral (y) first on owned columns, then x on FULL lateral
+    width — the x phase ships the just-refreshed lateral halos along, which
+    is what makes the corner regions (needed by the level-k redundant
+    recompute across both cut directions) exact."""
     from ..solver.pallas_stepk import _build_call, build_src_rows, supports_k
 
     axis = "x"
     n_dev = mesh.shape[axis]
     k = k_steps
     nle = nl + 2 * k
-    local_shape = None  # fixed at first call
+    two_d = nl_y is not None
+    n_dy = mesh.shape["y"] if two_d else 1
+    nly = nl_y if two_d else 0
 
     def local_step(state: SimState, coeffs, sources) -> SimState:
         ny, nz = state.ex.shape[1:]
@@ -188,21 +232,43 @@ def make_pallas_sharded_stepk(
 
         up = [(i, i + 1) for i in range(n_dev - 1)]
         down = [(i + 1, i) for i in range(n_dev - 1)]
+        if two_d:
+            idx_y = lax.axis_index("y")
+            up_y = [(i, i + 1) for i in range(n_dy - 1)]
+            down_y = [(i + 1, i) for i in range(n_dy - 1)]
 
         fields = {}
         for name in _FIELDS:
             f = getattr(state, name)
-            # my outermost OWNED planes -> neighbors' halos
+            if two_d:
+                # phase 1: lateral halo columns from the y neighbors'
+                # outermost OWNED columns (full x extent; the x-halo rows
+                # of what arrives are stale, overwritten by phase 2)
+                recv_lo = lax.ppermute(f[:, nly: nly + k], "y", up_y)
+                recv_hi = lax.ppermute(f[:, k: 2 * k], "y", down_y)
+                f = f.at[:, 0:k].set(recv_lo)
+                f = f.at[:, nly + k:].set(recv_hi)
+            # phase 2: my outermost OWNED planes -> x neighbors' halos, at
+            # full lateral width (fresh lateral halos cover the corners)
             recv_lo = lax.ppermute(f[nl: nl + k], axis, up)  # from below
             recv_hi = lax.ppermute(f[k: 2 * k], axis, down)  # from above
             f = f.at[0:k].set(recv_lo)
             f = f.at[nl + k:].set(recv_hi)
             fields[name] = f
 
-        # per-shard global-edge planes (disable with sentinels off the grid)
-        lo_edge = jnp.where(idx == 0, k, -(2**30))
-        hi_edge = jnp.where(idx == n_dev - 1, nl + k - 1, 2**30)
-        edges = jnp.stack([lo_edge, hi_edge]).astype(jnp.int32).reshape(1, 2)
+        # per-shard global-edge coordinates (disable with sentinels off
+        # the grid); row layout [x_lo, x_hi, y_lo, y_hi, z_lo, z_hi]
+        big = 2**30
+        lo_edge = jnp.where(idx == 0, k, -big)
+        hi_edge = jnp.where(idx == n_dev - 1, nl + k - 1, big)
+        if two_d:
+            y_lo = jnp.where(idx_y == 0, k, -big)
+            y_hi = jnp.where(idx_y == n_dy - 1, nly + k - 1, big)
+        else:
+            y_lo, y_hi = jnp.int32(0), jnp.int32(ny - 1)
+        edges = jnp.stack(
+            [lo_edge, hi_edge, y_lo, y_hi, jnp.int32(0), jnp.int32(nz - 1)]
+        ).astype(jnp.int32).reshape(1, 6)
 
         row = jnp.stack(
             [
@@ -213,12 +279,15 @@ def make_pallas_sharded_stepk(
             ]
         ).reshape(1, 4)
 
-        # global -> extended-local x offset; halo copies included (the shared
+        # global -> extended-local offsets; halo copies included (the shared
         # builder does NOT clip, which is exactly what the redundant
         # recompute needs)
         src_rows = build_src_rows(
             sources, state.tick, k, max_sources, with_m, dt,
             x_offset=(-idx * nl + k).astype(jnp.float32),
+            y_offset=(
+                (-idx_y * nly + k).astype(jnp.float32) if two_d else 0
+            ),
         )
 
         call = _build_call(
@@ -242,6 +311,10 @@ def make_pallas_sharded_stepk(
             owned = jnp.logical_and(px >= k, px < nl + k)
             px = jnp.where(owned, px, nle)  # drop out-of-owned rows
             py, pz = sources.points[:, 1], sources.points[:, 2]
+            if two_d:
+                py = py - idx_y * nly + k
+                owned_y = jnp.logical_and(py >= k, py < nly + k)
+                py = jnp.where(owned_y, py, ny)  # drop out-of-owned rows
             cb = jnp.full((sources.num_sources,), coeffs.c_b, dtype)
             for c in range(3):
                 e[c] = e[c].at[px, py, pz].add(
@@ -253,7 +326,7 @@ def make_pallas_sharded_stepk(
             tick=state.tick + k,
         )
 
-    field_spec = P(axis, None, None)
+    field_spec = P(axis, "y", None) if two_d else P(axis, None, None)
     state_spec = SimState(**{n: field_spec for n in _FIELDS}, tick=P())
 
     def step(state: SimState, coeffs, sources) -> SimState:

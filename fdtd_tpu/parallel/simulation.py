@@ -67,6 +67,19 @@ class ShardedSimulation:
 
         return make_mesh(axis_names=(self.axis,))
 
+    @cached_property
+    def _y_axis(self):
+        """The mesh axis the kernel tiers shard lattice y over, or None
+        (1-D meshes, and mesh shapes only the XLA engine can take)."""
+        from .best import kernel_lateral_axis
+
+        return kernel_lateral_axis(self._mesh, self.axis)
+
+    @property
+    def _ext_axes(self):
+        return (self.axis, self._y_axis) if self._y_axis is not None \
+            else (self.axis,)
+
     def _has_m_sources(self) -> bool:
         if self.sources is None or self.sources.num_sources == 0:
             return False
@@ -91,16 +104,20 @@ class ShardedSimulation:
                 interpret=self.interpret, axis=self.axis,
             )
 
-        # free space: try the sharded K-step kernel, else the XLA step
+        # free space: try the sharded K-step kernel (1-D x or 2-D (x, y)
+        # decomposition), else the XLA step
         mesh = self._mesh
         n_dev = mesh.shape.get(self.axis, 1)
+        y_axis = self._y_axis
+        n_dy = mesh.shape[y_axis] if y_axis is not None else 1
         one_d = all(
             n == 1 for name, n in mesh.shape.items() if name != self.axis
         )
         kernel_backend = self.interpret or jax.default_backend() == "tpu"
-        nx = self.grid.shape[0]
+        nx, ny = self.grid.shape[0], self.grid.shape[1]
         if (
-            one_d and n_dev > 1 and kernel_backend and nx % n_dev == 0
+            (one_d or y_axis is not None) and n_dev * n_dy > 1
+            and kernel_backend and nx % n_dev == 0 and ny % n_dy == 0
             and self.matid is None
         ):
             from ..solver.pallas_stepk import supports_k
@@ -110,16 +127,20 @@ class ShardedSimulation:
             )
 
             nl = nx // n_dev
+            nly = ny // n_dy if y_axis is not None else None
             for k in range(self.max_k, 1, -1):
-                ext_shape = (nl + 2 * k, *self.grid.shape[1:])
-                if nl >= 2 * k and supports_k(
-                    ext_shape, self.bc, k, dtype=self.dtype
+                ny_ext = nly + 2 * k if y_axis is not None else ny
+                ext_shape = (nl + 2 * k, ny_ext, self.grid.shape[2])
+                if (
+                    nl >= 2 * k
+                    and (nly is None or nly >= 2 * k)
+                    and supports_k(ext_shape, self.bc, k, dtype=self.dtype)
                 ):
                     step = jax.jit(make_pallas_sharded_stepk(
                         mesh, k, nl, inv_dx=inv_dx, dt=self.grid.dt,
                         bc=self.bc, max_sources=max(n_src, 1),
                         interpret=self.interpret, dtype=self.dtype,
-                        with_m=self._has_m_sources(),
+                        with_m=self._has_m_sources(), nl_y=nly,
                     ))
 
                     def init_state(k=k):
@@ -127,7 +148,7 @@ class ShardedSimulation:
 
                         return extend_state(
                             zero_state(self.grid.shape, self.dtype),
-                            mesh, k, self.axis,
+                            mesh, k, axes=self._ext_axes,
                         )
 
                     return step, init_state, k, "pallas_k"
@@ -239,7 +260,16 @@ class ShardedSimulation:
 
         def owned(arr):
             r = arr.reshape(n_dev, nle, *arr.shape[1:])
-            return r[:, k: k + nl].reshape(n_dev * nl, *arr.shape[1:])
+            out = r[:, k: k + nl].reshape(n_dev * nl, *arr.shape[1:])
+            if self._y_axis is not None:
+                n_dy = self._mesh.shape[self._y_axis]
+                nly = self.grid.shape[1] // n_dy
+                nlye = out.shape[1] // n_dy
+                r2 = out.reshape(out.shape[0], n_dy, nlye, out.shape[2])
+                out = r2[:, :, k: k + nly].reshape(
+                    out.shape[0], n_dy * nly, out.shape[2]
+                )
+            return out
 
         return SimState(
             ex=owned(state.ex), ey=owned(state.ey), ez=owned(state.ez),
@@ -278,12 +308,13 @@ class ShardedSimulation:
 
             return collapse_pml_state(
                 state, self._mesh, k, self.grid.shape, cpml=self._cpml_pad,
-                axis=self.axis,
+                axis=self.axis, y_axis=self._y_axis,
             )
         if kind == "pallas_k":
             from .pallas_sharded_k import collapse_state
 
-            return collapse_state(state, self._mesh, k, self.axis)
+            return collapse_state(state, self._mesh, k,
+                                  axes=self._ext_axes)
         return state  # XLA paths hold plain (sharded) global arrays
 
     @property

@@ -89,7 +89,7 @@ def supports_cpml_k(shape, bc, cpml, k: int, dtype=jnp.float32) -> bool:
 
 def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                  tfsf_box, n_src, n_materials, runtime_edges=False,
-                 with_m=False, runtime_tfsf=False):
+                 with_m=False, runtime_tfsf=False, y_halo=0):
     inv_x, inv_y, inv_z = inv_dx
     n_psi = len(layout)
     # x-axis terms share one carry per (half, comp); y/z one per term
@@ -138,31 +138,40 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
         i = pl.program_id(0)
         p = nx - 1 - i  # stage-1 plane (goes negative at the tail)
         f32 = jnp.float32
-        # global Neumann-edge planes in this array's coordinates; the
-        # sharded wrapper moves them per shard (sentinels far off the grid
-        # disable a mask: halo-region outputs are garbage by construction)
+        ny, nz = ex_r.shape[1:]
+        # global Neumann-edge coordinates in this array's coordinates, row
+        # [x_lo, x_hi, y_lo, y_hi, z_lo, z_hi]; the sharded wrapper moves
+        # them per shard (sentinels far off the grid disable a mask:
+        # halo-region outputs are garbage by construction)
         if runtime_edges:
             lo_edge = edge_ref[0, 0]
             hi_edge = edge_ref[0, 1]
+            y_lo_e = edge_ref[0, 2]
+            y_hi_e = edge_ref[0, 3]
+            z_lo_e = edge_ref[0, 4]
+            z_hi_e = edge_ref[0, 5]
         else:
             lo_edge = 0
             hi_edge = nx - 1
-        ny, nz = ex_r.shape[1:]
+            y_lo_e, y_hi_e = 0, ny - 1
+            z_lo_e, z_hi_e = 0, nz - 1
         iy = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 0)
         iz = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 1)
         zero = jnp.zeros((ny, nz), f32)
 
         def bdiff_y(f):
-            return jnp.where(iy == 0, 0.0, f - pltpu.roll(f, 1, axis=0))
+            return jnp.where(iy == y_lo_e, 0.0, f - pltpu.roll(f, 1, axis=0))
 
         def bdiff_z(f):
-            return jnp.where(iz == 0, 0.0, f - pltpu.roll(f, 1, axis=1))
+            return jnp.where(iz == z_lo_e, 0.0, f - pltpu.roll(f, 1, axis=1))
 
         def fdiff_y(f):
-            return jnp.where(iy == ny - 1, 0.0, pltpu.roll(f, ny - 1, axis=0) - f)
+            return jnp.where(
+                iy == y_hi_e, 0.0, pltpu.roll(f, ny - 1, axis=0) - f)
 
         def fdiff_z(f):
-            return jnp.where(iz == nz - 1, 0.0, pltpu.roll(f, nz - 1, axis=1) - f)
+            return jnp.where(
+                iz == z_hi_e, 0.0, pltpu.roll(f, nz - 1, axis=1) - f)
 
         if n_materials == 1:
             c_a = coef_ref[0, 0]
@@ -246,6 +255,12 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
             idx, (t_lo, t_hi, plo, phi) = psi_hbm[key]
             prof = strip_prof[(half, axis)]
             n_lat = ny if axis == 1 else nz
+            # lateral (y) sharding: the plane carries `y_halo` halo columns
+            # per side, so the strip segments sit that far inside the array
+            # (their live region is constrained >= k inside the owned
+            # columns, so halo recompute never touches live strip psi);
+            # halo columns pass through raw. z stays undecomposed.
+            off = y_halo if axis == 1 else 0
             if stage == 1:
                 psi0 = psi_in[idx][0]
             else:
@@ -256,19 +271,23 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
 
             ik_s, b_s, c_s = prof[0], prof[1], prof[2]
             psi_pieces, out_pieces = [], []
+            if off > 0:
+                out_pieces.append(seg(raw, 0, off))
             if plo > 0:
-                r_lo = seg(raw, 0, plo)
+                r_lo = seg(raw, off, off + plo)
                 pl_ = seg(b_s, 0, plo) * seg(psi0, 0, plo) + seg(c_s, 0, plo) * r_lo
                 psi_pieces.append(pl_)
                 out_pieces.append(seg(ik_s, 0, plo) * r_lo + pl_)
-            if n_lat - phi > plo:
-                out_pieces.append(seg(raw, plo, n_lat - phi))
+            if n_lat - off - phi > off + plo:
+                out_pieces.append(seg(raw, off + plo, n_lat - off - phi))
             if phi > 0:
-                r_hi = seg(raw, n_lat - phi, n_lat)
+                r_hi = seg(raw, n_lat - off - phi, n_lat - off)
                 ph_ = (seg(b_s, plo, plo + phi) * seg(psi0, plo, plo + phi)
                        + seg(c_s, plo, plo + phi) * r_hi)
                 psi_pieces.append(ph_)
                 out_pieces.append(seg(ik_s, plo, plo + phi) * r_hi + ph_)
+            if off > 0:
+                out_pieces.append(seg(raw, n_lat - off, n_lat))
             cat_ax = 0 if axis == 1 else 1
             p_new = (psi_pieces[0] if len(psi_pieces) == 1
                      else jnp.concatenate(psi_pieces, axis=cat_ax))
@@ -281,10 +300,16 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
 
         if with_tfsf:
             if runtime_tfsf:
+                # sharded mode: plane coordinates are per-shard EXTENDED;
+                # box mode additionally carries the extended->global offset
+                # so the (replicated, globally-indexed) aux rows can be
+                # gathered per plane
                 tf_lo = tfp_ref[0, 0]
                 tf_hi = tfp_ref[0, 1]
+                tf_off = tfp_ref[0, 2] if tfsf_box is not None else 0
             else:
                 tf_lo, tf_hi = tfsf_planes
+                tf_off = 0
             if tfsf_box is not None:
                 (ty0, ty1), (tz0, tz1) = tfsf_box
                 lat_mask = jnp.logical_and(
@@ -349,10 +374,14 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
 
             if with_tfsf:
                 r = 2 * (st - 1)
-                e_lo = tfsf_ref[r, 0] if runtime_tfsf else \
-                    tfsf_ref[r, tf_lo - 1]
-                e_hi = tfsf_ref[r, 1] if runtime_tfsf else \
-                    tfsf_ref[r, tf_hi]
+                if runtime_tfsf and tfsf_box is None:
+                    # slab sharded mode: pre-gathered (2K, 2) scalars
+                    e_lo, e_hi = tfsf_ref[r, 0], tfsf_ref[r, 1]
+                else:
+                    # full aux rows, indexed in GLOBAL coordinates
+                    # (tf_off = 0 single-chip)
+                    e_lo = tfsf_ref[r, tf_lo - tf_off - 1]
+                    e_hi = tfsf_ref[r, tf_hi - tf_off]
                 amp = jnp.where(q == tf_lo, -d_b * e_lo * inv_x, 0.0)
                 amp = amp + jnp.where(
                     q == tf_hi + 1, d_b * e_hi * inv_x, 0.0
@@ -362,7 +391,7 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                 else:
                     hk[1] = hk[1] + jnp.where(lat_mask, amp, 0.0)
                     in_x = jnp.logical_and(q >= tf_lo, q <= tf_hi)
-                    qc = jnp.clip(q, 0, nx - 1)
+                    qc = jnp.clip(q - tf_off, 0, tfsf_ref.shape[1] - 1)
                     ez_inc = jnp.where(in_x, tfsf_ref[r, qc], 0.0) * inv_y
                     hk[0] = hk[0] + jnp.where(
                         jnp.logical_and(iy == ty0, z_ok), d_b * ez_inc, 0.0
@@ -412,10 +441,11 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
 
             if with_tfsf:
                 r = 2 * (st - 1) + 1
-                h_lo = tfsf_ref[r, 0] if runtime_tfsf else \
-                    tfsf_ref[r, tf_lo]
-                h_hi = tfsf_ref[r, 1] if runtime_tfsf else \
-                    tfsf_ref[r, tf_hi + 1]
+                if runtime_tfsf and tfsf_box is None:
+                    h_lo, h_hi = tfsf_ref[r, 0], tfsf_ref[r, 1]
+                else:
+                    h_lo = tfsf_ref[r, tf_lo - tf_off]
+                    h_hi = tfsf_ref[r, tf_hi - tf_off + 1]
                 amp = jnp.where(q == tf_lo - 1, -c_b * h_lo * inv_x, 0.0)
                 amp = amp + jnp.where(
                     q == tf_hi, c_b * h_hi * inv_x, 0.0
@@ -424,7 +454,7 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                     ek[2] = ek[2] + amp
                 else:
                     ek[2] = ek[2] + jnp.where(lat_mask, amp, 0.0)
-                    qc = jnp.clip(q, 0, nx - 1)
+                    qc = jnp.clip(q - tf_off, 0, tfsf_ref.shape[1] - 1)
                     hy_inc = jnp.where(in_x, tfsf_ref[r, qc], 0.0) * inv_z
                     ek[0] = ek[0] + jnp.where(
                         jnp.logical_and(iz == tz0 - 1, y_ok), c_b * hy_inc, 0.0
@@ -480,9 +510,8 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
 def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
                 dt, constants_key, interpret, n_src, n_materials=1,
                 x_extra=0, runtime_edges=False, runtime_xprof=False,
-                with_m=False, dtype_name="float32", runtime_tfsf=False):
-    if runtime_tfsf and tfsf_box is not None:
-        raise ValueError("runtime TF/SF planes support slab mode only")
+                with_m=False, dtype_name="float32", runtime_tfsf=False,
+                y_halo=0, runtime_ystrips=False):
     from ..constants import REDUCED
 
     constants = SI if constants_key == "si" else REDUCED
@@ -567,7 +596,12 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
         for axis in (1, 2):
             if (half, axis) in profs:
                 in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-                strip_inputs.append(profs[(half, axis)])
+                # under lateral (y) sharding the y-strip profiles are
+                # per-shard RUNTIME operands (live on edge shards, identity
+                # elsewhere); the caller interleaves them in this same
+                # (half, axis) order. z strips stay baked (z undecomposed).
+                if not (runtime_ystrips and axis == 1):
+                    strip_inputs.append(profs[(half, axis)])
     if n_materials > 1:
         # per-stage matid planes (stage j+1 consumes plane p+j, clamped)
         def stage_idx(j):
@@ -588,7 +622,7 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
 
     kernel, x_terms, yz_terms = _make_kernel(
         shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes, tfsf_box,
-        n_src, n_materials, runtime_edges, with_m, runtime_tfsf,
+        n_src, n_materials, runtime_edges, with_m, runtime_tfsf, y_halo,
     )
 
     # scratch per level: 6 field planes + per-term psi slots

@@ -85,10 +85,16 @@ def _kernel(inv_dx, nx, n_src, k_steps, storage_dtype, n_materials, with_m,
     p = nx - 1 - i  # nx-1 .. -(K-1)
     inv_x, inv_y, inv_z = inv_dx
     f32 = jnp.float32
-    # global-domain edge planes (in this array's coordinates); sharded
-    # callers move them so halo regions are computed unmasked
+    # global-domain edge coordinates (in this array's coordinates), row
+    # [x_lo, x_hi, y_lo, y_hi, z_lo, z_hi]; sharded callers move them so
+    # halo regions are computed unmasked (lateral sentinels off the grid
+    # disable a mask entirely on interior shards)
     lo_edge = edge_ref[0, 0]
     hi_edge = edge_ref[0, 1]
+    y_lo = edge_ref[0, 2]
+    y_hi = edge_ref[0, 3]
+    z_lo = edge_ref[0, 4]
+    z_hi = edge_ref[0, 5]
 
     ny, nz = ex_r.shape[1:]
     iy = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 0)
@@ -96,16 +102,16 @@ def _kernel(inv_dx, nx, n_src, k_steps, storage_dtype, n_materials, with_m,
     zero = jnp.zeros((ny, nz), f32)
 
     def bdiff_y(f):
-        return jnp.where(iy == 0, 0.0, f - pltpu.roll(f, 1, axis=0))
+        return jnp.where(iy == y_lo, 0.0, f - pltpu.roll(f, 1, axis=0))
 
     def bdiff_z(f):
-        return jnp.where(iz == 0, 0.0, f - pltpu.roll(f, 1, axis=1))
+        return jnp.where(iz == z_lo, 0.0, f - pltpu.roll(f, 1, axis=1))
 
     def fdiff_y(f):
-        return jnp.where(iy == ny - 1, 0.0, pltpu.roll(f, ny - 1, axis=0) - f)
+        return jnp.where(iy == y_hi, 0.0, pltpu.roll(f, ny - 1, axis=0) - f)
 
     def fdiff_z(f):
-        return jnp.where(iz == nz - 1, 0.0, pltpu.roll(f, nz - 1, axis=1) - f)
+        return jnp.where(iz == z_hi, 0.0, pltpu.roll(f, nz - 1, axis=1) - f)
 
     # previous-iteration carries, read BEFORE the stage loop overwrites them
     prev_e = {}
@@ -354,12 +360,13 @@ def build_src_rows(
     with_m: bool,
     dt: float,
     x_offset=0,
+    y_offset=0,
 ):
     """Pack the kernel's SMEM source rows:
-    [px(+x_offset), py, pz, J levels 1..K-1 (3 each), M levels 1..K
-    (3 each, only when with_m)]. Padded rows carry a far-negative position
-    sentinel and zero amplitudes. Shared by the single-device and sharded
-    K-step wrappers so the layout can't drift between them.
+    [px(+x_offset), py(+y_offset), pz, J levels 1..K-1 (3 each), M levels
+    1..K (3 each, only when with_m)]. Padded rows carry a far-negative
+    position sentinel and zero amplitudes. Shared by the single-device and
+    sharded K-step wrappers so the layout can't drift between them.
     """
     row_width = 3 + 3 * (k_steps - 1) + (3 * k_steps if with_m else 0)
     src_rows = jnp.zeros((max_sources, row_width), jnp.float32)
@@ -372,7 +379,10 @@ def build_src_rows(
     src_rows = src_rows.at[:n, 0].set(
         sources.points[:, 0].astype(jnp.float32) + x_offset
     )
-    src_rows = src_rows.at[:n, 1:3].set(sources.points[:, 1:3].astype(jnp.float32))
+    src_rows = src_rows.at[:n, 1].set(
+        sources.points[:, 1].astype(jnp.float32) + y_offset
+    )
+    src_rows = src_rows.at[:n, 2].set(sources.points[:, 2].astype(jnp.float32))
     mbase = 3 + 3 * (k_steps - 1)
     for lvl in range(1, k_steps + 1):
         t = (tick + lvl - 1).astype(jnp.float32) * jnp.float32(dt)
@@ -425,8 +435,10 @@ def pallas_stepk_fn(
         tuple(shape), inv_dx, max_sources, k_steps, interpret,
         jnp.dtype(dtype).name, n_mat, with_m, io_alias,
     )
-    lo_hi = edge_planes if edge_planes is not None else (0, shape[0] - 1)
-    edges_arr = jnp.asarray([list(lo_hi)], jnp.int32)
+    ep = tuple(edge_planes) if edge_planes is not None else (0, shape[0] - 1)
+    if len(ep) == 2:  # x pair only: lateral edges at the array bounds
+        ep = ep + (0, shape[1] - 1, 0, shape[2] - 1)
+    edges_arr = jnp.asarray([list(ep)], jnp.int32)
 
     def stepk(state: SimState, coeffs, sources: Optional[SourceSet]) -> SimState:
         if matid is not None:

@@ -101,6 +101,62 @@ def test_sharded_k_step_matches_single(rng, n_dev, k):
     assert int(out.tick) == int(ref.tick)
 
 
+def test_sharded_k_step_2d_mesh_matches_single(rng):
+    """2-D (x, y) decomposition of the K-step kernel: extended halos along
+    BOTH lattice dims, ordered two-phase exchange (y then x; the x phase
+    ships the just-refreshed lateral halos, covering the corner regions),
+    and runtime lateral Neumann-edge coordinates. Must match the
+    single-device K-step kernel with sources adjacent to both cut
+    directions."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    from fdtd_tpu.parallel.pallas_sharded_k import (
+        collapse_state,
+        extend_state,
+        make_pallas_sharded_stepk,
+    )
+    from fdtd_tpu.solver.pallas_stepk import pallas_stepk_fn
+
+    shape, k = (32, 24, 128), 2
+    mesh = make_mesh(8, ("x", "y"))
+    assert mesh.shape["x"] == 4 and mesh.shape["y"] == 2
+    nl = shape[0] // mesh.shape["x"]
+    nly = shape[1] // mesh.shape["y"]
+    e = rng.standard_normal((3, *shape))
+    h = rng.standard_normal((3, *shape))
+    state = ft.state_from_stacked(e, h, dtype=jnp.float32)
+    coeffs = ft.CellCoefficients.uniform((0.97, 0.21, 0.99, 0.18), jnp.float32)
+    # sources 1 cell from the x cut at 8 and ON the y cut at 12 (both
+    # within the k=2 halo reach of a neighbor shard)
+    srcs = ft.SourceSet.build(
+        [
+            ft.PointSource((7, 11, 7), ft.GaussianPulse(2 * DT, DT),
+                           j=(0.5, 0, 2.0)),
+            ft.PointSource((16, 12, 100), ft.ContinuousWave(0.3),
+                           j=(0, 1.0, 0)),
+        ]
+    )
+
+    ref_step = pallas_stepk_fn(shape, k, inv_dx=INV_DX, dt=DT, interpret=True)
+    ref = state
+    for _ in range(3):
+        ref = ref_step(ref, coeffs, srcs)
+
+    step = make_pallas_sharded_stepk(
+        mesh, k, nl, inv_dx=INV_DX, dt=DT, interpret=True, nl_y=nly,
+    )
+    st = extend_state(state, mesh, k, axes=("x", "y"))
+    for _ in range(3):
+        st = step(st, coeffs, srcs)
+    out = collapse_state(st, mesh, k, axes=("x", "y"))
+
+    np.testing.assert_allclose(out.e_stacked(), ref.e_stacked(),
+                               rtol=5e-6, atol=5e-6)
+    np.testing.assert_allclose(out.h_stacked(), ref.h_stacked(),
+                               rtol=5e-6, atol=5e-6)
+    assert int(out.tick) == int(ref.tick)
+
+
 def test_extract_slice_from_extended_state(rng):
     """Live slice extraction (config 5): planes pulled from the extended
     sharded layout on device must equal global-state slices, halos skipped."""

@@ -185,14 +185,22 @@ def test_best_sharded_absorbing_dispatch():
     assert np.all(np.isfinite(ez))
     assert float(np.abs(ez).max()) > 0  # plane wave injected
 
-    # box TF/SF still falls back to the XLA engine
+    # box TF/SF rides the kernel path too (round 3: full aux rows +
+    # extended->global offset)
     box = Tfsf(span=(8, 23), span_y=(8, 23), span_z=(64, 191),
                waveform=ft.GaussianPulse(4 * res.temporal, 2 * res.temporal))
-    _, _, k3, kind3 = best_sharded_absorbing_step(
+    step3, init3, k3, kind3 = best_sharded_absorbing_step(
         mesh, shape, inv_dx=(1.0, 1.0, 1.0), dt=res.temporal,
         constants=ft.REDUCED, cpml=cpml, tfsf=box, interpret=True,
     )
-    assert kind3 == "xla_engine" and k3 == 1
+    assert kind3 == "pallas_cpml_k" and k3 >= 2
+    st3 = init3()
+    for _ in range(2):
+        st3 = step3(st3, coeffs, None)
+    g3 = collapse_pml_state(st3, mesh, k3, shape, cpml=cpml)
+    ez3 = np.asarray(g3.ez)
+    assert np.all(np.isfinite(ez3))
+    assert float(np.abs(ez3).max()) > 0
 
 
 def test_sharded_cpml_m_sources():
@@ -283,3 +291,122 @@ def test_sharded_cpml_tfsf_slab():
         np.asarray(got.aux_e), np.asarray(ref.aux_e), atol=1e-7,
     )
     _assert_state_equal(ref, got)
+
+
+def test_sharded_cpml_tfsf_box():
+    """Closed-box TF/SF on the sharded absorbing path: runtime extended
+    plane coordinates + FULL aux rows + the extended->global offset must
+    reproduce the single-device box kernel, with the box x-span straddling
+    the shard cut (the lateral y/z faces are uncut by the x decomposition
+    and stay static in-kernel masks)."""
+    from fdtd_tpu.solver.tfsf import Tfsf
+
+    shape, n_dev, k = (32, 32, 256), 2, 2
+    cpml = Cpml(thickness=((6, 6), (4, 4), (4, 4)))
+    mesh = make_mesh(n_dev, ("x",))
+    bc = BoundaryConditions()
+    assert supports_sharded_cpml(shape, n_dev, bc, cpml, k)
+
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    # box x-span (12, 22) straddles the x=16 cut; faces at 12/22 land on
+    # different shards, and shard 0's halo holds copies of planes 16-17
+    tfsf = Tfsf(span=(12, 22), span_y=(8, 23), span_z=(64, 191),
+                waveform=ft.GaussianPulse(6 * dt, 2 * dt))
+    coeffs = ft.CellCoefficients.uniform(
+        ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)[0], jnp.float32)
+    src = ft.SourceSet.build([ft.PointSource(
+        (15, 16, 128), ft.GaussianPulse(4 * dt, 2 * dt), j=(0, 0, 0.4))])
+
+    ref_step = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, tfsf=tfsf, max_sources=1, interpret=True,
+    )
+    ref = init_pml_kernel_state(shape, cpml=cpml, tfsf=tfsf)
+    sh_step = make_pallas_sharded_cpml_stepk(
+        mesh, shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+        constants=ft.REDUCED, cpml=cpml, tfsf=tfsf, max_sources=1,
+        interpret=True,
+    )
+    st = init_sharded_pml_state(shape, mesh, k, cpml=cpml, tfsf=tfsf)
+
+    for _ in range(3):
+        ref = ref_step(ref, coeffs, src)
+        st = sh_step(st, coeffs, src)
+    got = collapse_pml_state(st, mesh, k, shape, cpml=cpml)
+    assert float(jnp.abs(ref.ez).max()) > 1e-5
+    np.testing.assert_allclose(
+        np.asarray(got.aux_e), np.asarray(ref.aux_e), atol=1e-7,
+    )
+    _assert_state_equal(ref, got)
+
+
+def test_sharded_cpml_2d_mesh_matches_single_device():
+    """2-D (x, y) decomposition of the CPML K-step kernel: extended halo
+    COLUMNS on every lattice-aligned tensor (fields, x-slab psi, z-strip
+    psi, matid), ordered two-phase exchange (lateral then x), per-y-shard
+    runtime strip profiles with the strip segments y_halo inside the
+    plane, and runtime lateral Neumann edges. Must match the single-device
+    kernel with CPML on ALL axes and a source one cell from the y cut."""
+    shape, k = (32, 64, 256), 4
+    cpml = Cpml(thickness=((6, 6), (4, 4), (4, 4)))
+    mesh = make_mesh(4, ("x", "y"))
+    n_dx, n_dy = mesh.shape["x"], mesh.shape["y"]
+    assert (n_dx, n_dy) == (2, 2)
+    bc = BoundaryConditions()
+    assert supports_sharded_cpml(shape, n_dx, bc, cpml, k, n_dev_y=n_dy)
+
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+    coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
+    # y=31: one column from the y cut at 32 -> injects into the lateral
+    # halo copy of the (0,1)/(1,1) shards; x=15 is one plane from x cut
+    src = ft.SourceSet.build(
+        [ft.PointSource((15, 31, 128), ft.GaussianPulse(4 * dt, 2 * dt),
+                        j=(0.3, -0.2, 1.0))]
+    )
+
+    ref_step = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, interpret=True,
+    )
+    ref = init_pml_kernel_state(shape, cpml=cpml)
+    sh_step = make_pallas_sharded_cpml_stepk(
+        mesh, shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+        constants=ft.REDUCED, cpml=cpml, max_sources=1, interpret=True,
+        y_axis="y",
+    )
+    st = init_sharded_pml_state(shape, mesh, k, cpml=cpml, y_axis="y")
+    for _ in range(3):
+        ref = ref_step(ref, coeffs, src)
+        st = sh_step(st, coeffs, src)
+    got = collapse_pml_state(st, mesh, k, shape, cpml=cpml, y_axis="y")
+    assert float(jnp.abs(ref.ez).max()) > 0
+    _assert_state_equal(ref, got)
+
+
+def test_sharded_cpml_2d_roundtrip_extend_collapse():
+    shape, k = (32, 64, 256), 4
+    cpml = Cpml(thickness=((6, 6), (4, 4), (4, 4)))
+    mesh = make_mesh(4, ("x", "y"))
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+    coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
+    src = ft.SourceSet.build(
+        [ft.PointSource((16, 32, 128), ft.GaussianPulse(4 * dt, 2 * dt),
+                        j=(0.0, 0.0, 1.0))]
+    )
+    step = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, interpret=True,
+    )
+    st = init_pml_kernel_state(shape, cpml=cpml)
+    for _ in range(2):
+        st = step(st, coeffs, src)
+    rt = collapse_pml_state(
+        extend_pml_state(st, mesh, k, cpml=cpml, y_axis="y"),
+        mesh, k, shape, cpml=cpml, y_axis="y",
+    )
+    _assert_state_equal(st, rt, atol=0)

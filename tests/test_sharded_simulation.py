@@ -114,13 +114,14 @@ def test_xla_fallback_on_2d_mesh():
     assert np.isfinite(np.asarray(g.ez)).all()
 
 
-def test_box_tfsf_routes_to_engine():
+def test_box_tfsf_routing():
     shape = (32, 16, 64)
     grid = _grid(shape)
     coeffs = _uniform_coeffs(grid)
     box = Tfsf(span=(8, 23), span_y=(4, 11), span_z=(16, 47),
                waveform=ft.GaussianPulse(4 * grid.dt, 2 * grid.dt))
     mesh = make_mesh(2, ("x",))
+    # without CPML there is no absorbing kernel to ride: engine path
     sim = ShardedSimulation(grid=grid, coeffs=coeffs, tfsf=box, mesh=mesh,
                             interpret=True)
     k, kind = sim.plan()
@@ -130,6 +131,23 @@ def test_box_tfsf_routes_to_engine():
     g = sim.gather(st)
     assert int(g.tick) == 12
     assert float(jnp.abs(g.ez).max()) > 0
+
+    # with CPML (and a kernel-capable shape), box TF/SF rides the sharded
+    # kernel tier (round 3)
+    grid2 = _grid((32, 32, 256))
+    box2 = Tfsf(span=(8, 23), span_y=(8, 23), span_z=(64, 191),
+                waveform=ft.GaussianPulse(4 * grid2.dt, 2 * grid2.dt))
+    cpml = Cpml(thickness=((6, 6), (4, 4), (4, 4)))
+    sim2 = ShardedSimulation(grid=grid2, coeffs=_uniform_coeffs(grid2),
+                             tfsf=box2, cpml=cpml, mesh=mesh,
+                             interpret=True)
+    k2, kind2 = sim2.plan()
+    assert kind2 == "pallas_cpml_k" and k2 >= 2
+    st2 = sim2.init()
+    st2 = sim2.run(st2, 2 * k2)
+    g2 = sim2.gather(st2)
+    assert int(g2.tick) == 2 * k2
+    assert float(jnp.abs(g2.ez).max()) > 0
 
 
 def test_probes_on_kernel_and_engine_paths():
