@@ -321,6 +321,82 @@ def _selfcheck(ft, jax, jnp, np) -> bool:
         f"{'PASS' if good_st else 'FAIL'}",
         file=sys.stderr,
     )
+
+    # lateral (y_halo + runtime y-strip profiles) kernel variant on a
+    # 1x1 ("x", "y") mesh — the 2-D decomposition's Mosaic build
+    mesh_xy = make_mesh(1, ("x", "y"))
+    lat_step = jax.jit(make_pallas_sharded_cpml_stepk(
+        mesh_xy, shape, ck, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+        constants=ft.REDUCED, cpml=cpml, max_sources=1, y_axis="y",
+    ))
+    lst = run_sharded(
+        lat_step,
+        init_sharded_pml_state(shape, mesh_xy, ck, cpml=cpml, y_axis="y"),
+        n_ticks // ck)
+    glt = collapse_pml_state(lst, mesh_xy, ck, shape, cpml=cpml,
+                             y_axis="y")
+    err_lt = max(
+        _rel_err(getattr(glt, f), getattr(cst, f), np)
+        for f in ("ex", "ey", "ez", "hx", "hy", "hz")
+    )
+    good_lt = err_lt < tol
+    ok = ok and good_lt
+    print(
+        f"selfcheck sharded CPML 2-D-layout K={ck}: rel_err {err_lt:.2e} "
+        f"{'PASS' if good_lt else 'FAIL'}",
+        file=sys.stderr,
+    )
+
+    # in-kernel flux reductions (accumulator tier): per-tick per-plane
+    # Poynting rows from the K kernel vs per-tick XLA reductions over the
+    # single-pass CPML kernel's states
+    from fdtd_tpu.solver.pallas_cpml import pallas_cpml_step_fn
+
+    faces = (("x",), ("y", 8), ("y", 24), ("z", 64), ("z", 192))
+    flux_step = jax.jit(pallas_cpml_stepk_fn(
+        shape, ck, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, flux_faces=faces,
+    ))
+    fst = init_pml_kernel_state(shape, cpml=cpml)
+    rows_sum = None
+    for _ in range(n_ticks // ck):
+        fst, rows = flux_step(fst, coeffs, src)
+        rows_sum = rows.sum(0) if rows_sum is None else rows_sum + rows.sum(0)
+    jax.block_until_ready(fst)
+    one_step = jax.jit(pallas_cpml_step_fn(
+        shape, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1,
+    ))
+    ost = init_pml_kernel_state(shape, cpml=cpml)
+    ref_sum = jnp.zeros_like(rows_sum)
+
+    def _reduce(s):
+        e = [c.astype(jnp.float32) for c in (s.ex, s.ey, s.ez)]
+        h = [c.astype(jnp.float32) for c in (s.hx, s.hy, s.hz)]
+        return jnp.stack([
+            (e[1] * h[2] - e[2] * h[1]).sum((1, 2)),
+            (e[2][:, 8] * h[0][:, 8] - e[0][:, 8] * h[2][:, 8]).sum(-1),
+            (e[2][:, 24] * h[0][:, 24] - e[0][:, 24] * h[2][:, 24]).sum(-1),
+            (e[0][:, :, 64] * h[1][:, :, 64]
+             - e[1][:, :, 64] * h[0][:, :, 64]).sum(-1),
+            (e[0][:, :, 192] * h[1][:, :, 192]
+             - e[1][:, :, 192] * h[0][:, :, 192]).sum(-1),
+        ], axis=-1)
+
+    reduce_j = jax.jit(_reduce)
+    for _ in range(n_ticks):
+        ost = one_step(ost, coeffs, src)
+        ref_sum = ref_sum + reduce_j(ost)
+    jax.block_until_ready(ref_sum)
+    scale = float(jnp.abs(ref_sum).max()) or 1.0
+    err_fx = float(jnp.abs(rows_sum - ref_sum).max()) / scale
+    good_fx = err_fx < tol
+    ok = ok and good_fx
+    print(
+        f"selfcheck in-kernel flux K={ck}: rel_err {err_fx:.2e} "
+        f"{'PASS' if good_fx else 'FAIL'}",
+        file=sys.stderr,
+    )
     return ok
 
 

@@ -67,6 +67,30 @@ class _BoxFluxAccumulator:
                 total = total + sign * jnp.sum(s_n) * self.cell_areas[axis]
         return total
 
+    def kernel_flux_faces(self):
+        """Descriptors for the in-kernel per-plane Poynting reductions
+        (solver/pallas_cpml_k.py ``flux_faces``) that reproduce update()'s
+        full-slice face integrals — lets this accumulator ride the K-step
+        kernel tier instead of forcing single-stepping."""
+        (x0, x1), (y0, y1), (z0, z1) = self.box
+        return (("x",), ("y", y0), ("y", y1), ("z", z0), ("z", z1))
+
+    def update_from_flux_rows(self, acc, flux_rows, dt):
+        """Fold a (K, nx, 5) per-tick per-plane reduction block (columns
+        in kernel_flux_faces order) into the running total; equals K
+        sequential update() calls on the per-tick states."""
+        (x0, x1), (y0, y1), (z0, z1) = self.box
+        ax, ay, az = self.cell_areas
+        sx = flux_rows[:, :, 0]
+        per_tick = (
+            ax * (sx[:, x1] - sx[:, x0])
+            + ay * (flux_rows[:, :, 2].sum(axis=1)
+                    - flux_rows[:, :, 1].sum(axis=1))
+            + az * (flux_rows[:, :, 4].sum(axis=1)
+                    - flux_rows[:, :, 3].sum(axis=1))
+        )
+        return acc + per_tick.sum()
+
     # hashable so it can key the jit cache; __eq__ and __hash__ must cover
     # the SAME fields
     def _key(self):

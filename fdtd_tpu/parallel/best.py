@@ -58,6 +58,7 @@ def best_sharded_absorbing_step(
     max_k: int = 8,
     interpret: bool = False,
     axis: str = "x",
+    flux_faces=(),
 ):
     """(step, init_state, k, kind) for a sharded absorbing run.
 
@@ -92,10 +93,13 @@ def best_sharded_absorbing_step(
     n_dy = mesh.shape[y_axis] if y_axis is not None else 1
     kernel_backend = interpret or jax.default_backend() == "tpu"
     m_ok = not with_m or max_sources > 0
-    # box TF/SF lateral faces are cut by a 2-D mesh: engine handles that
+    # box TF/SF lateral faces are cut by a 2-D mesh: engine handles that;
+    # same for the static lateral indices of in-kernel flux reductions
     tfsf_ok = tfsf is None or not (tfsf.is_box and y_axis is not None)
+    flux_ok = not flux_faces or y_axis is None
     if (
         cpml is not None
+        and flux_ok
         and kernel_mesh_ok
         and tfsf_ok
         and n_dev * n_dy > 1
@@ -116,6 +120,7 @@ def best_sharded_absorbing_step(
                     max_sources=max_sources, interpret=interpret,
                     axis=axis, with_m=with_m, matid=matid,
                     n_materials=n_materials, dtype=dtype, y_axis=y_axis,
+                    flux_faces=tuple(flux_faces),
                 ))
 
                 def init_state(k=k):

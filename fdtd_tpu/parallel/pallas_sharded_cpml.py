@@ -455,6 +455,7 @@ def make_pallas_sharded_cpml_stepk(
     dtype=jnp.float32,
     tfsf=None,
     y_axis: Optional[str] = None,
+    flux_faces=(),
 ):
     """Build step(state_ext, coeffs, sources) advancing ``k_steps``
     absorbing ticks per pass on each shard of a 1-D x decomposition — or
@@ -490,7 +491,15 @@ def make_pallas_sharded_cpml_stepk(
     supports_sharded_cpml), so it needs NO lateral exchange — instead the
     strip PROFILES become per-y-shard runtime operands (_ystrips_sharded)
     and the kernel's strip segments sit y_halo=k columns inside the plane.
-    Lateral Neumann edge masks ride the same runtime edges row as x."""
+    Lateral Neumann edge masks ride the same runtime edges row as x.
+
+    ``flux_faces`` (1-D x meshes only; see solver/pallas_cpml_k.py for
+    the descriptor forms) makes the step return ``(state, flux_rows)``
+    with GLOBAL (K, nx, n_q) per-tick per-plane Poynting reductions:
+    each shard emits its owned planes' rows in-kernel, which are then
+    scattered into global plane positions and psum-combined over the
+    mesh — per-tick accumulators (scattering box flux) thus ride the
+    sharded kernel without dropping to single-stepping."""
     n_dev = mesh.shape[axis]
     two_d = y_axis is not None
     n_dy = mesh.shape[y_axis] if two_d else 1
@@ -508,6 +517,11 @@ def make_pallas_sharded_cpml_stepk(
         raise ValueError(
             "box TF/SF lateral faces are cut by a 2-D decomposition; "
             "use the sharded XLA engine for this configuration"
+        )
+    if two_d and flux_faces:
+        raise ValueError(
+            "in-kernel flux reductions use static lateral indices; a 2-D "
+            "decomposition cuts them — use a 1-D x mesh (or the engine)"
         )
     nx, ny, nz = shape
     if matid is not None and (ny % 32 != 0 or n_materials > 256):
@@ -569,8 +583,10 @@ def make_pallas_sharded_cpml_stepk(
         with_m=bool(with_m), dtype_name=jnp.dtype(dtype).name,
         runtime_tfsf=tfsf is not None,
         y_halo=k if two_d else 0, runtime_ystrips=runtime_ystrips,
+        flux_faces=tuple(flux_faces),
     )
     assert not x_inputs  # runtime_xprof: profiles come in as an operand
+    n_psi = len(layout)
 
     def local_step(state: PmlKernelState, coeffs, sources, xprof_l, mid_l,
                    tf_rows, *ystr_l):
@@ -689,12 +705,25 @@ def make_pallas_sharded_cpml_stepk(
         args += [fields["ey"], fields["ez"]]
         args += psi
         outs = call(*args)
-        return PmlKernelState(
+        new = PmlKernelState(
             ex=outs[0], ey=outs[1], ez=outs[2],
             hx=outs[3], hy=outs[4], hz=outs[5],
-            tick=state.tick + k, psi=tuple(outs[6:]),
+            tick=state.tick + k, psi=tuple(outs[6: 6 + n_psi]),
             aux_e=state.aux_e, aux_h=state.aux_h,
         )
+        if flux_faces:
+            # shard-local extended rows -> GLOBAL (K, nx, n_q): keep the
+            # owned planes, scatter to global positions, psum over x
+            n_q = len(flux_faces)
+            rows_ext = jnp.stack(outs[6 + n_psi:])[:, 1: nle + 1]
+            owned = rows_ext[:, k: k + nl]
+            zero32 = jnp.zeros((), jnp.int32)
+            glob = lax.dynamic_update_slice(
+                jnp.zeros((k, nx, n_q), jnp.float32), owned,
+                (zero32, (idx * nl).astype(jnp.int32), zero32),
+            )
+            return new, lax.psum(glob, axis)
+        return new
 
     fspec = P(axis, y_axis, None)
     state_spec = PmlKernelState(
@@ -751,15 +780,23 @@ def make_pallas_sharded_cpml_stepk(
         if runtime_ystrips:
             operands += [ystr_h, ystr_e]
             specs += [P(y_axis, None, None, None)] * 2
-        out = jax.shard_map(
+        out_specs = (
+            (state_spec, P(None, None, None)) if flux_faces else state_spec
+        )
+        res = jax.shard_map(
             local_step,
             mesh=mesh,
             in_specs=tuple(specs),
-            out_specs=state_spec,
+            out_specs=out_specs,
             check_vma=False,
         )(*operands)
+        flux_rows = None
+        if flux_faces:
+            out, flux_rows = res
+        else:
+            out = res
         if tfsf is not None:
             out = out._replace(aux_e=aux_e, aux_h=aux_h)
-        return out
+        return (out, flux_rows) if flux_faces else out
 
     return step

@@ -202,17 +202,53 @@ class ShardedSimulation:
         plain XLA step) — same rule as Simulation.run, where
         accumulators force single-stepping. Returns
         (state, probe_stacks, accumulator_finals) when given."""
-        step, _, k, _ = self._plan
+        step, _, k, kind = self._plan
         if n_steps % k != 0:
             raise ValueError(f"{n_steps=} not divisible by plan k={k}")
         coeffs = self._step_coeffs
         if accumulators:
+            faces, owners = self._kernel_flux_spec(accumulators)
+            if (
+                faces is not None and k > 1 and kind == "pallas_cpml_k"
+                and self._y_axis is None
+            ):
+                # accumulators ride the kernel tier: the step emits
+                # per-tick per-plane Poynting reductions in-kernel
+                # (pallas_cpml_k flux_faces) and each accumulator folds
+                # its column slice — no single-stepping
+                fstep = self._flux_step(faces)
+                if probes and (
+                    probe_every % k != 0 or n_steps % probe_every != 0
+                ):
+                    raise ValueError(
+                        f"{probe_every=} must be a multiple of plan k={k} "
+                        f"and divide {n_steps=}"
+                    )
+                accs = tuple(
+                    a.init(state, self.grid.dt) for a in accumulators
+                )
+                outs = [[] for _ in probes]
+                for i in range(n_steps // k):
+                    state, rows = fstep(state, coeffs, self.sources)
+                    accs = tuple(
+                        a.update_from_flux_rows(
+                            acc, rows[:, :, s0:s1], self.grid.dt
+                        )
+                        for (a, (s0, s1)), acc in zip(owners, accs)
+                    )
+                    if probes and ((i + 1) * k) % probe_every == 0:
+                        view = self._global_view(state)
+                        for j, p in enumerate(probes):
+                            outs[j].append(p.sample(view, self.grid.dt))
+                return (state, tuple(jnp.stack(o) for o in outs), accs)
             if k != 1:
                 raise ValueError(
                     "accumulators need every tick; this configuration "
-                    f"dispatched to a K={k} kernel path — force the "
-                    "engine path (e.g. backend via box TF/SF/dense "
-                    "coefficients) or drop the accumulators"
+                    f"dispatched to a K={k} kernel path and the "
+                    "accumulators don't expose kernel_flux_faces/"
+                    "update_from_flux_rows (or the mesh is 2-D) — use "
+                    "flux-style accumulators, a 1-D mesh, or force the "
+                    "engine path (e.g. via dense coefficients)"
                 )
             accs = tuple(a.init(state, self.grid.dt) for a in accumulators)
             outs = [[] for _ in probes]
@@ -243,6 +279,41 @@ class ShardedSimulation:
                 for j, p in enumerate(probes):
                     outs[j].append(p.sample(view, self.grid.dt))
         return state, tuple(jnp.stack(o) for o in outs)
+
+    @staticmethod
+    def _kernel_flux_spec(accumulators):
+        """(faces, owners) when EVERY accumulator supports in-kernel flux
+        reductions; (None, None) otherwise (shared with the single-chip
+        Simulation)."""
+        from ..solver.simulation import kernel_flux_spec
+
+        return kernel_flux_spec(tuple(accumulators))
+
+    def _flux_step(self, faces):
+        """The plan's kernel step rebuilt with in-kernel flux reductions
+        (same k and state layout; flux only adds outputs). Cached per
+        faces tuple so repeated run() calls reuse the compiled step."""
+        cache = self.__dict__.setdefault("_flux_step_cache", {})
+        if faces not in cache:
+            from .best import best_sharded_absorbing_step
+
+            inv_dx = tuple(1.0 / d for d in self.grid.dx)
+            n_src = (
+                self.sources.num_sources if self.sources is not None else 0
+            )
+            n_mat = 0 if self.table is None else int(np.shape(self.table)[0])
+            step, _, fk, fkind = best_sharded_absorbing_step(
+                self._mesh, self.grid.shape, inv_dx=inv_dx,
+                dt=self.grid.dt, bc=self.bc, constants=self.grid.constants,
+                cpml=self.cpml, tfsf=self.tfsf, max_sources=n_src,
+                with_m=self._has_m_sources(), matid=self.matid,
+                n_materials=n_mat, dtype=self.dtype, max_k=self.max_k,
+                interpret=self.interpret, axis=self.axis, flux_faces=faces,
+            )
+            k, kind = self.plan()
+            assert (fk, fkind) == (k, kind), (fk, fkind, k, kind)
+            cache[faces] = step
+        return cache[faces]
 
     def _global_view(self, state):
         """Device-side global-layout SimState view of any state kind

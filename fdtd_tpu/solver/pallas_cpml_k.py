@@ -89,7 +89,8 @@ def supports_cpml_k(shape, bc, cpml, k: int, dtype=jnp.float32) -> bool:
 
 def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                  tfsf_box, n_src, n_materials, runtime_edges=False,
-                 with_m=False, runtime_tfsf=False, y_halo=0):
+                 with_m=False, runtime_tfsf=False, y_halo=0,
+                 flux_faces=()):
     inv_x, inv_y, inv_z = inv_dx
     n_psi = len(layout)
     # x-axis terms share one carry per (half, comp); y/z one per term
@@ -127,6 +128,9 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
         psi_in = refs[k: k + n_psi]; k += n_psi
         outs = refs[k: k + 6]; k += 6
         psi_out = refs[k: k + n_psi]; k += n_psi
+        flux_out = ()
+        if flux_faces:
+            flux_out = refs[k: k + k_steps]; k += k_steps
         scratch = refs[k:]
         # scratch: per level 1..K-1: 6 field planes + 12 psi slots; then
         # hy_top/hz_top
@@ -478,6 +482,34 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                     )
             ek = tuple(ek)
 
+            # per-tick per-plane scalar flux reductions (accumulator
+            # support at kernel speed): each stage writes its plane's row
+            # of the (nx+2, n_q) per-stage output — trash rows 0 / nx+1
+            # absorb the clipped pipeline fill/drain writes. Descriptors:
+            #   ("x",):    full-plane x-normal Poynting sum at every plane
+            #   ("y", y0): z-row sum of the y-normal flux at column y0
+            #   ("z", z0): y-row sum of the z-normal flux at lane z0
+            # Sampled AFTER the tick's source injection, matching the
+            # engine's step-then-update accumulator order.
+            if flux_faces:
+                vals = []
+                for fd in flux_faces:
+                    if fd[0] == "x":
+                        s = jnp.sum(ek[1] * hk[2] - ek[2] * hk[1])
+                    elif fd[0] == "y":
+                        y0 = fd[1]
+                        s = jnp.sum(
+                            ek[2][y0] * hk[0][y0] - ek[0][y0] * hk[2][y0]
+                        )
+                    else:
+                        z0 = fd[1]
+                        s = jnp.sum(
+                            ek[0][:, z0] * hk[1][:, z0]
+                            - ek[1][:, z0] * hk[0][:, z0]
+                        )
+                    vals.append(s)
+                flux_out[st - 1][0, :] = jnp.stack(vals)
+
             if st < k_steps:
                 new_carries[st] = (ek, hk, new_psi_lvl)
                 below_e, below_h = ek, hk
@@ -511,7 +543,7 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
                 dt, constants_key, interpret, n_src, n_materials=1,
                 x_extra=0, runtime_edges=False, runtime_xprof=False,
                 with_m=False, dtype_name="float32", runtime_tfsf=False,
-                y_halo=0, runtime_ystrips=False):
+                y_halo=0, runtime_ystrips=False, flux_faces=()):
     from ..constants import REDUCED
 
     constants = SI if constants_key == "si" else REDUCED
@@ -614,15 +646,32 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
     in_specs += [in_spec] * 6 + [halo_spec] * 2
     in_specs += psi_in_specs
 
-    out_specs = tuple([out_spec] * 6 + psi_out_specs)
+    # per-stage flux-reduction outputs: (nx+2, n_q) rows, the stage's
+    # plane row selected by the same descending map as the field outputs
+    # (stage st = j+1 computes plane q = nx-1-i+j -> row q+1, clipped
+    # onto the trash rows 0 / nx+1 during fill/drain)
+    flux_specs, flux_shapes = [], []
+    if flux_faces:
+        n_q = len(flux_faces)
+        for j in range(k_steps):
+            flux_specs.append(pl.BlockSpec(
+                (1, n_q),
+                lambda i, j=j: (jnp.clip(nx - i + j, 0, nx + 1), 0),
+                memory_space=pltpu.VMEM,
+            ))
+            flux_shapes.append(jax.ShapeDtypeStruct((nx + 2, n_q), f32))
+
+    out_specs = tuple([out_spec] * 6 + psi_out_specs + flux_specs)
     out_shape = tuple(
         [jax.ShapeDtypeStruct(shape, jnp.dtype(dtype_name)) for _ in range(6)]
         + [jax.ShapeDtypeStruct(ts, f32) for *_, ts, _ in layout]
+        + flux_shapes
     )
 
     kernel, x_terms, yz_terms = _make_kernel(
         shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes, tfsf_box,
         n_src, n_materials, runtime_edges, with_m, runtime_tfsf, y_halo,
+        flux_faces,
     )
 
     # scratch per level: 6 field planes + per-term psi slots
@@ -682,13 +731,22 @@ def pallas_cpml_stepk_fn(
     n_materials: int = 1,
     with_m: bool = False,
     dtype=jnp.float32,
+    flux_faces=(),
 ):
     """Build step(state: PmlKernelState, coeffs, sources) advancing
     ``k_steps`` absorbing ticks per call. Uniform scalar coefficients;
     J (and with ``with_m``, M) sources inject in-kernel at every level
     (max_sources must equal the real count). ``dtype`` is the field
     STORAGE dtype (f32 or bf16); compute, carries and psi are always
-    f32 — bf16 fields round only at the every-K-ticks HBM write-back."""
+    f32 — bf16 fields round only at the every-K-ticks HBM write-back.
+
+    ``flux_faces`` (tuple of ("x",) / ("y", y0) / ("z", z0) descriptors)
+    switches on in-kernel per-tick per-plane Poynting reductions: the
+    step then returns ``(state, flux_rows)`` with flux_rows of shape
+    (K, nx, n_q) f32 — tick level on axis 0, lattice plane on axis 1 —
+    at near-zero extra HBM traffic (K*nx*n_q scalars per pass). This is
+    what lets per-tick accumulators (scattering box flux) ride the
+    K-step kernel instead of forcing single-stepping."""
     if not supports_cpml_k(shape, bc, cpml, k_steps, dtype):
         raise ValueError(f"CPML K-step kernel does not support {shape=} {k_steps=}")
     if with_m and max_sources == 0:
@@ -721,8 +779,9 @@ def pallas_cpml_stepk_fn(
         tuple(shape), inv_dx, cpml, int(k_steps), tfsf is not None,
         tfsf_planes, tfsf_box, float(dt), constants_key, interpret,
         int(max_sources), n_mat, 0, False, False, bool(with_m),
-        jnp.dtype(dtype).name,
+        jnp.dtype(dtype).name, flux_faces=tuple(flux_faces),
     )
+    n_psi = len(_psi_layout(tuple(shape), cpml))
 
     def step(state: PmlKernelState, coeffs, sources) -> PmlKernelState:
         if matid is not None:
@@ -774,11 +833,16 @@ def pallas_cpml_stepk_fn(
                  state.ey, state.ez]
         args += list(state.psi)
         outs = call(*args)
-        return PmlKernelState(
+        new = PmlKernelState(
             ex=outs[0], ey=outs[1], ez=outs[2],
             hx=outs[3], hy=outs[4], hz=outs[5],
-            tick=state.tick + k_steps, psi=tuple(outs[6:]),
+            tick=state.tick + k_steps, psi=tuple(outs[6: 6 + n_psi]),
             aux_e=aux_e, aux_h=aux_h,
         )
+        if flux_faces:
+            # (K, nx, n_q): drop the trash rows
+            flux_rows = jnp.stack(outs[6 + n_psi:])[:, 1: nx + 1]
+            return new, flux_rows
+        return new
 
     return step

@@ -307,9 +307,15 @@ class Simulation:
         intermediate state, so they force single-stepping.
         """
         step, k = self._step, 1
+        flux_faces_spec = flux_owners = None
+        if accumulators:
+            flux_faces_spec, flux_owners = kernel_flux_spec(
+                tuple(accumulators)
+            )
+        flux_mode = False
         if (
             self.backend == "auto"
-            and not accumulators
+            and (not accumulators or flux_faces_spec is not None)
             and self._cpml_kernel_eligible()
         ):
             # temporally-blocked CPML kernel (pallas_cpml_k): ~4x the
@@ -331,10 +337,12 @@ class Simulation:
                         dtype=self.dtype,
                     )
                 ):
-                    key = ("cpmlk", cand)
+                    faces = flux_faces_spec if accumulators else ()
+                    key = ("cpmlk", cand, faces)
                     if key in self._multi_step_cache:
                         step = self._multi_step_cache[key]
                         k = cand
+                        flux_mode = bool(accumulators)
                         break
                     n_src = (
                         self.sources.num_sources if self.sources is not None
@@ -346,7 +354,7 @@ class Simulation:
                         constants=self.grid.constants,
                         cpml=self._cpml_or_empty, tfsf=self.tfsf,
                         max_sources=n_src, with_m=self._has_m_sources(),
-                        dtype=self.dtype,
+                        dtype=self.dtype, flux_faces=faces,
                     )
                     if self.matid is not None:
                         kernel = pallas_cpml_stepk_fn(
@@ -364,6 +372,7 @@ class Simulation:
                         )
                     self._multi_step_cache[key] = step
                     k = cand
+                    flux_mode = bool(accumulators)
                     break
         if (
             k == 1
@@ -416,6 +425,16 @@ class Simulation:
                     k = cand
                     break
 
+        if flux_mode and k > 1:
+            # accumulators ride the K-step CPML kernel: per-tick per-plane
+            # Poynting reductions are emitted in-kernel (flux_faces) and
+            # folded inside the same compiled scan — no single-stepping
+            fn = _compiled_flux(
+                step, tuple(probes), tuple(accumulators), flux_owners,
+                max(probe_every // k, 1) if probes else 1,
+                n_steps // k, self.grid.dt,
+            )
+            return fn(state, self.coeffs, self.sources)
         fn = _compiled(step, tuple(probes), tuple(accumulators),
                        max(probe_every // k, 1) if probes else 1,
                        n_steps // k, self.grid.dt,
@@ -439,6 +458,73 @@ class Simulation:
                 f"Courant number {s:.4f} > 1: dt={self.grid.dt} too large for "
                 f"dx={self.grid.dx} (reduce dt or coarsen the lattice)"
             )
+
+
+def kernel_flux_spec(accumulators):
+    """(faces, owners) when EVERY accumulator supports the in-kernel
+    per-plane Poynting reductions (kernel_flux_faces /
+    update_from_flux_rows, see pallas_cpml_k.py); (None, None) otherwise.
+    ``owners`` maps each accumulator to its (start, stop) column range of
+    the concatenated reduction rows."""
+    faces, owners = [], []
+    for a in accumulators:
+        if not (hasattr(a, "kernel_flux_faces")
+                and hasattr(a, "update_from_flux_rows")):
+            return None, None
+        f = tuple(a.kernel_flux_faces())
+        owners.append((a, (len(faces), len(faces) + len(f))))
+        faces.extend(f)
+    return tuple(faces), tuple(owners)
+
+
+def _run_scan_flux(step, probes, owners, probe_every, n_steps, dt,
+                   state, coeffs, sources):
+    """The accumulator scan for flux-emitting K-step kernels: the step
+    returns (state, (K, nx, n_q) per-tick reductions) and each
+    accumulator folds its column range — accumulators advance K ticks
+    per kernel pass inside one compiled scan."""
+    stride = max(probe_every, 1)
+    if n_steps % stride != 0:
+        raise ValueError(f"{n_steps=} not divisible by {probe_every=}")
+
+    accs = tuple(a.init(state, dt) for a, _ in owners)
+
+    def tick(carry, _):
+        s, accs = carry
+        s2, rows = step(s, coeffs, sources)
+        accs2 = tuple(
+            a.update_from_flux_rows(acc, rows[:, :, s0:s1], dt)
+            for (a, (s0, s1)), acc in zip(owners, accs)
+        )
+        return (s2, accs2), None
+
+    if stride == 1:
+        def body(carry, _):
+            carry2, _ = tick(carry, None)
+            return carry2, tuple(p.sample(carry2[0], dt) for p in probes)
+
+        (state, accs), probe_out = jax.lax.scan(
+            body, (state, accs), None, length=n_steps
+        )
+    else:
+        def body(carry, _):
+            carry2, _ = jax.lax.scan(tick, carry, None, length=stride)
+            return carry2, tuple(p.sample(carry2[0], dt) for p in probes)
+
+        (state, accs), probe_out = jax.lax.scan(
+            body, (state, accs), None, length=n_steps // stride
+        )
+
+    return state, probe_out, accs
+
+
+@lru_cache(maxsize=128)
+def _compiled_flux(step, probes, accums, owners, probe_every, n_steps, dt):
+    # no donation: flux kernels carry PmlKernelState (axon donation flake)
+    return jax.jit(
+        partial(_run_scan_flux, step, probes, owners, probe_every,
+                n_steps, dt),
+    )
 
 
 def _run_scan(step, probes, accums, probe_every, n_steps, dt,

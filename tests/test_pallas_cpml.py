@@ -18,6 +18,7 @@ from fdtd_tpu.solver.pallas_cpml import (
     pallas_cpml_step_fn,
     supports_cpml,
 )
+from fdtd_tpu.solver.pallas_cpml_k import pallas_cpml_stepk_fn
 from fdtd_tpu.solver.tfsf import Tfsf
 
 INV_DX = (1.0, 1.0, 1.0)
@@ -461,3 +462,56 @@ def test_kernel_cpml_kstep_bf16_storage():
     assert den > 0
     rel = (num / den) ** 0.5
     assert rel < 0.05, f"K-step bf16 storage rel-L2 {rel:.3e}"
+
+
+def test_cpml_k_flux_rows_match_engine_per_tick():
+    """In-kernel per-tick per-plane Poynting reductions (flux_faces): each
+    stage's row block must equal the same reduction computed from the
+    engine's per-tick states — all three descriptor kinds, across two
+    chained K=4 passes (8 ticks)."""
+    import fdtd_tpu as ft
+    from fdtd_tpu.solver.engine import build_step, init_engine_state
+
+    shape, k = (32, 32, 256), 4
+    cpml = Cpml(thickness=((6, 6), (4, 4), (4, 4)))
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    coeffs = ft.CellCoefficients.uniform(
+        ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)[0], jnp.float32)
+    src = ft.SourceSet.build([ft.PointSource(
+        (16, 16, 128), ft.GaussianPulse(4 * dt, 2 * dt), j=(0.3, -0.2, 1.0))])
+
+    faces = (("x",), ("y", 8), ("y", 24), ("z", 64), ("z", 192))
+    fstep = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, interpret=True, flux_faces=faces)
+    st = init_pml_kernel_state(shape, cpml=cpml)
+    rows_all = []
+    for _ in range(2):
+        st, rows = fstep(st, coeffs, src)
+        rows_all.append(np.asarray(rows))
+    rows_all = np.concatenate(rows_all)  # (8, nx, 5)
+    assert rows_all.shape == (8, shape[0], 5)
+
+    eng = build_step(shape, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+                     constants=ft.REDUCED, cpml=cpml)
+    est = init_engine_state(shape, cpml=cpml)
+    for t in range(8):
+        est = eng(est, coeffs, src)
+        e = [np.asarray(c, np.float32) for c in est.e]
+        h = [np.asarray(c, np.float32) for c in est.h]
+        refs = [
+            (e[1] * h[2] - e[2] * h[1]).sum(axis=(1, 2)),
+            (e[2][:, 8] * h[0][:, 8] - e[0][:, 8] * h[2][:, 8]).sum(-1),
+            (e[2][:, 24] * h[0][:, 24] - e[0][:, 24] * h[2][:, 24]).sum(-1),
+            (e[0][:, :, 64] * h[1][:, :, 64]
+             - e[1][:, :, 64] * h[0][:, :, 64]).sum(-1),
+            (e[0][:, :, 192] * h[1][:, :, 192]
+             - e[1][:, :, 192] * h[0][:, :, 192]).sum(-1),
+        ]
+        for j, ref in enumerate(refs):
+            scale = np.abs(ref).max() or 1.0
+            np.testing.assert_allclose(
+                rows_all[t, :, j] / scale, ref / scale, atol=2e-5,
+                err_msg=f"tick {t} descriptor {j}",
+            )

@@ -221,17 +221,46 @@ def test_accumulators_on_engine_path_match_single_chip():
     assert b > 1e-8, b  # the source actually radiated through the box
     assert abs(a - b) <= 1e-5 * abs(b), (a, b)
 
-    # K-step kernel paths must refuse accumulators (they skip ticks)
+    # K-step kernel paths run flux accumulators IN-KERNEL (round 3): the
+    # per-tick per-plane Poynting reductions (pallas_cpml_k flux_faces)
+    # must reproduce the single-chip engine's per-tick accumulation while
+    # the kernel plan is RETAINED (no single-stepping)
     cpml = Cpml(thickness=((6, 6), (4, 4), (4, 4)))
     kgrid = _grid((32, 32, 256))
-    ksim = ShardedSimulation(grid=kgrid, coeffs=_uniform_coeffs(kgrid),
-                             sources=_src(kgrid, (15, 16, 128)),
+    kcoeffs = _uniform_coeffs(kgrid)
+    ksrc = _src(kgrid, (15, 16, 128))
+    kbox = ((8, 25), (8, 25), (64, 191))
+    kacc = _BoxFluxAccumulator(kbox, areas, kgrid.dt)
+    ksim = ShardedSimulation(grid=kgrid, coeffs=kcoeffs, sources=ksrc,
                              cpml=cpml, mesh=make_mesh(2, ("x",)),
                              interpret=True, max_k=2)
     kk, kkind = ksim.plan()
-    assert kkind == "pallas_cpml_k"
+    assert kkind == "pallas_cpml_k" and kk == 2
+    n_k = 16 * kk  # wave must actually reach the box faces
+    kst, kprobes, (k_flux,) = ksim.run(
+        ksim.init(), n_k, accumulators=(kacc,)
+    )
+    assert kprobes == ()
+
+    sim2 = Simulation(grid=kgrid, coeffs=kcoeffs, sources=ksrc, cpml=cpml,
+                      backend="xla")
+    st2 = sim2.init()
+    st2, _, (ref_flux,) = sim2.run(st2, n_k, accumulators=(kacc,))
+    a2, b2 = float(k_flux), float(ref_flux)
+    assert np.isfinite(a2) and np.isfinite(b2)
+    assert abs(b2) > 1e-10, b2
+    assert abs(a2 - b2) <= 1e-4 * abs(b2), (a2, b2)
+
+    # non-flux accumulators still force the per-tick rule on kernel plans
+    class _Opaque:
+        def init(self, state, dt):
+            return jnp.zeros(())
+
+        def update(self, acc, state, dt):
+            return acc
+
     with pytest.raises(ValueError, match="every tick"):
-        ksim.run(ksim.init(), 2 * kk, accumulators=(acc,))
+        ksim.run(ksim.init(), 2 * kk, accumulators=(_Opaque(),))
 
 
 def test_compressed_materials_on_xla_path():
