@@ -388,6 +388,61 @@ class ShardedSimulation:
                                   axes=self._ext_axes)
         return state  # XLA paths hold plain (sharded) global arrays
 
+    # -- checkpoint / resume ------------------------------------------------
+
+    def _global_template(self):
+        """A zero state in the PLAIN GLOBAL layout matching this
+        configuration's state kind (what gather() returns)."""
+        _, _, k, kind = self._plan
+        if kind == "pallas_cpml_k":
+            from ..solver.pallas_cpml import init_pml_kernel_state
+
+            return init_pml_kernel_state(
+                self.grid.shape, self.dtype, cpml=self._cpml_pad,
+                tfsf=self.tfsf,
+            )
+        if kind == "pallas_k":
+            from ..solver.state import zero_state
+
+            return zero_state(self.grid.shape, self.dtype)
+        _, init_state, _, _ = self._plan
+        return init_state()
+
+    def save(self, path, state, metadata=None):
+        """Checkpoint ``state`` (any layout) as a PLAIN GLOBAL pytree —
+        the file is independent of the mesh shape and kernel K that
+        produced it, so any compatible ShardedSimulation (or the
+        single-chip Simulation) can resume it. Exceeds the reference,
+        which has no state persistence at all (SURVEY.md §5)."""
+        from ..io.checkpoint import save_checkpoint
+
+        meta = {"grid_shape": list(self.grid.shape)}
+        if metadata:
+            meta.update(metadata)
+        return save_checkpoint(path, self.gather(state), metadata=meta)
+
+    def restore(self, path):
+        """Load a global checkpoint into THIS simulation's layout (which
+        may use a different mesh shape / kernel K than the writer):
+        kernel kinds re-extend the global state into the per-shard halo
+        layout; engine kinds shard the plain arrays."""
+        from ..io.checkpoint import load_checkpoint
+
+        state, _ = load_checkpoint(path, self._global_template())
+        _, _, k, kind = self._plan
+        if kind == "pallas_cpml_k":
+            from .pallas_sharded_cpml import extend_pml_state
+
+            return extend_pml_state(
+                state, self._mesh, k, cpml=self._cpml_pad, axis=self.axis,
+                y_axis=self._y_axis,
+            )
+        if kind == "pallas_k":
+            from .pallas_sharded_k import extend_state
+
+            return extend_state(state, self._mesh, k, axes=self._ext_axes)
+        return state
+
     @property
     def _cpml_pad(self):
         if self.cpml is not None:

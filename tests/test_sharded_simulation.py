@@ -296,3 +296,57 @@ def test_compressed_materials_on_xla_path():
     assert float(jnp.abs(ref.ez).max()) > 1e-8
     np.testing.assert_allclose(np.asarray(g.ez), np.asarray(ref.ez),
                                rtol=0, atol=2e-6)
+
+
+def test_sharded_checkpoint_resume_mesh_change(tmp_path):
+    """Checkpoint/resume across a MESH-SHAPE change: a run on 8 shards
+    (K=2) is saved as a plain global checkpoint, restored into a 4-shard
+    simulation that dispatches K=4, and continued — the result must match
+    an uninterrupted single-device CPML K-step run, fields AND psi.
+    (The reference has no state persistence at all — SURVEY.md §5.)"""
+    from fdtd_tpu.solver.pallas_cpml import init_pml_kernel_state
+    from fdtd_tpu.solver.pallas_cpml_k import pallas_cpml_stepk_fn
+
+    shape = (64, 32, 256)
+    cpml = Cpml(thickness=((5, 5), (4, 4), (4, 4)))
+    grid = _grid(shape)
+    coeffs = _uniform_coeffs(grid)
+    src = _src(grid, (33, 16, 128))
+
+    sim8 = ShardedSimulation(grid=grid, coeffs=coeffs, sources=src,
+                             cpml=cpml, mesh=make_mesh(8, ("x",)),
+                             interpret=True, max_k=2)
+    k8, kind8 = sim8.plan()
+    assert kind8 == "pallas_cpml_k" and k8 == 2
+    st = sim8.run(sim8.init(), 2 * k8)
+    path = tmp_path / "ck.npz"
+    sim8.save(path, st, metadata={"note": "mesh-change resume"})
+
+    sim4 = ShardedSimulation(grid=grid, coeffs=coeffs, sources=src,
+                             cpml=cpml, mesh=make_mesh(4, ("x",)),
+                             interpret=True, max_k=4)
+    k4, kind4 = sim4.plan()
+    assert kind4 == "pallas_cpml_k" and k4 == 4
+    st4 = sim4.restore(path)
+    st4 = sim4.run(st4, 2 * k4)
+    got = sim4.gather(st4)
+    assert int(got.tick) == 2 * k8 + 2 * k4
+
+    ref_step = pallas_cpml_stepk_fn(
+        shape, 2, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, interpret=True,
+    )
+    ref = init_pml_kernel_state(shape, cpml=cpml)
+    for _ in range((2 * k8 + 2 * k4) // 2):
+        ref = ref_step(ref, coeffs, src)
+
+    for name in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)), np.asarray(getattr(ref, name)),
+            rtol=0, atol=1e-6, err_msg=name,
+        )
+    for i, (pr, pg) in enumerate(zip(ref.psi, got.psi)):
+        np.testing.assert_allclose(
+            np.asarray(pg), np.asarray(pr), rtol=0, atol=1e-6,
+            err_msg=f"psi[{i}]",
+        )
