@@ -397,6 +397,53 @@ def _selfcheck(ft, jax, jnp, np) -> bool:
         f"{'PASS' if good_fx else 'FAIL'}",
         file=sys.stderr,
     )
+
+    # volumetric-region (DensePml) kernel tier vs the XLA engine
+    from fdtd_tpu.scene.shapes import Ball
+    from fdtd_tpu.solver.engine import build_step as _bse
+    from fdtd_tpu.solver.engine import init_engine_state as _ies
+    from fdtd_tpu.solver.pml_region import (
+        dense_pml_from_depth,
+        depth_from_contains,
+        pad_dense_to_tiles,
+    )
+
+    ball = Ball(radius=5.0)
+    center = np.array([32.0, 16.0, 128.0])
+    dbox = ((26, 38), (10, 22), (122, 134))
+    d_h, d_e = depth_from_contains(
+        lambda p: ball.contains(p - center[:, None]), dbox, 0, +1
+    )
+    dense = pad_dense_to_tiles(
+        dense_pml_from_depth(0, dbox, d_h, d_e, spec=cpml.spec,
+                             dx=1.0, dt=dt, constants=ft.REDUCED),
+        shape,
+    )
+    deng = jax.jit(_bse(shape, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+                        constants=ft.REDUCED, cpml=cpml, dense=dense))
+    dest = _ies(shape, cpml=cpml, dense=dense)
+    for _ in range(n_ticks):
+        dest = deng(dest, coeffs, src)
+    jax.block_until_ready(dest)
+    dstep = jax.jit(pallas_cpml_stepk_fn(
+        shape, ck, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, dense=dense,
+    ))
+    dst = init_pml_kernel_state(shape, cpml=cpml, dense=dense)
+    for _ in range(n_ticks // ck):
+        dst = dstep(dst, coeffs, src)
+    jax.block_until_ready(dst)
+    err_d = max(
+        _rel_err(getattr(dst, f), getattr(dest, f), np)
+        for f in ("ex", "ey", "ez", "hx", "hy", "hz")
+    )
+    good_d = err_d < tol
+    ok = ok and good_d
+    print(
+        f"selfcheck DensePml K={ck}: rel_err {err_d:.2e} "
+        f"{'PASS' if good_d else 'FAIL'}",
+        file=sys.stderr,
+    )
     return ok
 
 
@@ -622,6 +669,66 @@ def main() -> None:
             except Exception as e:
                 print(f"{n}^3 CPML K={ck} failed: {e!r}", file=sys.stderr)
 
+        # interior absorber (DensePml ball) at kernel tier: before round 3
+        # any volumetric region forfeited the kernels entirely (XLA engine,
+        # ~1.9 Gcell/s); now it rides the CPML K kernel
+        if n == 256 and dev.platform == "tpu":
+            from fdtd_tpu.scene.shapes import Ball
+            from fdtd_tpu.solver.cpml import Cpml
+            from fdtd_tpu.solver.pallas_cpml import init_pml_kernel_state
+            from fdtd_tpu.solver.pallas_cpml_k import pallas_cpml_stepk_fn
+            from fdtd_tpu.solver.pml_region import (
+                dense_pml_from_depth,
+                depth_from_contains,
+                pad_dense_to_tiles,
+            )
+
+            try:
+                ball = Ball(radius=20.0)
+                ctr = np.array([128.0, 128.0, 128.0])
+                dbox = ((104, 152), (104, 152), (64, 192))
+                d_h, d_e = depth_from_contains(
+                    lambda p: ball.contains(p - ctr[:, None]), dbox, 0, +1
+                )
+                dense = pad_dense_to_tiles(
+                    dense_pml_from_depth(
+                        0, dbox, d_h, d_e, spec=Cpml.uniform(10).spec,
+                        dx=1.0, dt=grid.dt, constants=ft.REDUCED),
+                    shape,
+                )
+                dk = 8
+                dkstep = pallas_cpml_stepk_fn(
+                    shape, dk, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
+                    constants=ft.REDUCED, cpml=Cpml.uniform(10),
+                    max_sources=1, dense=dense,
+                )
+                dstate = init_pml_kernel_state(
+                    shape, cpml=Cpml.uniform(10), dense=dense)
+
+                def run_d(state, kk, _s=dkstep):
+                    def body(s, _):
+                        return _s(s, coeffs, src), None
+
+                    return jax.lax.scan(body, state, None, length=kk)[0]
+
+                rund_j = jax.jit(run_d, static_argnums=1)
+                d_calls = max(n_steps // dk, 1)
+                dstate = rund_j(dstate, d_calls)
+                _sync(dstate)
+                dt_wall, spread, dstate = _timed_min(
+                    lambda s: rund_j(s, d_calls), dstate, _sync)
+                print(
+                    f"{n}^3 CPML + interior ball absorber (in-kernel, "
+                    f"K={dk}): "
+                    f"{grid.num_cells*d_calls*dk/dt_wall/1e9:.3f} Gcell/s "
+                    f"[spread {spread:.0f}%]",
+                    file=sys.stderr,
+                )
+                del dstate, dkstep
+            except Exception as e:
+                print(f"{n}^3 interior-absorber tier failed: {e!r}",
+                      file=sys.stderr)
+
         # 512^3 absorbing: f32 is VMEM-capped at K=3; bf16 storage halves
         # the field blocks and unlocks K=4 (~1.6x) — report both
         if n == 512 and dev.platform == "tpu":
@@ -813,6 +920,66 @@ def main() -> None:
             del state
         except Exception as e:  # HBM or compile limits: report, don't fail
             print(f"1024^3 bf16 attempt failed: {e!r}", file=sys.stderr)
+
+        # K=2 temporally-blocked 1024^3 (aliased, bf16): 6(K-1)+2 = 8 f32
+        # carry planes at 1024^2 = 32 MB + the aliased pipeline's ~30
+        # plane-equivalents — near the VMEM cap; attempt and record the
+        # outcome either way (BASELINE config 5 upper bound)
+        try:
+            from fdtd_tpu.solver.pallas_stepk import pallas_stepk_fn as _psk
+
+            n = 1024
+            shape = (n, n, n)
+            res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.99)
+            grid = ft.Grid(shape=shape, resolution=res, constants=ft.REDUCED)
+            src = ft.SourceSet.build(
+                [ft.PointSource((n // 2,) * 3,
+                                ft.GaussianPulse(20 * grid.dt, 6 * grid.dt),
+                                j=(0.0, 0.0, 1.0))],
+                dtype=jnp.bfloat16,
+            )
+            table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+            coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
+            k2step = jax.jit(
+                _psk(shape, 2, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
+                     dtype=jnp.bfloat16, io_alias=True, max_sources=1),
+                donate_argnums=0,
+            )
+            state = ft.zero_state(shape, jnp.bfloat16)
+            state = k2step(state, coeffs, src)
+            _sync(state)
+            passes = 5
+
+            def _runk2(s):
+                for _ in range(passes):
+                    s = k2step(s, coeffs, src)
+                return s
+
+            dt_wall, spread, state = _timed_min(_runk2, state, _sync)
+            print(
+                f"1024^3 bf16 K=2 temporal blocking (in-place): "
+                f"{grid.num_cells*passes*2/dt_wall/1e9:.3f} Gcell/s "
+                f"[spread {spread:.0f}%]",
+                file=sys.stderr,
+            )
+            del state
+        except Exception as e:
+            print(
+                f"1024^3 K=2 blocked attempt failed (expected: carry "
+                f"planes at 1024^2 exceed VMEM): {e!r}", file=sys.stderr,
+            )
+        # 1024^3 ABSORBING is not reachable on one 16 GB chip: the
+        # un-aliased single-pass CPML kernel needs 2x field buffers
+        # (25.8 GB bf16) and its 1024^2 x-psi blocks blow the VMEM cap;
+        # the K kernel's carries don't fit either (see supports_cpml_k).
+        # Recorded as an explicit skip — the capability needs >= 2 chips
+        # (the sharded CPML tier) which this host doesn't have.
+        print(
+            "1024^3 CPML: skipped on 1 chip (psi slabs + un-aliased "
+            "single-pass exceed HBM; K-step carries exceed VMEM at "
+            "1024^2 planes) — needs the >=2-chip sharded tier",
+            file=sys.stderr,
+        )
 
     headline = results.get(512, results[max(results)])
     print(

@@ -31,3 +31,5 @@ result = scattering_cross_section(
 geo = np.pi * radius**2
 print(f"sigma_scat = {result.sigma_scat:.1f}  (geometric pi r^2 = {geo:.1f}, "
       f"ratio {result.sigma_scat / geo:.2f})")
+print(f"throughput: {result.gcell_per_s:.2f} Gcell/s incl. compile "
+      f"(on TPU the box-flux accumulator rides the K-step CPML kernel)")

@@ -36,6 +36,11 @@ class ScatteringResult:
     scattered_energy: float
     incident_fluence: float  # energy per area of the incident pulse
     grid: Grid
+    # wall-clock throughput of the main run, INCLUDING the one-time
+    # compile (cell-updates/s/1e9); on TPU the flux accumulator rides the
+    # K-step CPML kernel (solver/simulation.py flux path), so this runs at
+    # kernel tier rather than single-stepping
+    gcell_per_s: float = 0.0
 
 
 class _BoxFluxAccumulator:
@@ -192,8 +197,13 @@ def scattering_cross_section(
     flux = _BoxFluxAccumulator(box, areas, dt)
 
     state = sim.init()
+    import time
+
+    t0 = time.perf_counter()
     state, _, (scattered,) = sim.run(state, n_steps, accumulators=(flux,))
-    scattered_energy = float(scattered) * dt
+    scattered_energy = float(scattered) * dt  # forces completion
+    elapsed = time.perf_counter() - t0
+    gcell = float(np.prod(shape)) * n_steps / elapsed / 1e9
 
     # incident fluence: integral of |E_inc|^2/eta dt for the aux waveform
     # (unit-amplitude plane wave energy per area)
@@ -206,5 +216,6 @@ def scattering_cross_section(
         sigma_scat=scattered_energy / fluence,
         scattered_energy=scattered_energy,
         incident_fluence=fluence,
+        gcell_per_s=gcell,
         grid=compiled.grid,
     )

@@ -524,14 +524,19 @@ def make_pallas_sharded_cpml_stepk(
             "decomposition cuts them — use a 1-D x mesh (or the engine)"
         )
     nx, ny, nz = shape
-    if matid is not None and (ny % 32 != 0 or n_materials > 256):
-        raise ValueError("matid mode needs ny % 32 == 0 and <= 256 materials")
     n_mat = n_materials if matid is not None else 1
     nl = nx // n_dev
     k = int(k_steps)
     nle = nl + 2 * k
     nly = ny // n_dy
     ny_ext = nly + 2 * k if two_d else ny
+    if matid is not None and (ny_ext % 32 != 0 or n_materials > 256):
+        # the uint8 tile constraint applies to the PER-SHARD lateral
+        # extent (extended under 2-D), matching best.py's dispatch check
+        raise ValueError(
+            "matid mode needs the per-shard lateral extent % 32 == 0 and "
+            "<= 256 materials"
+        )
     shape_ext = (nle, ny_ext, nz)
     inv_dx = tuple(float(v) for v in inv_dx)
     constants_key = "si" if constants is SI or constants == SI else "reduced"
@@ -715,7 +720,7 @@ def make_pallas_sharded_cpml_stepk(
             # shard-local extended rows -> GLOBAL (K, nx, n_q): keep the
             # owned planes, scatter to global positions, psum over x
             n_q = len(flux_faces)
-            rows_ext = jnp.stack(outs[6 + n_psi:])[:, 1: nle + 1]
+            rows_ext = jnp.stack(outs[6 + n_psi:])[:, 1: nle + 1, 0, :n_q]
             owned = rows_ext[:, k: k + nl]
             zero32 = jnp.zeros((), jnp.int32)
             glob = lax.dynamic_update_slice(

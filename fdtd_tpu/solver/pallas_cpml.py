@@ -199,13 +199,20 @@ def _profiles(shape, cpml, inv_dx, dt, constants):
     return profs
 
 
-def init_pml_kernel_state(shape, dtype=jnp.float32, *, cpml, tfsf=None):
+def init_pml_kernel_state(shape, dtype=jnp.float32, *, cpml, tfsf=None,
+                          dense=None):
     # psi AND the TF/SF aux line are always f32: both are recurrences whose
     # bf16 rounding measurably degrades the solution (tests/test_bf16_study)
     # and whose memory footprint is marginal; only the six volumetric field
     # arrays take the (possibly bf16) storage dtype.
     z = lambda s: jnp.zeros(s, jnp.float32)
     psi = tuple(z(ts) for *_, ts, _ in _psi_layout(shape, cpml))
+    if dense is not None:
+        # volumetric-region psi volume consumed by the K-step kernel's
+        # DensePml path: slots (h,c0),(h,c1),(e,c0),(e,c1) with a trash
+        # plane at box-x index 0 (pallas_cpml_k.py dense_spec)
+        bx, by, bz = dense.box_shape
+        psi = psi + (z((4, bx + 1, by, bz)),)
     if tfsf is not None:
         aux_e, aux_h = tfsf.init_aux(shape[0], jnp.float32)
     else:
@@ -248,9 +255,12 @@ def supports_cpml(shape, bc, cpml, dtype=jnp.float32) -> bool:
 
 
 def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes, n_src,
-                 n_materials, tfsf_box, with_m=False):
+                 n_materials, tfsf_box, with_m=False, dense_spec=None):
     inv_x, inv_y, inv_z = inv_dx
     n_psi = len(layout)
+    if dense_spec is not None:
+        a_d, (dx0, dx1), (dy0, dy1), (dz0, dz1) = dense_spec
+        comps_d = _AXIS_COMPS[a_d]
 
     def kernel(*refs):
         k = 0
@@ -270,11 +280,16 @@ def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes, n_src,
                     strip_prof[(half, axis)] = refs[k]; k += 1
         if n_materials > 1:
             mid_r = refs[k]; k += 1
+        if dense_spec is not None:
+            dco_ref = refs[k]; k += 1
+            dpsi_in = refs[k]; k += 1
         ex_r, ey_r, ez_r, hx_r, hy_r, hz_r, eyl_r, ezl_r = refs[k: k + 8]
         k += 8
         psi_in = refs[k: k + n_psi]; k += n_psi
         outs = refs[k: k + 6]; k += 6
         psi_out = refs[k: k + n_psi]; k += n_psi
+        if dense_spec is not None:
+            dpsi_out = refs[k]; k += 1
         s_hy, s_hz = refs[k], refs[k + 1]
 
         i = pl.program_id(0)
@@ -329,9 +344,50 @@ def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes, n_src,
 
         half_idx = {"h": 0, "e": 1}
 
+        def dense_stretch(half, comp, raw):
+            """Volumetric-region (DensePml) stretch BEFORE the slab
+            stretch on the same term (disjoint along the region axis —
+            engine.py composition order). Single-pass form of the K
+            kernel's dense path: the region psi volume is plane-blocked
+            with a trash plane at box index 0; all reads/writes are
+            where-gated on the plane being inside the box x extent."""
+            j = half_idx[half] * 2 + comps_d.index(comp)
+            in_box = jnp.logical_and(p >= dx0, p < dx1)
+            sub = raw[dy0:dy1, dz0:dz1]
+            base = half_idx[half] * 3
+            ik_d = dco_ref[base + 0, 0]
+            b_d = dco_ref[base + 1, 0]
+            c_d = dco_ref[base + 2, 0]
+            p_new = jnp.where(
+                in_box, b_d * dpsi_in[j, 0] + c_d * sub, 0.0
+            )
+            dpsi_out[j, 0] = p_new
+            new_sub = jnp.where(in_box, ik_d * sub + p_new, sub)
+            if dz0 > 0 or dz1 < nz:
+                mid_rows = raw[dy0:dy1]
+                parts = []
+                if dz0 > 0:
+                    parts.append(mid_rows[:, :dz0])
+                parts.append(new_sub)
+                if dz1 < nz:
+                    parts.append(mid_rows[:, dz1:])
+                mid = jnp.concatenate(parts, axis=1)
+            else:
+                mid = new_sub
+            pieces = []
+            if dy0 > 0:
+                pieces.append(raw[:dy0])
+            pieces.append(mid)
+            if dy1 < ny:
+                pieces.append(raw[dy1:])
+            return (pieces[0] if len(pieces) == 1
+                    else jnp.concatenate(pieces, axis=0))
+
         def stretch(half, axis, comp, raw):
             """Apply the CPML recurrence to a raw (already * inv_dx)
             derivative plane; returns the stretched plane and writes psi."""
+            if dense_spec is not None and axis == a_d:
+                raw = dense_stretch(half, comp, raw)
             if axis == 0:
                 key = (half, 0, comp, "lo")
                 if key not in psi_slot:
@@ -521,7 +577,7 @@ def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes, n_src,
 @functools.lru_cache(maxsize=16)
 def _build_call(shape, inv_dx, cpml, with_tfsf, tfsf_planes, dt, constants_key,
                 interpret, n_src=0, n_materials=1, tfsf_box=None,
-                with_m=False, dtype_name="float32"):
+                with_m=False, dtype_name="float32", dense_spec=None):
     constants = SI if constants_key == "si" else _REDUCED()
     nx, ny, nz = shape
     layout = _psi_layout(shape, cpml)
@@ -587,17 +643,40 @@ def _build_call(shape, inv_dx, cpml, with_tfsf, tfsf_planes, dt, constants_key,
                 strip_inputs.append(profs[(half, axis)])
     if n_materials > 1:
         in_specs.append(main_spec)  # uint8 matid plane
+    dpsi_specs, dpsi_shapes = [], []
+    if dense_spec is not None:
+        # volumetric-region operands (see pallas_cpml_k.py dense path):
+        # (6, 1, by, bz) coefficient blocks clamped to the box x extent,
+        # and the (4, bx+1, by, bz) psi volume with trash plane 0
+        _, (ddx0, ddx1), (ddy0, ddy1), (ddz0, ddz1) = dense_spec
+        bx_d, by_d, bz_d = ddx1 - ddx0, ddy1 - ddy0, ddz1 - ddz0
+        in_specs.append(pl.BlockSpec(
+            (6, 1, by_d, bz_d),
+            lambda i: (0, jnp.clip(nx - 1 - i - ddx0, 0, bx_d - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+
+        def dpsi_idx(i):
+            return (0, jnp.clip(nx - 1 - i - ddx0 + 1, 0, bx_d), 0, 0)
+
+        in_specs.append(pl.BlockSpec(
+            (4, 1, by_d, bz_d), dpsi_idx, memory_space=pltpu.VMEM))
+        dpsi_specs.append(pl.BlockSpec(
+            (4, 1, by_d, bz_d), dpsi_idx, memory_space=pltpu.VMEM))
+        dpsi_shapes.append(
+            jax.ShapeDtypeStruct((4, bx_d + 1, by_d, bz_d), f32))
     in_specs += [main_spec] * 6 + [halo_spec] * 2
     in_specs += psi_specs
 
-    out_specs = tuple([main_spec] * 6 + psi_specs)
+    out_specs = tuple([main_spec] * 6 + psi_specs + dpsi_specs)
     out_shape = tuple(
         [jax.ShapeDtypeStruct(shape, jnp.dtype(dtype_name)) for _ in range(6)]
         + [jax.ShapeDtypeStruct(ts, f32) for *_, ts, _ in layout]
+        + dpsi_shapes
     )
 
     kernel = _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes,
-                          n_src, n_materials, tfsf_box, with_m)
+                          n_src, n_materials, tfsf_box, with_m, dense_spec)
     # NOTE: input_output_aliases were tried here (semantically race-free
     # with the descending sweep) but the aliased many-operand custom call
     # MISCOMPILES under lax.scan on the axon TPU runtime for some configs
@@ -646,6 +725,7 @@ def pallas_cpml_step_fn(
     n_materials: int = 1,
     with_m: bool = False,
     dtype=jnp.float32,
+    dense=None,
 ):
     """Build step(state: PmlKernelState, coeffs, sources) with CPML (and
     optionally slab TF/SF) applied inside the fused kernel. Uniform scalar
@@ -686,11 +766,39 @@ def pallas_cpml_step_fn(
     tfsf_box = None
     if tfsf is not None and tfsf.is_box:
         tfsf_box = (tuple(tfsf.span_y), tuple(tfsf.span_z))
+    dense_spec = None
+    dco = None
+    if dense is not None:
+        dense.validate(shape)
+        _, by_d, bz_d = dense.box_shape
+        (dy0_d, _), (dz0_d, _) = dense.box[1], dense.box[2]
+        if (by_d % 8 != 0 or bz_d % 128 != 0
+                or dy0_d % 8 != 0 or dz0_d % 128 != 0):
+            raise ValueError(
+                "DensePml region box (extents AND offsets) must be "
+                "tile-aligned for the kernel path "
+                "(pml_region.pad_dense_to_tiles)"
+            )
+        if dense.axis in set(cpml.active_axes()):
+            (bx0, bx1) = dense.box[dense.axis]
+            lo_t, hi_t = cpml.thickness[dense.axis]
+            n_ax = shape[dense.axis]
+            if bx0 < lo_t or bx1 > n_ax - hi_t:
+                raise ValueError(
+                    "DensePml region overlaps a boundary CPML slab on "
+                    f"axis {dense.axis}"
+                )
+        dense_spec = (dense.axis, *(tuple(b) for b in dense.box))
+        dco = jnp.stack(
+            [jnp.asarray(c, jnp.float32)
+             for c in (*dense.coeffs_h, *dense.coeffs_e)]
+        )
     call, x_inputs, strip_inputs, layout = _build_call(
         tuple(shape), inv_dx, cpml, tfsf is not None, tfsf_planes,
         float(dt), constants_key, interpret, int(max_sources), n_mat,
-        tfsf_box, bool(with_m), jnp.dtype(dtype).name,
+        tfsf_box, bool(with_m), jnp.dtype(dtype).name, dense_spec,
     )
+    n_psi = len(layout)
 
     def step(state: PmlKernelState, coeffs, sources) -> PmlKernelState:
         if matid is not None:
@@ -736,13 +844,18 @@ def pallas_cpml_step_fn(
         args += strip_inputs
         if matid is not None:
             args.append(matid)
+        if dense is not None:
+            args.append(dco)
+            args.append(state.psi[-1])  # region psi volume
         args += [state.ex, state.ey, state.ez, state.hx, state.hy, state.hz,
                  state.ey, state.ez]
-        args += list(state.psi)
+        args += list(state.psi[:n_psi])
         outs = call(*args)
         e = outs[0:3]
         h = outs[3:6]
-        psi = tuple(outs[6:])
+        psi = tuple(outs[6: 6 + n_psi])
+        if dense is not None:
+            psi = psi + (outs[6 + n_psi],)
 
         if max_sources == 0 and sources is not None and sources.num_sources > 0:
             t = state.tick.astype(jnp.float32) * jnp.float32(dt)

@@ -45,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import SI, PhysicalConstants
 from .boundary import BoundaryConditions
 from .pallas_cpml import (
+    _AXIS_COMPS,
     PmlKernelState,
     _pad8,
     _pad128,
@@ -66,7 +67,8 @@ _USE_IO_ALIASES = True
 __all__ = ["pallas_cpml_stepk_fn", "supports_cpml_k"]
 
 
-def supports_cpml_k(shape, bc, cpml, k: int, dtype=jnp.float32) -> bool:
+def supports_cpml_k(shape, bc, cpml, k: int, dtype=jnp.float32,
+                    dense=None) -> bool:
     if not supports_cpml(shape, bc, cpml, dtype):
         return False
     if not (2 <= k <= 10):
@@ -82,6 +84,15 @@ def supports_cpml_k(shape, bc, cpml, k: int, dtype=jnp.float32) -> bool:
     plane_f32 = shape[1] * shape[2] * 4
     plane_store = shape[1] * shape[2] * jnp.dtype(dtype).itemsize
     vmem = 16 * (k - 1) * plane_f32 + 22 * plane_f32 + 28 * plane_store
+    if dense is not None:
+        _, by, bz = dense.box_shape
+        (dy0, _), (dz0, _) = dense.box[1], dense.box[2]
+        # region blocks must be tile-complete AND the stitching slices
+        # tile-aligned (Mosaic constraints);
+        # pml_region.pad_dense_to_tiles aligns a box
+        if by % 8 != 0 or bz % 128 != 0 or dy0 % 8 != 0 or dz0 % 128 != 0:
+            return False
+        vmem += (4 * (k - 1) + 28) * by * bz * 4
     if vmem > 90 * (1 << 20):
         return False
     return True
@@ -90,13 +101,18 @@ def supports_cpml_k(shape, bc, cpml, k: int, dtype=jnp.float32) -> bool:
 def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                  tfsf_box, n_src, n_materials, runtime_edges=False,
                  with_m=False, runtime_tfsf=False, y_halo=0,
-                 flux_faces=()):
+                 flux_faces=(), dense_spec=None):
     inv_x, inv_y, inv_z = inv_dx
     n_psi = len(layout)
     # x-axis terms share one carry per (half, comp); y/z one per term
     x_terms = sorted({(h, c) for h, a, c, *_ in layout if a == 0})
     yz_terms = [(h, a, c, pads) for h, a, c, end, _, pads in layout
                 if a != 0]
+    if dense_spec is not None:
+        a_d, (dx0, dx1), (dy0, dy1), (dz0, dz1) = dense_spec
+        comps_d = _AXIS_COMPS[a_d]
+        bx_d = dx1 - dx0
+    n_dense = 4 if dense_spec is not None else 0
 
     def kernel(*refs):
         k = 0
@@ -123,18 +139,24 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                     strip_prof[(half, axis)] = refs[k]; k += 1
         if n_materials > 1:
             mid_refs = refs[k: k + k_steps]; k += k_steps
+        if dense_spec is not None:
+            dco_refs = refs[k: k + k_steps]; k += k_steps
+            dpsi_in = refs[k]; k += 1
         ex_r, ey_r, ez_r, hx_r, hy_r, hz_r, eyl_r, ezl_r = refs[k: k + 8]
         k += 8
         psi_in = refs[k: k + n_psi]; k += n_psi
         outs = refs[k: k + 6]; k += 6
         psi_out = refs[k: k + n_psi]; k += n_psi
+        if dense_spec is not None:
+            dpsi_out = refs[k]; k += 1
         flux_out = ()
         if flux_faces:
             flux_out = refs[k: k + k_steps]; k += k_steps
         scratch = refs[k:]
-        # scratch: per level 1..K-1: 6 field planes + 12 psi slots; then
-        # hy_top/hz_top
-        slot_per_lvl = 6 + len(x_terms) + len(yz_terms)
+        # scratch: per level 1..K-1: 6 field planes + 12 psi slots
+        # (+ 4 dense-region psi slots); then hy_top/hz_top
+        n_terms = len(x_terms) + len(yz_terms)
+        slot_per_lvl = 6 + n_terms + n_dense
         c_lvl = [scratch[slot_per_lvl * i: slot_per_lvl * (i + 1)]
                  for i in range(k_steps - 1)]
         c_topy, c_topz = scratch[slot_per_lvl * (k_steps - 1):]
@@ -198,21 +220,74 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
             psi_hbm[(half, axis, comp, end)] = (idx, pads)
 
         # read ALL carries before the stage loop overwrites them
-        prev_e, prev_h, prev_psi = {}, {}, {}
+        prev_e, prev_h, prev_psi, prev_dpsi = {}, {}, {}, {}
         for lvl in range(1, k_steps):
             regs = c_lvl[lvl - 1]
             prev_e[lvl] = tuple(regs[c][...] for c in range(3))
             prev_h[lvl] = tuple(regs[3 + c][...] for c in range(3))
-            prev_psi[lvl] = [r[...] for r in regs[6:]]
+            prev_psi[lvl] = [r[...] for r in regs[6: 6 + n_terms]]
+            prev_dpsi[lvl] = [r[...] for r in regs[6 + n_terms:]]
         top_y = c_topy[...]
         top_z = c_topz[...]
 
         half_idx = {"h": 0, "e": 1}
+        dpsi_holder = [None]  # the current stage's new dense-psi slots
+
+        def dense_stretch(stage, q, half, comp, raw):
+            """Volumetric-region (DensePml) stretch, applied BEFORE the
+            boundary-slab stretch on the same term (their live regions are
+            disjoint along the region axis, so composition is exact —
+            engine.py order). The per-cell psi volume is plane-local, so
+            it rides the same carry pattern as the slab psi: level stage-1
+            from HBM (via the box-clamped block map with a trash plane) or
+            the carry; level K back through the clamped out map. All
+            reads/writes are where-gated on the plane being inside the
+            box's x extent — clipped fill/drain garbage lands on planes
+            later overwritten by their real visit (descending sweep)."""
+            j = half_idx[half] * 2 + comps_d.index(comp)
+            in_box = jnp.logical_and(q >= dx0, q < dx1)
+            sub = raw[dy0:dy1, dz0:dz1]
+            cof = dco_refs[stage - 1]
+            base = half_idx[half] * 3
+            ik = cof[base + 0, 0]
+            b = cof[base + 1, 0]
+            c = cof[base + 2, 0]
+            if stage == 1:
+                p0 = dpsi_in[j, 0]
+            else:
+                p0 = prev_dpsi[stage - 1][j]
+            p_new = jnp.where(in_box, b * p0 + c * sub, 0.0)
+            if stage == k_steps:
+                dpsi_out[j, 0] = p_new
+            else:
+                dpsi_holder[0][j] = p_new
+            new_sub = jnp.where(in_box, ik * sub + p_new, sub)
+            if dz0 > 0 or dz1 < nz:
+                mid_rows = raw[dy0:dy1]
+                parts = []
+                if dz0 > 0:
+                    parts.append(mid_rows[:, :dz0])
+                parts.append(new_sub)
+                if dz1 < nz:
+                    parts.append(mid_rows[:, dz1:])
+                mid = jnp.concatenate(parts, axis=1)
+            else:
+                mid = new_sub
+            pieces = []
+            if dy0 > 0:
+                pieces.append(raw[:dy0])
+            pieces.append(mid)
+            if dy1 < ny:
+                pieces.append(raw[dy1:])
+            return (pieces[0] if len(pieces) == 1
+                    else jnp.concatenate(pieces, axis=0))
 
         def stretch(stage, q, half, axis, comp, raw, new_psi_lvl):
             """CPML stretch at plane q for tick `stage`; psi level stage-1
             comes from HBM (stage 1) or the carry; the new level goes to
             `new_psi_lvl` (list) or HBM out (stage K)."""
+            if dense_spec is not None and axis == a_d:
+                raw = dense_stretch(stage, q, half, comp, raw)
             if axis == 0:
                 if (half, 0, comp, "lo") not in psi_hbm:
                     return raw
@@ -352,7 +427,8 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                 e_here, h_here = prev_e[st - 1], prev_h[st - 1]
                 e_xm = (None, below_e[1], below_e[2])
 
-            new_psi_lvl = [None] * (len(x_terms) + len(yz_terms))
+            new_psi_lvl = [None] * n_terms
+            dpsi_holder[0] = [None] * n_dense
 
             at_lo = q <= lo_edge
             dez_x = stretch(st, q, "h", 0, 2,
@@ -492,26 +568,40 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
             # Sampled AFTER the tick's source injection, matching the
             # engine's step-then-update accumulator order.
             if flux_faces:
+                # full-plane products shared across same-axis descriptors;
+                # lateral rows are selected with iota MASKS (slicing a
+                # single sublane row hits Mosaic "offset change")
+                s_x = s_y = s_z = None
+                if any(fd[0] == "x" for fd in flux_faces):
+                    s_x = ek[1] * hk[2] - ek[2] * hk[1]
+                if any(fd[0] == "y" for fd in flux_faces):
+                    s_y = ek[2] * hk[0] - ek[0] * hk[2]
+                if any(fd[0] == "z" for fd in flux_faces):
+                    s_z = ek[0] * hk[1] - ek[1] * hk[0]
                 vals = []
                 for fd in flux_faces:
                     if fd[0] == "x":
-                        s = jnp.sum(ek[1] * hk[2] - ek[2] * hk[1])
+                        s = jnp.sum(s_x)
                     elif fd[0] == "y":
-                        y0 = fd[1]
-                        s = jnp.sum(
-                            ek[2][y0] * hk[0][y0] - ek[0][y0] * hk[2][y0]
-                        )
+                        s = jnp.sum(jnp.where(iy == fd[1], s_y, 0.0))
                     else:
-                        z0 = fd[1]
-                        s = jnp.sum(
-                            ek[0][:, z0] * hk[1][:, z0]
-                            - ek[1][:, z0] * hk[0][:, z0]
-                        )
+                        s = jnp.sum(jnp.where(iz == fd[1], s_z, 0.0))
                     vals.append(s)
-                flux_out[st - 1][0, :] = jnp.stack(vals)
+                # one full (8, 128) tile per plane row (Mosaic wants the
+                # last two block dims tile-complete); values in row 0,
+                # placed with iota masks (.at[].set is a scatter, which
+                # Mosaic does not lower)
+                t8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                t128 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                tile = jnp.zeros((8, 128), f32)
+                for jq, s in enumerate(vals):
+                    tile = jnp.where(
+                        jnp.logical_and(t8 == 0, t128 == jq), s, tile
+                    )
+                flux_out[st - 1][0] = tile
 
             if st < k_steps:
-                new_carries[st] = (ek, hk, new_psi_lvl)
+                new_carries[st] = (ek, hk, new_psi_lvl, dpsi_holder[0])
                 below_e, below_h = ek, hk
             else:
                 out_fields = (ek, hk)
@@ -525,13 +615,16 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
             outs[3 + c][0] = hK[c].astype(outs[3 + c].dtype)
         for lvl in range(1, k_steps):
             regs = c_lvl[lvl - 1]
-            ek, hk, psis = new_carries[lvl]
+            ek, hk, psis, dpsis = new_carries[lvl]
             for c in range(3):
                 regs[c][...] = ek[c]
                 regs[3 + c][...] = hk[c]
             for j, v in enumerate(psis):
                 if v is not None:
                     regs[6 + j][...] = v
+            for j, v in enumerate(dpsis):
+                if v is not None:
+                    regs[6 + n_terms + j][...] = v
         c_topy[...] = hK[1]
         c_topz[...] = hK[2]
 
@@ -543,7 +636,8 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
                 dt, constants_key, interpret, n_src, n_materials=1,
                 x_extra=0, runtime_edges=False, runtime_xprof=False,
                 with_m=False, dtype_name="float32", runtime_tfsf=False,
-                y_halo=0, runtime_ystrips=False, flux_faces=()):
+                y_halo=0, runtime_ystrips=False, flux_faces=(),
+                dense_spec=None):
     from ..constants import REDUCED
 
     constants = SI if constants_key == "si" else REDUCED
@@ -643,6 +737,30 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
             pl.BlockSpec(plane, stage_idx(j), memory_space=pltpu.VMEM)
             for j in range(k_steps)
         ]
+    if dense_spec is not None:
+        # volumetric-region (DensePml) operands: per-stage (6, 1, by, bz)
+        # coefficient blocks [ik_h, b_h, c_h, ik_e, b_e, c_e] clamped to
+        # the box x extent, and the (4, bx+1, by, bz) psi volume (slots
+        # (h,c0),(h,c1),(e,c0),(e,c1); plane 0 is the trash plane) blocked
+        # at the stage-1 plane like the x-psi slabs
+        _, (ddx0, ddx1), (ddy0, ddy1), (ddz0, ddz1) = dense_spec
+        bx_d, by_d, bz_d = ddx1 - ddx0, ddy1 - ddy0, ddz1 - ddz0
+
+        def dco_idx(j):
+            return lambda i: (
+                0, jnp.clip(nx - 1 - i + j - ddx0, 0, bx_d - 1), 0, 0
+            )
+
+        in_specs += [
+            pl.BlockSpec((6, 1, by_d, bz_d), dco_idx(j),
+                         memory_space=pltpu.VMEM)
+            for j in range(k_steps)
+        ]
+        in_specs.append(pl.BlockSpec(
+            (4, 1, by_d, bz_d),
+            lambda i: (0, jnp.clip(nx - 1 - i - ddx0 + 1, 0, bx_d), 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
     in_specs += [in_spec] * 6 + [halo_spec] * 2
     in_specs += psi_in_specs
 
@@ -652,26 +770,43 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
     # onto the trash rows 0 / nx+1 during fill/drain)
     flux_specs, flux_shapes = [], []
     if flux_faces:
-        n_q = len(flux_faces)
         for j in range(k_steps):
             flux_specs.append(pl.BlockSpec(
-                (1, n_q),
-                lambda i, j=j: (jnp.clip(nx - i + j, 0, nx + 1), 0),
+                (1, 8, 128),
+                lambda i, j=j: (jnp.clip(nx - i + j, 0, nx + 1), 0, 0),
                 memory_space=pltpu.VMEM,
             ))
-            flux_shapes.append(jax.ShapeDtypeStruct((nx + 2, n_q), f32))
+            flux_shapes.append(jax.ShapeDtypeStruct((nx + 2, 8, 128), f32))
 
-    out_specs = tuple([out_spec] * 6 + psi_out_specs + flux_specs)
+    dpsi_out_specs, dpsi_shapes = [], []
+    if dense_spec is not None:
+        dpsi_out_specs.append(pl.BlockSpec(
+            (4, 1, by_d, bz_d),
+            lambda i: (
+                0,
+                jnp.clip(nx - 1 - i + (k_steps - 1) - ddx0 + 1, 0, bx_d),
+                0, 0,
+            ),
+            memory_space=pltpu.VMEM,
+        ))
+        dpsi_shapes.append(
+            jax.ShapeDtypeStruct((4, bx_d + 1, by_d, bz_d), f32)
+        )
+
+    out_specs = tuple(
+        [out_spec] * 6 + psi_out_specs + dpsi_out_specs + flux_specs
+    )
     out_shape = tuple(
         [jax.ShapeDtypeStruct(shape, jnp.dtype(dtype_name)) for _ in range(6)]
         + [jax.ShapeDtypeStruct(ts, f32) for *_, ts, _ in layout]
+        + dpsi_shapes
         + flux_shapes
     )
 
     kernel, x_terms, yz_terms = _make_kernel(
         shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes, tfsf_box,
         n_src, n_materials, runtime_edges, with_m, runtime_tfsf, y_halo,
-        flux_faces,
+        flux_faces, dense_spec,
     )
 
     # scratch per level: 6 field planes + per-term psi slots
@@ -684,6 +819,8 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
                 slots.append(pltpu.VMEM((plo + phi, nz), f32))
             else:
                 slots.append(pltpu.VMEM((ny, plo + phi), f32))
+        if dense_spec is not None:
+            slots += [pltpu.VMEM((by_d, bz_d), f32) for _ in range(4)]
         return slots
 
     scratch = []
@@ -697,8 +834,13 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
         io_aliases[n_small + 8 + j] = 6 + j
 
     plane_bytes = ny * nz * 4
+    dense_bytes = (
+        (4 * (k_steps - 1) + 28) * by_d * bz_d * 4
+        if dense_spec is not None else 0
+    )
     vmem_limit = min(
-        int(plane_bytes * (80 + 30 * k_steps) + (8 << 20)), 120 * (1 << 20)
+        int(plane_bytes * (80 + 30 * k_steps) + dense_bytes + (8 << 20)),
+        120 * (1 << 20),
     )
     call = pl.pallas_call(
         kernel,
@@ -732,6 +874,7 @@ def pallas_cpml_stepk_fn(
     with_m: bool = False,
     dtype=jnp.float32,
     flux_faces=(),
+    dense=None,
 ):
     """Build step(state: PmlKernelState, coeffs, sources) advancing
     ``k_steps`` absorbing ticks per call. Uniform scalar coefficients;
@@ -746,8 +889,14 @@ def pallas_cpml_stepk_fn(
     (K, nx, n_q) f32 — tick level on axis 0, lattice plane on axis 1 —
     at near-zero extra HBM traffic (K*nx*n_q scalars per pass). This is
     what lets per-tick accumulators (scattering box flux) ride the
-    K-step kernel instead of forcing single-stepping."""
-    if not supports_cpml_k(shape, bc, cpml, k_steps, dtype):
+    K-step kernel instead of forcing single-stepping.
+
+    ``dense`` (a solver.pml_region.DensePml) applies the volumetric
+    per-cell uniaxial stretch IN-KERNEL on its AABB subgrid (interior
+    absorbers of any shape, engine.py semantics); the state must come
+    from init_pml_kernel_state(..., dense=dense), which appends the
+    (4, bx+1, by, bz) region psi volume to ``psi``."""
+    if not supports_cpml_k(shape, bc, cpml, k_steps, dtype, dense=dense):
         raise ValueError(f"CPML K-step kernel does not support {shape=} {k_steps=}")
     if with_m and max_sources == 0:
         raise ValueError("with_m requires in-kernel sources (max_sources > 0)")
@@ -775,11 +924,30 @@ def pallas_cpml_stepk_fn(
     if matid is not None and shape[1] % 32 != 0:
         raise ValueError("matid mode needs ny % 32 == 0 (uint8 tile)")
     n_mat = n_materials if matid is not None else 1
+    dense_spec = None
+    dco = None
+    if dense is not None:
+        dense.validate(shape)
+        if dense.axis in set(cpml.active_axes()):
+            (bx0, bx1) = dense.box[dense.axis]
+            lo_t, hi_t = cpml.thickness[dense.axis]
+            n_ax = shape[dense.axis]
+            if bx0 < lo_t or bx1 > n_ax - hi_t:
+                raise ValueError(
+                    "DensePml region overlaps a boundary CPML slab on "
+                    f"axis {dense.axis}"
+                )
+        dense_spec = (dense.axis, *(tuple(b) for b in dense.box))
+        dco = jnp.stack(
+            [jnp.asarray(c, jnp.float32)
+             for c in (*dense.coeffs_h, *dense.coeffs_e)]
+        )
     call, x_inputs, strip_inputs = _build_call(
         tuple(shape), inv_dx, cpml, int(k_steps), tfsf is not None,
         tfsf_planes, tfsf_box, float(dt), constants_key, interpret,
         int(max_sources), n_mat, 0, False, False, bool(with_m),
         jnp.dtype(dtype).name, flux_faces=tuple(flux_faces),
+        dense_spec=dense_spec,
     )
     n_psi = len(_psi_layout(tuple(shape), cpml))
 
@@ -829,19 +997,29 @@ def pallas_cpml_stepk_fn(
         args += strip_inputs
         if matid is not None:
             args += [matid] * k_steps
+        if dense is not None:
+            args += [dco] * k_steps
+            args.append(state.psi[-1])  # region psi volume (init ...dense=)
         args += [state.ex, state.ey, state.ez, state.hx, state.hy, state.hz,
                  state.ey, state.ez]
-        args += list(state.psi)
+        args += list(state.psi[:n_psi])
         outs = call(*args)
+        psi_new = tuple(outs[6: 6 + n_psi])
+        n_out = 6 + n_psi
+        if dense is not None:
+            psi_new = psi_new + (outs[n_out],)
+            n_out += 1
         new = PmlKernelState(
             ex=outs[0], ey=outs[1], ez=outs[2],
             hx=outs[3], hy=outs[4], hz=outs[5],
-            tick=state.tick + k_steps, psi=tuple(outs[6: 6 + n_psi]),
+            tick=state.tick + k_steps, psi=psi_new,
             aux_e=aux_e, aux_h=aux_h,
         )
         if flux_faces:
-            # (K, nx, n_q): drop the trash rows
-            flux_rows = jnp.stack(outs[6 + n_psi:])[:, 1: nx + 1]
+            # (K, nx, n_q): drop the trash rows and the tile padding
+            flux_rows = jnp.stack(outs[n_out:])[
+                :, 1: nx + 1, 0, : len(flux_faces)
+            ]
             return new, flux_rows
         return new
 

@@ -39,7 +39,8 @@ import numpy as np
 from ..constants import PhysicalConstants
 from .pml import GradedPmlSpec, graded_profiles, pml_bc
 
-__all__ = ["DensePml", "dense_pml_from_depth", "depth_from_contains"]
+__all__ = ["DensePml", "dense_pml_from_depth", "depth_from_contains",
+           "pad_dense_to_tiles"]
 
 Box = Tuple[Tuple[int, int], Tuple[int, int], Tuple[int, int]]
 
@@ -109,6 +110,57 @@ def dense_pml_from_depth(
     region = DensePml(axis=axis, box=tuple(tuple(b) for b in box),
                       coeffs_h=coeffs(depth_h), coeffs_e=coeffs(depth_e))
     return region
+
+
+def pad_dense_to_tiles(dense: DensePml, shape) -> DensePml:
+    """Expand a region's lateral box to TPU tile alignment — OFFSETS
+    down-aligned (y to 8, z to 128) and extents grown to tile multiples —
+    padding the coefficient volumes with the identity stretch (ik=1,
+    b=c=0). The Pallas kernels' region blocks must be tile-complete AND
+    the in-plane stitching slices tile-aligned (Mosaic rejects
+    concatenation of sub-tile-offset slices). No-op when already aligned;
+    the x extent is untouched (blocked per plane). Raises when the grid
+    is too small to hold an aligned box."""
+    (x0, x1), (y0, y1), (z0, z1) = dense.box
+    ny, nz = shape[1], shape[2]
+
+    def grow(a0, a1, mult, n):
+        a0n = (a0 // mult) * mult
+        size = -(-(a1 - a0n) // mult) * mult
+        if size > n:
+            raise ValueError(
+                f"cannot tile-align region extent [{a0}, {a1}) to {mult} "
+                f"within a grid of {n}"
+            )
+        a1n = a0n + size
+        if a1n > n:
+            # kernel-eligible grids have n % mult == 0, so shifting the
+            # aligned window left keeps both ends aligned
+            a1n = n
+            a0n = n - size
+        return a0n, a1n
+
+    ny0, ny1 = grow(y0, y1, 8, ny)
+    nz0, nz1 = grow(z0, z1, 128, nz)
+    if (ny0, ny1, nz0, nz1) == (y0, y1, z0, z1):
+        return dense
+
+    def pad(cofs):
+        out = []
+        for j, c in enumerate(cofs):
+            base = np.zeros((x1 - x0, ny1 - ny0, nz1 - nz0), np.float32)
+            if j == 0:
+                base[:] = 1.0  # 1/kappa identity
+            base[:, y0 - ny0: y1 - ny0, z0 - nz0: z1 - nz0] = np.asarray(c)
+            out.append(base)
+        return tuple(out)
+
+    return DensePml(
+        axis=dense.axis,
+        box=((x0, x1), (ny0, ny1), (nz0, nz1)),
+        coeffs_h=pad(dense.coeffs_h),
+        coeffs_e=pad(dense.coeffs_e),
+    )
 
 
 def depth_from_contains(

@@ -67,13 +67,26 @@ class Simulation:
 
     # -- construction -------------------------------------------------------
 
+    @cached_property
+    def _dense_kernel(self):
+        """dense_pml tile-aligned for the kernel paths (identity-padded
+        lateral extents), or None when absent/unalignable."""
+        if self.dense_pml is None:
+            return None
+        from .pml_region import pad_dense_to_tiles
+
+        try:
+            return pad_dense_to_tiles(self.dense_pml, self.grid.shape)
+        except ValueError:
+            return None
+
     def init(self) -> SimState:
         if self._cpml_kernel_eligible():
             from .pallas_cpml import init_pml_kernel_state
 
             return init_pml_kernel_state(
                 self.grid.shape, self.dtype, cpml=self._cpml_or_empty,
-                tfsf=self.tfsf,
+                tfsf=self.tfsf, dense=self._dense_kernel,
             )
         if (self.cpml is not None or self.tfsf is not None
                 or self.dense_pml is not None):
@@ -124,8 +137,17 @@ class Simulation:
         if (self.cpml is None and self.tfsf is None) or self.backend == "xla":
             return False
         if self.dense_pml is not None:
-            # volumetric per-cell regions run on the XLA engine only
-            return False
+            # volumetric per-cell regions ride the kernels when the box
+            # tile-aligns (auto identity-padded) and stays clear of the
+            # boundary slabs along its axis; otherwise the XLA engine
+            d = self._dense_kernel
+            if d is None:
+                return False
+            if d.axis in set(self._cpml_or_empty.active_axes()):
+                (b0, b1) = d.box[d.axis]
+                lo_t, hi_t = self._cpml_or_empty.thickness[d.axis]
+                if b0 < lo_t or b1 > self.grid.shape[d.axis] - hi_t:
+                    return False
         if self.tfsf is not None and not hasattr(self.tfsf, "span"):
             # ObliqueTfsf (analytic incident) runs on the XLA engine only
             return False
@@ -188,7 +210,7 @@ class Simulation:
                     cpml=self._cpml_or_empty, tfsf=self.tfsf,
                     max_sources=n_src, matid=jnp.asarray(self.matid),
                     n_materials=self._n_materials, with_m=with_m,
-                    dtype=self.dtype,
+                    dtype=self.dtype, dense=self._dense_kernel,
                 )
                 table = jnp.asarray(self.table, jnp.float32)
 
@@ -200,7 +222,7 @@ class Simulation:
                 self.grid.shape, inv_dx=inv_dx, dt=self.grid.dt, bc=self.bc,
                 constants=self.grid.constants, cpml=self._cpml_or_empty,
                 tfsf=self.tfsf, max_sources=n_src, with_m=with_m,
-                dtype=self.dtype,
+                dtype=self.dtype, dense=self._dense_kernel,
             )
         if self.backend == "pallas" and (
             self.cpml is not None or self.tfsf is not None
@@ -334,7 +356,7 @@ class Simulation:
                     and cadence % cand == 0
                     and supports_cpml_k(
                         self.grid.shape, self.bc, self._cpml_or_empty, cand,
-                        dtype=self.dtype,
+                        dtype=self.dtype, dense=self._dense_kernel,
                     )
                 ):
                     faces = flux_faces_spec if accumulators else ()
@@ -355,6 +377,7 @@ class Simulation:
                         cpml=self._cpml_or_empty, tfsf=self.tfsf,
                         max_sources=n_src, with_m=self._has_m_sources(),
                         dtype=self.dtype, flux_faces=faces,
+                        dense=self._dense_kernel,
                     )
                     if self.matid is not None:
                         kernel = pallas_cpml_stepk_fn(

@@ -269,3 +269,137 @@ def test_scene_interior_pml_entity_becomes_dense_region():
     st2, _, _ = sim.run(st, n_steps=20)
     assert int(st2.tick) == 20
     assert np.all(np.isfinite(np.asarray(st2.ez)))
+
+
+def test_dense_pml_in_kernel_matches_engine():
+    """The K-step CPML kernel's volumetric-region path (dense_spec:
+    per-stage coefficient blocks + the plane-clamped region psi volume)
+    must match the XLA engine with the SAME DensePml — interior ball
+    absorber inside a CPML-bounded domain, chained passes, fields AND
+    region psi compared."""
+    from fdtd_tpu.solver.pallas_cpml import init_pml_kernel_state
+    from fdtd_tpu.solver.pallas_cpml_k import (
+        pallas_cpml_stepk_fn,
+        supports_cpml_k,
+    )
+
+    shape, k = (32, 32, 256), 4
+    cpml = Cpml(thickness=((5, 5), (4, 4), (4, 4)))
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    ball = Ball(radius=5.0)
+    box = ((10, 22), (10, 22), (122, 134))
+    center = np.array([16.0, 16.0, 128.0])
+    d_h, d_e = depth_from_contains(
+        lambda p: ball.contains(p - center[:, None]), box, 0, +1
+    )
+    dense = dense_pml_from_depth(
+        0, box, d_h, d_e, spec=cpml.spec, dx=1.0, dt=dt,
+        constants=ft.REDUCED,
+    )
+    # the raw (12, 12)-lateral box is not tile-complete: the kernel wants
+    # it aligned (Mosaic block constraint), identity-padded
+    from fdtd_tpu.solver.pml_region import pad_dense_to_tiles
+
+    assert not supports_cpml_k(shape, ft.BoundaryConditions(), cpml, k,
+                               dense=dense)
+    dense = pad_dense_to_tiles(dense, shape)
+    assert dense.box_shape[1] % 8 == 0 and dense.box_shape[2] % 128 == 0
+    assert supports_cpml_k(shape, ft.BoundaryConditions(), cpml, k,
+                           dense=dense)
+
+    coeffs = ft.CellCoefficients.uniform(
+        ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)[0], jnp.float32)
+    src = ft.SourceSet.build(
+        [ft.PointSource((6, 16, 128), ft.GaussianPulse(4 * dt, 2 * dt),
+                        j=(0.2, -0.1, 1.0))]
+    )
+
+    eng = build_step(shape, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+                     constants=ft.REDUCED, cpml=cpml, dense=dense)
+    est = init_engine_state(shape, cpml=cpml, dense=dense)
+
+    kstep = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, interpret=True, dense=dense,
+    )
+    kst = init_pml_kernel_state(shape, cpml=cpml, dense=dense)
+
+    for _ in range(3 * k):
+        est = eng(est, coeffs, src)
+    for _ in range(3):
+        kst = kstep(kst, coeffs, src)
+
+    assert float(jnp.abs(est.ez).max()) > 0
+    for name in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(kst, name)), np.asarray(getattr(est, name)),
+            rtol=0, atol=2e-6, err_msg=name,
+        )
+    # region psi: engine keeps 4 box volumes; kernel packs them as
+    # (4, bx+1, by, bz) with a trash plane at index 0
+    dvol = np.asarray(kst.psi[-1])
+    assert dvol.shape[0] == 4
+    np.testing.assert_allclose(dvol[:, 0], 0.0, atol=0)  # trash plane
+    for j in range(4):
+        np.testing.assert_allclose(
+            dvol[j, 1:], np.asarray(est.psi_d[j]), rtol=0, atol=2e-6,
+            err_msg=f"psi_d[{j}]",
+        )
+
+
+def test_dense_pml_single_pass_kernel_matches_engine():
+    """The single-pass CPML kernel's DensePml path (one blocked
+    coefficient operand + the plane-blocked region psi volume) must match
+    the XLA engine per tick."""
+    from fdtd_tpu.solver.pallas_cpml import (
+        init_pml_kernel_state,
+        pallas_cpml_step_fn,
+    )
+    from fdtd_tpu.solver.pml_region import pad_dense_to_tiles
+
+    shape = (32, 32, 256)
+    cpml = Cpml(thickness=((5, 5), (4, 4), (4, 4)))
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    ball = Ball(radius=5.0)
+    box = ((10, 22), (10, 22), (122, 134))
+    center = np.array([16.0, 16.0, 128.0])
+    d_h, d_e = depth_from_contains(
+        lambda p: ball.contains(p - center[:, None]), box, 1, -1
+    )
+    dense = pad_dense_to_tiles(
+        dense_pml_from_depth(1, box, d_h, d_e, spec=cpml.spec, dx=1.0,
+                             dt=dt, constants=ft.REDUCED),
+        shape,
+    )
+
+    coeffs = ft.CellCoefficients.uniform(
+        ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)[0], jnp.float32)
+    src = ft.SourceSet.build(
+        [ft.PointSource((16, 6, 128), ft.GaussianPulse(4 * dt, 2 * dt),
+                        j=(0.2, -0.1, 1.0))]
+    )
+    eng = build_step(shape, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+                     constants=ft.REDUCED, cpml=cpml, dense=dense)
+    est = init_engine_state(shape, cpml=cpml, dense=dense)
+    kstep = pallas_cpml_step_fn(
+        shape, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, interpret=True, dense=dense,
+    )
+    kst = init_pml_kernel_state(shape, cpml=cpml, dense=dense)
+    for _ in range(8):
+        est = eng(est, coeffs, src)
+        kst = kstep(kst, coeffs, src)
+    assert float(jnp.abs(est.ez).max()) > 0
+    for name in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(kst, name)), np.asarray(getattr(est, name)),
+            rtol=0, atol=2e-6, err_msg=name,
+        )
+    dvol = np.asarray(kst.psi[-1])
+    for j in range(4):
+        np.testing.assert_allclose(
+            dvol[j, 1:], np.asarray(est.psi_d[j]), rtol=0, atol=2e-6,
+            err_msg=f"psi_d[{j}]",
+        )
