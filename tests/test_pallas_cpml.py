@@ -515,3 +515,61 @@ def test_cpml_k_flux_rows_match_engine_per_tick():
                 rows_all[t, :, j] / scale, ref / scale, atol=2e-5,
                 err_msg=f"tick {t} descriptor {j}",
             )
+
+
+def test_cpml_k_flux_with_box_tfsf_and_matid():
+    """The full BASELINE-config-3 composition at kernel tier: closed-box
+    TF/SF + compressed materials + in-kernel flux reductions on the CPML
+    K kernel, vs the engine (dense coefficients) accumulating the same
+    reductions per tick."""
+    import fdtd_tpu as ft
+    from fdtd_tpu.solver.engine import build_step, init_engine_state
+
+    shape, k = (32, 32, 256), 4
+    cpml = Cpml(thickness=((5, 5), (4, 4), (4, 4)))
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    tfsf = Tfsf(span=(8, 23), span_y=(8, 23), span_z=(64, 191),
+                waveform=ft.GaussianPulse(6 * dt, 2 * dt))
+    tab = ft.MaterialTable()
+    tab.register(ft.Material(relative_permittivity=2.5))
+    table = jnp.asarray(
+        ft.coefficient_table(tab.materials, res, ft.REDUCED), jnp.float32)
+    matid = np.zeros(shape, np.uint8)
+    matid[12:20, 12:20, 112:144] = 1
+    dense_coeffs = ft.CellCoefficients.from_table(table, jnp.asarray(matid))
+    faces = (("x",), ("y", 6), ("y", 25), ("z", 48), ("z", 200))
+
+    fstep = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, tfsf=tfsf, matid=jnp.asarray(matid), n_materials=2,
+        interpret=True, flux_faces=faces,
+    )
+    st = init_pml_kernel_state(shape, cpml=cpml, tfsf=tfsf)
+    rows_all = []
+    for _ in range(2):
+        st, rows = fstep(st, table, None)
+        rows_all.append(np.asarray(rows))
+    rows_all = np.concatenate(rows_all)
+
+    eng = build_step(shape, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+                     constants=ft.REDUCED, cpml=cpml, tfsf=tfsf)
+    est = init_engine_state(shape, cpml=cpml, tfsf=tfsf)
+    for t in range(2 * k):
+        est = eng(est, dense_coeffs, None)
+        e = [np.asarray(c, np.float32) for c in est.e]
+        h = [np.asarray(c, np.float32) for c in est.h]
+        refs = [(e[1] * h[2] - e[2] * h[1]).sum(axis=(1, 2))]
+        for y0 in (6, 25):
+            refs.append((e[2][:, y0] * h[0][:, y0]
+                         - e[0][:, y0] * h[2][:, y0]).sum(-1))
+        for z0 in (48, 200):
+            refs.append((e[0][:, :, z0] * h[1][:, :, z0]
+                         - e[1][:, :, z0] * h[0][:, :, z0]).sum(-1))
+        for j, ref in enumerate(refs):
+            scale = np.abs(ref).max() or 1.0
+            np.testing.assert_allclose(
+                rows_all[t, :, j] / scale, ref / scale, atol=5e-5,
+                err_msg=f"tick {t} descriptor {j}",
+            )
+    assert np.abs(rows_all).max() > 0  # the plane wave actually radiated
