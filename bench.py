@@ -729,6 +729,23 @@ def main() -> None:
                 print(f"{n}^3 interior-absorber tier failed: {e!r}",
                       file=sys.stderr)
 
+        # HBM hygiene before the big absorbing sections: drop every
+        # compiled executable (their cached closures pin constants and
+        # the donation/aliasing graph keeps old buffers reachable) —
+        # recompiles are covered by the persistent compilation cache
+        if n >= 512 and dev.platform == "tpu":
+            import gc
+
+            jax.clear_caches()
+            gc.collect()
+            # the axon runtime releases device buffers ASYNCHRONOUSLY
+            # after the host-side deletes; give the server time to drain
+            # before the next multi-GB allocation burst
+            time.sleep(20)
+            live = sum(a.nbytes for a in jax.live_arrays()) / 1e9
+            print(f"[hbm] live after clear: {live:.2f} GB",
+                  file=sys.stderr)
+
         # 512^3 absorbing: f32 is VMEM-capped at K=3; bf16 storage halves
         # the field blocks and unlocks K=4 (~1.6x) — report both
         if n == 512 and dev.platform == "tpu":
@@ -880,6 +897,10 @@ def main() -> None:
     # 6(K-1)+2 f32 planes of VMEM = over the 128 MB cap at 1024^2 even
     # for K=2 (131 MB), so temporal blocking is off the table here.
     if dev.platform == "tpu" and os.environ.get("BENCH_1024", "1") != "0":
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
         try:
             from fdtd_tpu.solver.pallas_step import pallas_step_fn as _psf1
 

@@ -6,7 +6,7 @@ from .pallas_sharded_k import (
     extract_slice,
     make_pallas_sharded_stepk,
 )
-from .best import best_sharded_absorbing_step
+from .best import best_sharded_absorbing_step, kernel_lateral_axis
 from .simulation import ShardedSimulation
 from .pallas_sharded_cpml import (
     collapse_pml_state,
@@ -25,6 +25,7 @@ from .sharded_engine import (
 
 __all__ = [
     "best_sharded_absorbing_step",
+    "kernel_lateral_axis",
     "ShardedSimulation",
     "ShardedEngineState",
     "init_sharded_engine_state",
