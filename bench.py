@@ -447,6 +447,251 @@ def _selfcheck(ft, jax, jnp, np) -> bool:
     return ok
 
 
+
+
+def _run_isolated(section: str, n_steps: int) -> None:
+    """Run a heavy bench section in a FRESH subprocess (own axon client).
+
+    The remote runtime retains device memory beyond the client's live
+    arrays (jax.live_arrays() reports 0 GB yet subsequent multi-GB
+    allocations RESOURCE_EXHAUST; the same kernels pass standalone), so
+    the big absorbing / 1024^3 sections each get their own process —
+    client disconnect is the one reliable way to return HBM to the
+    server. BENCH_NO_SUBPROC=1 runs them in-process instead."""
+    import subprocess
+
+    if os.environ.get("BENCH_NO_SUBPROC"):
+        _run_section(section, n_steps)
+        return
+    env = dict(os.environ)
+    env["BENCH_SECTION"] = section
+    env["BENCH_STEPS"] = str(n_steps)
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)], env=env
+    )
+    if r.returncode != 0:
+        print(f"[isolated {section}] exited rc={r.returncode}",
+              file=sys.stderr)
+
+
+def _run_section(section: str, n_steps: int) -> None:
+    if section == "cpml512":
+        _section_cpml512(n_steps)
+    elif section == "b1024":
+        _section_1024()
+    else:
+        raise SystemExit(f"unknown BENCH_SECTION {section!r}")
+
+
+def _section_cpml512(n_steps: int) -> None:
+    """512^3 absorbing tiers: f32 K=3 (VMEM-capped), bf16 K=4, and the
+    sharded kernel build on an n_dev=1 mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    import fdtd_tpu as ft
+    from fdtd_tpu.parallel.pallas_sharded_cpml import (
+        init_sharded_pml_state,
+        make_pallas_sharded_cpml_stepk,
+        supports_sharded_cpml,
+    )
+    from fdtd_tpu.parallel.topology import make_mesh
+    from fdtd_tpu.solver.boundary import BoundaryConditions as _BC
+    from fdtd_tpu.solver.cpml import Cpml
+    from fdtd_tpu.solver.pallas_cpml import init_pml_kernel_state
+    from fdtd_tpu.solver.pallas_cpml_k import pallas_cpml_stepk_fn
+
+    n = 512
+    shape = (n, n, n)
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.99)
+    grid = ft.Grid(shape=shape, resolution=res, constants=ft.REDUCED)
+    table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+    coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
+    src = ft.SourceSet.build(
+        [ft.PointSource((n // 2,) * 3,
+                        ft.GaussianPulse(20 * grid.dt, 6 * grid.dt),
+                        j=(0.0, 0.0, 1.0))]
+    )
+
+    for cdt, ck in ((jnp.float32, 3), (jnp.bfloat16, 4)):
+        try:
+            ckstep = pallas_cpml_stepk_fn(
+                shape, ck, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
+                constants=ft.REDUCED, cpml=Cpml.uniform(10),
+                max_sources=1, dtype=cdt,
+            )
+            cstate = init_pml_kernel_state(shape, cdt,
+                                           cpml=Cpml.uniform(10))
+
+            def run_c5(state, k: int, _s=ckstep):
+                def body(s, _):
+                    return _s(s, coeffs, src), None
+
+                return jax.lax.scan(body, state, None, length=k)[0]
+
+            runc_j = jax.jit(run_c5, static_argnums=1)
+            c_calls = max(n_steps // ck, 1)
+            cstate = runc_j(cstate, c_calls)
+            _sync(cstate)
+            dt_wall, spread, cstate = _timed_min(
+                lambda s, _r=runc_j: _r(s, c_calls), cstate, _sync)
+            print(
+                f"{n}^3 CPML all axes ({jnp.dtype(cdt).name}, "
+                f"in-kernel K={ck}): "
+                f"{grid.num_cells*c_calls*ck/dt_wall/1e9:.3f} Gcell/s "
+                f"[spread {spread:.0f}%]",
+                file=sys.stderr,
+            )
+            del cstate, ckstep
+        except Exception as e:  # transient HBM pressure: report
+            print(
+                f"{n}^3 CPML {jnp.dtype(cdt).name} K={ck} "
+                f"failed: {e!r}", file=sys.stderr,
+            )
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
+
+    sk = 3
+    try:
+        if supports_sharded_cpml(shape, 1, _BC(), Cpml.uniform(10), sk):
+            mesh1 = make_mesh(1, ("x",))
+            sstep = jax.jit(make_pallas_sharded_cpml_stepk(
+                mesh1, shape, sk, inv_dx=(1.0, 1.0, 1.0),
+                dt=grid.dt, constants=ft.REDUCED,
+                cpml=Cpml.uniform(10), max_sources=1,
+            ))
+            sstate = init_sharded_pml_state(
+                shape, mesh1, sk, cpml=Cpml.uniform(10))
+
+            def run_s(state, kk, _s=sstep):
+                def body(s, _):
+                    return _s(s, coeffs, src), None
+
+                return jax.lax.scan(body, state, None, length=kk)[0]
+
+            runs_j = jax.jit(run_s, static_argnums=1)
+            s_calls = max(n_steps // sk, 1)
+            sstate = runs_j(sstate, s_calls)
+            _sync(sstate)
+            dt_wall, spread, sstate = _timed_min(
+                lambda s: runs_j(s, s_calls), sstate, _sync)
+            print(
+                f"{n}^3 CPML sharded-kernel tier (1-dev mesh, "
+                f"f32 K={sk}): "
+                f"{grid.num_cells*s_calls*sk/dt_wall/1e9:.3f} "
+                f"Gcell/s [spread {spread:.0f}%]",
+                file=sys.stderr,
+            )
+            del sstate, sstep
+    except Exception as e:
+        print(f"{n}^3 sharded tier failed: {e!r}", file=sys.stderr)
+
+
+def _section_1024() -> None:
+    """1024^3 datapoints: bf16 in-place single-step, the K=2 blocked
+    attempt, and the explicit absorbing skip."""
+    import jax
+    import jax.numpy as jnp
+
+    import fdtd_tpu as ft
+
+    n = 1024
+    shape = (n, n, n)
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.99)
+    grid = ft.Grid(shape=shape, resolution=res, constants=ft.REDUCED)
+    src = ft.SourceSet.build(
+        [ft.PointSource((n // 2,) * 3,
+                        ft.GaussianPulse(20 * grid.dt, 6 * grid.dt),
+                        j=(0.0, 0.0, 1.0))],
+        dtype=jnp.bfloat16,
+    )
+    table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+    coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
+
+    try:
+        from fdtd_tpu.solver.pallas_step import pallas_step_fn as _psf1
+
+        bstep = jax.jit(
+            _psf1(shape, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
+                  dtype=jnp.bfloat16, io_alias=True),
+            donate_argnums=0,
+        )
+        state = ft.zero_state(shape, jnp.bfloat16)
+        state = bstep(state, coeffs, src)  # warmup/compile
+        _sync(state)
+        ticks = 10
+
+        def _run1024(s):
+            for _ in range(ticks):
+                s = bstep(s, coeffs, src)
+            return s
+
+        dt_wall, spread, state = _timed_min(_run1024, state, _sync)
+        print(
+            f"1024^3 bf16 in-place (single-step, pass-by-pass): "
+            f"{grid.num_cells*ticks/dt_wall/1e9:.3f} Gcell/s "
+            f"[spread {spread:.0f}%]",
+            file=sys.stderr,
+        )
+        del state
+    except Exception as e:  # HBM or compile limits: report, don't fail
+        print(f"1024^3 bf16 attempt failed: {e!r}", file=sys.stderr)
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
+    # K=2 temporally-blocked 1024^3 (aliased, bf16): 6(K-1)+2 = 8 f32
+    # carry planes at 1024^2 = 32 MB + the aliased pipeline's ~30
+    # plane-equivalents — near the VMEM cap; attempt and record the
+    # outcome either way (BASELINE config 5 upper bound)
+    try:
+        from fdtd_tpu.solver.pallas_stepk import pallas_stepk_fn as _psk
+
+        k2step = jax.jit(
+            _psk(shape, 2, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
+                 dtype=jnp.bfloat16, io_alias=True, max_sources=1),
+            donate_argnums=0,
+        )
+        state = ft.zero_state(shape, jnp.bfloat16)
+        state = k2step(state, coeffs, src)
+        _sync(state)
+        passes = 5
+
+        def _runk2(s):
+            for _ in range(passes):
+                s = k2step(s, coeffs, src)
+            return s
+
+        dt_wall, spread, state = _timed_min(_runk2, state, _sync)
+        print(
+            f"1024^3 bf16 K=2 temporal blocking (in-place): "
+            f"{grid.num_cells*passes*2/dt_wall/1e9:.3f} Gcell/s "
+            f"[spread {spread:.0f}%]",
+            file=sys.stderr,
+        )
+        del state
+    except Exception as e:
+        print(
+            f"1024^3 K=2 blocked attempt failed (expected: carry "
+            f"planes at 1024^2 exceed VMEM): {e!r}", file=sys.stderr,
+        )
+    # 1024^3 ABSORBING is not reachable on one 16 GB chip: the
+    # un-aliased single-pass CPML kernel needs 2x field buffers
+    # (25.8 GB bf16) and its 1024^2 x-psi blocks blow the VMEM cap;
+    # the K kernel's carries don't fit either (see supports_cpml_k).
+    # Recorded as an explicit skip — the capability needs >= 2 chips
+    # (the sharded CPML tier) which this host doesn't have.
+    print(
+        "1024^3 CPML: skipped on 1 chip (psi slabs + un-aliased "
+        "single-pass exceed HBM; K-step carries exceed VMEM at "
+        "1024^2 planes) — needs the >=2-chip sharded tier",
+        file=sys.stderr,
+    )
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -459,6 +704,13 @@ def main() -> None:
     # kernels are compile-heavy); see BENCH_NO_CACHE to opt out
     if not os.environ.get("BENCH_NO_CACHE"):
         enable_compilation_cache()
+
+    # subprocess mode: run ONE isolated heavy section and exit
+    # (see _run_isolated)
+    section = os.environ.get("BENCH_SECTION")
+    if section:
+        _run_section(section, int(os.environ.get("BENCH_STEPS", "50")))
+        return
     from fdtd_tpu.probes import PointProbe
 
     sizes = [
@@ -729,122 +981,12 @@ def main() -> None:
                 print(f"{n}^3 interior-absorber tier failed: {e!r}",
                       file=sys.stderr)
 
-        # HBM hygiene before the big absorbing sections: drop every
-        # compiled executable (their cached closures pin constants and
-        # the donation/aliasing graph keeps old buffers reachable) —
-        # recompiles are covered by the persistent compilation cache
-        if n >= 512 and dev.platform == "tpu":
-            import gc
-
-            jax.clear_caches()
-            gc.collect()
-            # the axon runtime releases device buffers ASYNCHRONOUSLY
-            # after the host-side deletes; give the server time to drain
-            # before the next multi-GB allocation burst
-            time.sleep(20)
-            live = sum(a.nbytes for a in jax.live_arrays()) / 1e9
-            print(f"[hbm] live after clear: {live:.2f} GB",
-                  file=sys.stderr)
-
-        # 512^3 absorbing: f32 is VMEM-capped at K=3; bf16 storage halves
-        # the field blocks and unlocks K=4 (~1.6x) — report both
+        # 512^3 absorbing tiers run ISOLATED in a fresh subprocess: the
+        # remote runtime retains HBM beyond the client's live arrays
+        # (0 GB reported, allocation still RESOURCE_EXHAUSTS; standalone
+        # runs pass), and client disconnect is the reliable release
         if n == 512 and dev.platform == "tpu":
-            from fdtd_tpu.solver.cpml import Cpml
-            from fdtd_tpu.solver.pallas_cpml import init_pml_kernel_state
-            from fdtd_tpu.solver.pallas_cpml_k import pallas_cpml_stepk_fn
-
-            for cdt, ck in ((jnp.float32, 3), (jnp.bfloat16, 4)):
-                try:
-                    ckstep = pallas_cpml_stepk_fn(
-                        shape, ck, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
-                        constants=ft.REDUCED, cpml=Cpml.uniform(10),
-                        max_sources=1, dtype=cdt,
-                    )
-                    cstate = init_pml_kernel_state(shape, cdt,
-                                                   cpml=Cpml.uniform(10))
-
-                    def run_c5(state, k: int, _s=ckstep):
-                        def body(s, _):
-                            return _s(s, coeffs, src), None
-
-                        return jax.lax.scan(body, state, None, length=k)[0]
-
-                    runc_j = jax.jit(run_c5, static_argnums=1)
-                    c_calls = max(n_steps // ck, 1)
-                    cstate = runc_j(cstate, c_calls)
-                    _sync(cstate)
-                    dt_wall, spread, cstate = _timed_min(
-                        lambda s, _r=runc_j: _r(s, c_calls), cstate, _sync)
-                    print(
-                        f"{n}^3 CPML all axes ({jnp.dtype(cdt).name}, "
-                        f"in-kernel K={ck}): "
-                        f"{grid.num_cells*c_calls*ck/dt_wall/1e9:.3f} Gcell/s "
-                        f"[spread {spread:.0f}%]",
-                        file=sys.stderr,
-                    )
-                    del cstate, ckstep
-                except Exception as e:  # transient HBM pressure: report
-                    print(
-                        f"{n}^3 CPML {jnp.dtype(cdt).name} K={ck} "
-                        f"failed: {e!r}", file=sys.stderr,
-                    )
-                import gc
-
-                gc.collect()
-
-        # sharded CPML kernel tier on an n_dev=1 mesh: the exact
-        # multi-chip kernel build (runtime edges + runtime x profiles)
-        # compiled by Mosaic at real scale — measures shard_map +
-        # halo-refresh overhead vs the single-chip 512^3 CPML line above
-        if n == 512 and dev.platform == "tpu":
-            from fdtd_tpu.parallel.pallas_sharded_cpml import (
-                init_sharded_pml_state,
-                make_pallas_sharded_cpml_stepk,
-                supports_sharded_cpml,
-            )
-            from fdtd_tpu.parallel.topology import make_mesh
-            from fdtd_tpu.solver.boundary import BoundaryConditions as _BC
-            from fdtd_tpu.solver.cpml import Cpml
-
-            sk = 3
-            try:
-                if supports_sharded_cpml(
-                    shape, 1, _BC(), Cpml.uniform(10), sk
-                ):
-                    mesh1 = make_mesh(1, ("x",))
-                    sstep = jax.jit(make_pallas_sharded_cpml_stepk(
-                        mesh1, shape, sk, inv_dx=(1.0, 1.0, 1.0),
-                        dt=grid.dt, constants=ft.REDUCED,
-                        cpml=Cpml.uniform(10), max_sources=1,
-                    ))
-                    sstate = init_sharded_pml_state(
-                        shape, mesh1, sk, cpml=Cpml.uniform(10))
-
-                    def run_s(state, kk, _s=sstep):
-                        def body(s, _):
-                            return _s(s, coeffs, src), None
-
-                        return jax.lax.scan(body, state, None, length=kk)[0]
-
-                    runs_j = jax.jit(run_s, static_argnums=1)
-                    s_calls = max(n_steps // sk, 1)
-                    sstate = runs_j(sstate, s_calls)
-                    _sync(sstate)
-                    dt_wall, spread, sstate = _timed_min(
-                        lambda s: runs_j(s, s_calls), sstate, _sync)
-                    print(
-                        f"{n}^3 CPML sharded-kernel tier (1-dev mesh, "
-                        f"f32 K={sk}): "
-                        f"{grid.num_cells*s_calls*sk/dt_wall/1e9:.3f} "
-                        f"Gcell/s [spread {spread:.0f}%]",
-                        file=sys.stderr,
-                    )
-                    del sstate, sstep
-            except Exception as e:
-                print(f"{n}^3 sharded tier failed: {e!r}", file=sys.stderr)
-            import gc
-
-            gc.collect()
+            _run_isolated("cpml512", n_steps)
 
         # compressed-material mode (uint8 matid + K-row table), 256^3 only
         if n == 256:
@@ -889,118 +1031,9 @@ def main() -> None:
                 )
                 del state
 
-    # 1024^3 bf16 in-place datapoint (BASELINE config 5's upper bound):
-    # 6 fields at bf16 = 12.9 GB — fits a v5e's 16 GB only with the
-    # aliased (in-place, folded-halo) SINGLE-step kernel, chained
-    # pass-by-pass (no scan; the aliased-custom-call-under-scan
-    # miscompile class, see ROADMAP.md). K-step carries need
-    # 6(K-1)+2 f32 planes of VMEM = over the 128 MB cap at 1024^2 even
-    # for K=2 (131 MB), so temporal blocking is off the table here.
+    # 1024^3 datapoints, isolated for the same HBM-retention reason
     if dev.platform == "tpu" and os.environ.get("BENCH_1024", "1") != "0":
-        import gc
-
-        jax.clear_caches()
-        gc.collect()
-        try:
-            from fdtd_tpu.solver.pallas_step import pallas_step_fn as _psf1
-
-            n = 1024
-            shape = (n, n, n)
-            res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.99)
-            grid = ft.Grid(shape=shape, resolution=res, constants=ft.REDUCED)
-            src = ft.SourceSet.build(
-                [ft.PointSource((n // 2,) * 3,
-                                ft.GaussianPulse(20 * grid.dt, 6 * grid.dt),
-                                j=(0.0, 0.0, 1.0))],
-                dtype=jnp.bfloat16,
-            )
-            table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
-            coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
-            bstep = jax.jit(
-                _psf1(shape, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
-                      dtype=jnp.bfloat16, io_alias=True),
-                donate_argnums=0,
-            )
-            state = ft.zero_state(shape, jnp.bfloat16)
-            state = bstep(state, coeffs, src)  # warmup/compile
-            _sync(state)
-            ticks = 10
-
-            def _run1024(s):
-                for _ in range(ticks):
-                    s = bstep(s, coeffs, src)
-                return s
-
-            dt_wall, spread, state = _timed_min(_run1024, state, _sync)
-            print(
-                f"1024^3 bf16 in-place (single-step, pass-by-pass): "
-                f"{grid.num_cells*ticks/dt_wall/1e9:.3f} Gcell/s "
-                f"[spread {spread:.0f}%]",
-                file=sys.stderr,
-            )
-            del state
-        except Exception as e:  # HBM or compile limits: report, don't fail
-            print(f"1024^3 bf16 attempt failed: {e!r}", file=sys.stderr)
-
-        # K=2 temporally-blocked 1024^3 (aliased, bf16): 6(K-1)+2 = 8 f32
-        # carry planes at 1024^2 = 32 MB + the aliased pipeline's ~30
-        # plane-equivalents — near the VMEM cap; attempt and record the
-        # outcome either way (BASELINE config 5 upper bound)
-        try:
-            from fdtd_tpu.solver.pallas_stepk import pallas_stepk_fn as _psk
-
-            n = 1024
-            shape = (n, n, n)
-            res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.99)
-            grid = ft.Grid(shape=shape, resolution=res, constants=ft.REDUCED)
-            src = ft.SourceSet.build(
-                [ft.PointSource((n // 2,) * 3,
-                                ft.GaussianPulse(20 * grid.dt, 6 * grid.dt),
-                                j=(0.0, 0.0, 1.0))],
-                dtype=jnp.bfloat16,
-            )
-            table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
-            coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
-            k2step = jax.jit(
-                _psk(shape, 2, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
-                     dtype=jnp.bfloat16, io_alias=True, max_sources=1),
-                donate_argnums=0,
-            )
-            state = ft.zero_state(shape, jnp.bfloat16)
-            state = k2step(state, coeffs, src)
-            _sync(state)
-            passes = 5
-
-            def _runk2(s):
-                for _ in range(passes):
-                    s = k2step(s, coeffs, src)
-                return s
-
-            dt_wall, spread, state = _timed_min(_runk2, state, _sync)
-            print(
-                f"1024^3 bf16 K=2 temporal blocking (in-place): "
-                f"{grid.num_cells*passes*2/dt_wall/1e9:.3f} Gcell/s "
-                f"[spread {spread:.0f}%]",
-                file=sys.stderr,
-            )
-            del state
-        except Exception as e:
-            print(
-                f"1024^3 K=2 blocked attempt failed (expected: carry "
-                f"planes at 1024^2 exceed VMEM): {e!r}", file=sys.stderr,
-            )
-        # 1024^3 ABSORBING is not reachable on one 16 GB chip: the
-        # un-aliased single-pass CPML kernel needs 2x field buffers
-        # (25.8 GB bf16) and its 1024^2 x-psi blocks blow the VMEM cap;
-        # the K kernel's carries don't fit either (see supports_cpml_k).
-        # Recorded as an explicit skip — the capability needs >= 2 chips
-        # (the sharded CPML tier) which this host doesn't have.
-        print(
-            "1024^3 CPML: skipped on 1 chip (psi slabs + un-aliased "
-            "single-pass exceed HBM; K-step carries exceed VMEM at "
-            "1024^2 planes) — needs the >=2-chip sharded tier",
-            file=sys.stderr,
-        )
+        _run_isolated("b1024", n_steps)
 
     headline = results.get(512, results[max(results)])
     print(
