@@ -444,6 +444,48 @@ def _selfcheck(ft, jax, jnp, np) -> bool:
         f"{'PASS' if good_d else 'FAIL'}",
         file=sys.stderr,
     )
+
+    # in-kernel DFT accumulation tier vs per-tick DftProbe updates over
+    # the single-pass CPML kernel's states
+    from fdtd_tpu.probes import DftProbe, FieldComponent
+
+    dft_planes_ = (20, 44)
+    dft_freqs_ = (0.02, 0.05)
+    dft_step = jax.jit(pallas_cpml_stepk_fn(
+        shape, ck, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, dft=(dft_planes_, dft_freqs_),
+    ))
+    dfst = init_pml_kernel_state(shape, cpml=cpml,
+                                 dft=(dft_planes_, dft_freqs_))
+    for _ in range(n_ticks // ck):
+        dfst = dft_step(dfst, coeffs, src)
+    jax.block_until_ready(dfst)
+    probes_ = [DftProbe(frequencies=dft_freqs_, axis=0, index=x0,
+                        component=FieldComponent.E) for x0 in dft_planes_]
+    pst = init_pml_kernel_state(shape, cpml=cpml)
+    paccs = [p.init(pst, dt) for p in probes_]
+    for _ in range(n_ticks):
+        pst = one_step(pst, coeffs, src)
+        paccs = [p.update(a, pst, dt) for p, a in zip(probes_, paccs)]
+    jax.block_until_ready(paccs)
+    err_df = 0.0
+    n_f = len(dft_freqs_)
+    for pi, (re, im) in enumerate(paccs):
+        vol = np.asarray(dfst.psi[-(len(dft_planes_) - pi)])
+        live = vol[:, 1].reshape(n_f, 2, 3, *vol.shape[2:])
+        scale = max(float(np.abs(np.asarray(re)).max()), 1e-12)
+        err_df = max(
+            err_df,
+            float(np.abs(live[:, 0] - np.asarray(re)).max()) / scale,
+            float(np.abs(live[:, 1] - np.asarray(im)).max()) / scale,
+        )
+    good_df = err_df < tol
+    ok = ok and good_df
+    print(
+        f"selfcheck in-kernel DFT K={ck}: rel_err {err_df:.2e} "
+        f"{'PASS' if good_df else 'FAIL'}",
+        file=sys.stderr,
+    )
     return ok
 
 

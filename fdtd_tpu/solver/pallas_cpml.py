@@ -200,7 +200,7 @@ def _profiles(shape, cpml, inv_dx, dt, constants):
 
 
 def init_pml_kernel_state(shape, dtype=jnp.float32, *, cpml, tfsf=None,
-                          dense=None):
+                          dense=None, dft=None):
     # psi AND the TF/SF aux line are always f32: both are recurrences whose
     # bf16 rounding measurably degrades the solution (tests/test_bf16_study)
     # and whose memory footprint is marginal; only the six volumetric field
@@ -213,6 +213,12 @@ def init_pml_kernel_state(shape, dtype=jnp.float32, *, cpml, tfsf=None,
         # plane at box-x index 0 (pallas_cpml_k.py dense_spec)
         bx, by, bz = dense.box_shape
         psi = psi + (z((4, bx + 1, by, bz)),)
+    if dft is not None:
+        # in-kernel DFT accumulators, one (6F, 2, ny, nz) tensor per
+        # probe plane (pallas_cpml_k.py dft_spec; trash plane 0)
+        planes, freqs = dft
+        for _ in planes:
+            psi = psi + (z((6 * len(freqs), 2, shape[1], shape[2])),)
     if tfsf is not None:
         aux_e, aux_h = tfsf.init_aux(shape[0], jnp.float32)
     else:

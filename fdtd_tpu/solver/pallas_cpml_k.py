@@ -68,7 +68,7 @@ __all__ = ["pallas_cpml_stepk_fn", "supports_cpml_k"]
 
 
 def supports_cpml_k(shape, bc, cpml, k: int, dtype=jnp.float32,
-                    dense=None) -> bool:
+                    dense=None, dft=None) -> bool:
     if not supports_cpml(shape, bc, cpml, dtype):
         return False
     if not (2 <= k <= 10):
@@ -93,6 +93,9 @@ def supports_cpml_k(shape, bc, cpml, k: int, dtype=jnp.float32,
         if by % 8 != 0 or bz % 128 != 0 or dy0 % 8 != 0 or dz0 % 128 != 0:
             return False
         vmem += (4 * (k - 1) + 28) * by * bz * 4
+    if dft is not None:
+        n_planes, n_freq = len(dft[0]), dft[1]
+        vmem += 6 * n_freq * n_planes * ((k - 1) + 4) * plane_f32
     if vmem > 90 * (1 << 20):
         return False
     return True
@@ -101,9 +104,13 @@ def supports_cpml_k(shape, bc, cpml, k: int, dtype=jnp.float32,
 def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                  tfsf_box, n_src, n_materials, runtime_edges=False,
                  with_m=False, runtime_tfsf=False, y_halo=0,
-                 flux_faces=(), dense_spec=None):
+                 flux_faces=(), dense_spec=None, dft_spec=None):
     inv_x, inv_y, inv_z = inv_dx
     n_psi = len(layout)
+    # dft_spec = (planes tuple, n_freq): running per-tick DFT of the E
+    # field at fixed x-planes, accumulated IN-KERNEL with the psi carry
+    # pattern (slot order (f, re/im, comp) -> 6F rows per plane tensor)
+    dft_planes, n_freq = dft_spec if dft_spec is not None else ((), 0)
     # x-axis terms share one carry per (half, comp); y/z one per term
     x_terms = sorted({(h, c) for h, a, c, *_ in layout if a == 0})
     yz_terms = [(h, a, c, pads) for h, a, c, end, _, pads in layout
@@ -142,6 +149,9 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
         if dense_spec is not None:
             dco_refs = refs[k: k + k_steps]; k += k_steps
             dpsi_in = refs[k]; k += 1
+        if dft_planes:
+            dft_phase_ref = refs[k]; k += 1  # (K, 2F) SMEM cos/sin rows
+            dft_in = refs[k: k + len(dft_planes)]; k += len(dft_planes)
         ex_r, ey_r, ez_r, hx_r, hy_r, hz_r, eyl_r, ezl_r = refs[k: k + 8]
         k += 8
         psi_in = refs[k: k + n_psi]; k += n_psi
@@ -149,14 +159,18 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
         psi_out = refs[k: k + n_psi]; k += n_psi
         if dense_spec is not None:
             dpsi_out = refs[k]; k += 1
+        if dft_planes:
+            dft_out = refs[k: k + len(dft_planes)]; k += len(dft_planes)
         flux_out = ()
         if flux_faces:
             flux_out = refs[k: k + k_steps]; k += k_steps
         scratch = refs[k:]
         # scratch: per level 1..K-1: 6 field planes + 12 psi slots
-        # (+ 4 dense-region psi slots); then hy_top/hz_top
+        # (+ 4 dense-region psi slots + 6F DFT slots per probe plane);
+        # then hy_top/hz_top
         n_terms = len(x_terms) + len(yz_terms)
-        slot_per_lvl = 6 + n_terms + n_dense
+        n_dft = 6 * n_freq * len(dft_planes)
+        slot_per_lvl = 6 + n_terms + n_dense + n_dft
         c_lvl = [scratch[slot_per_lvl * i: slot_per_lvl * (i + 1)]
                  for i in range(k_steps - 1)]
         c_topy, c_topz = scratch[slot_per_lvl * (k_steps - 1):]
@@ -226,12 +240,21 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
             prev_e[lvl] = tuple(regs[c][...] for c in range(3))
             prev_h[lvl] = tuple(regs[3 + c][...] for c in range(3))
             prev_psi[lvl] = [r[...] for r in regs[6: 6 + n_terms]]
-            prev_dpsi[lvl] = [r[...] for r in regs[6 + n_terms:]]
+            prev_dpsi[lvl] = [
+                r[...] for r in regs[6 + n_terms: 6 + n_terms + n_dense]
+            ]
         top_y = c_topy[...]
         top_z = c_topz[...]
+        prev_dft = {}
+        for lvl in range(1, k_steps):
+            regs = c_lvl[lvl - 1]
+            prev_dft[lvl] = [
+                r[...] for r in regs[6 + n_terms + n_dense:]
+            ]
 
         half_idx = {"h": 0, "e": 1}
         dpsi_holder = [None]  # the current stage's new dense-psi slots
+        dft_holder = [None]   # the current stage's new DFT-acc slots
 
         def dense_stretch(stage, q, half, comp, raw):
             """Volumetric-region (DensePml) stretch, applied BEFORE the
@@ -429,6 +452,7 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
 
             new_psi_lvl = [None] * n_terms
             dpsi_holder[0] = [None] * n_dense
+            dft_holder[0] = [None] * n_dft
 
             at_lo = q <= lo_edge
             dez_x = stretch(st, q, "h", 0, 2,
@@ -558,6 +582,33 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                     )
             ek = tuple(ek)
 
+            # running DFT of E at fixed x-planes, accumulated in-kernel:
+            # acc for plane x0 enters at stage 1 through the plane-clamped
+            # block (trash plane 0 absorbs non-x0 iterations), each stage
+            # folds its tick's phase-weighted plane when q == x0 (relaying
+            # unchanged otherwise), and stage K writes back through the
+            # clamped out map — the psi carry pattern applied to spectra.
+            if dft_planes:
+                for pi, x0 in enumerate(dft_planes):
+                    at_p = q == x0
+                    for f_i in range(n_freq):
+                        for ri in range(2):
+                            ph = dft_phase_ref[st - 1, 2 * f_i + ri]
+                            for c in range(3):
+                                sl = (f_i * 2 + ri) * 3 + c
+                                gl = pi * 6 * n_freq + sl
+                                if st == 1:
+                                    prev = dft_in[pi][sl, 0]
+                                else:
+                                    prev = prev_dft[st - 1][gl]
+                                newv = jnp.where(
+                                    at_p, prev + ph * ek[c], prev
+                                )
+                                if st == k_steps:
+                                    dft_out[pi][sl, 0] = newv
+                                else:
+                                    dft_holder[0][gl] = newv
+
             # per-tick per-plane scalar flux reductions (accumulator
             # support at kernel speed): each stage writes its plane's row
             # of the (nx+2, n_q) per-stage output — trash rows 0 / nx+1
@@ -601,7 +652,8 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                 flux_out[st - 1][0] = tile
 
             if st < k_steps:
-                new_carries[st] = (ek, hk, new_psi_lvl, dpsi_holder[0])
+                new_carries[st] = (ek, hk, new_psi_lvl, dpsi_holder[0],
+                                   dft_holder[0])
                 below_e, below_h = ek, hk
             else:
                 out_fields = (ek, hk)
@@ -615,7 +667,7 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
             outs[3 + c][0] = hK[c].astype(outs[3 + c].dtype)
         for lvl in range(1, k_steps):
             regs = c_lvl[lvl - 1]
-            ek, hk, psis, dpsis = new_carries[lvl]
+            ek, hk, psis, dpsis, dfts = new_carries[lvl]
             for c in range(3):
                 regs[c][...] = ek[c]
                 regs[3 + c][...] = hk[c]
@@ -625,6 +677,9 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
             for j, v in enumerate(dpsis):
                 if v is not None:
                     regs[6 + n_terms + j][...] = v
+            for j, v in enumerate(dfts):
+                if v is not None:
+                    regs[6 + n_terms + n_dense + j][...] = v
         c_topy[...] = hK[1]
         c_topz[...] = hK[2]
 
@@ -637,7 +692,7 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
                 x_extra=0, runtime_edges=False, runtime_xprof=False,
                 with_m=False, dtype_name="float32", runtime_tfsf=False,
                 y_halo=0, runtime_ystrips=False, flux_faces=(),
-                dense_spec=None):
+                dense_spec=None, dft_spec=None):
     from ..constants import REDUCED
 
     constants = SI if constants_key == "si" else REDUCED
@@ -761,6 +816,19 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
             lambda i: (0, jnp.clip(nx - 1 - i - ddx0 + 1, 0, bx_d), 0, 0),
             memory_space=pltpu.VMEM,
         ))
+    dft_planes, n_freq = dft_spec if dft_spec is not None else ((), 0)
+    if dft_planes:
+        # (K, 2F) cos/sin phase rows + one (6F, 2, ny, nz) accumulator
+        # per probe plane (trash plane 0), blocked at the stage-1 plane
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        for x0 in dft_planes:
+            in_specs.append(pl.BlockSpec(
+                (6 * n_freq, 1, ny, nz),
+                lambda i, x0=x0: (
+                    0, jnp.clip(nx - 1 - i - x0 + 1, 0, 1), 0, 0
+                ),
+                memory_space=pltpu.VMEM,
+            ))
     in_specs += [in_spec] * 6 + [halo_spec] * 2
     in_specs += psi_in_specs
 
@@ -793,20 +861,37 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
             jax.ShapeDtypeStruct((4, bx_d + 1, by_d, bz_d), f32)
         )
 
+    dft_out_specs, dft_shapes = [], []
+    for x0 in dft_planes:
+        dft_out_specs.append(pl.BlockSpec(
+            (6 * n_freq, 1, ny, nz),
+            lambda i, x0=x0: (
+                0,
+                jnp.clip(nx - 1 - i + (k_steps - 1) - x0 + 1, 0, 1),
+                0, 0,
+            ),
+            memory_space=pltpu.VMEM,
+        ))
+        dft_shapes.append(
+            jax.ShapeDtypeStruct((6 * n_freq, 2, ny, nz), f32)
+        )
+
     out_specs = tuple(
-        [out_spec] * 6 + psi_out_specs + dpsi_out_specs + flux_specs
+        [out_spec] * 6 + psi_out_specs + dpsi_out_specs + dft_out_specs
+        + flux_specs
     )
     out_shape = tuple(
         [jax.ShapeDtypeStruct(shape, jnp.dtype(dtype_name)) for _ in range(6)]
         + [jax.ShapeDtypeStruct(ts, f32) for *_, ts, _ in layout]
         + dpsi_shapes
+        + dft_shapes
         + flux_shapes
     )
 
     kernel, x_terms, yz_terms = _make_kernel(
         shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes, tfsf_box,
         n_src, n_materials, runtime_edges, with_m, runtime_tfsf, y_halo,
-        flux_faces, dense_spec,
+        flux_faces, dense_spec, dft_spec,
     )
 
     # scratch per level: 6 field planes + per-term psi slots
@@ -821,6 +906,10 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
                 slots.append(pltpu.VMEM((ny, plo + phi), f32))
         if dense_spec is not None:
             slots += [pltpu.VMEM((by_d, bz_d), f32) for _ in range(4)]
+        slots += [
+            pltpu.VMEM((ny, nz), f32)
+            for _ in range(6 * n_freq * len(dft_planes))
+        ]
         return slots
 
     scratch = []
@@ -837,6 +926,9 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
     dense_bytes = (
         (4 * (k_steps - 1) + 28) * by_d * bz_d * 4
         if dense_spec is not None else 0
+    )
+    dense_bytes += (
+        6 * n_freq * len(dft_planes) * ((k_steps - 1) + 4) * ny * nz * 4
     )
     vmem_limit = min(
         int(plane_bytes * (80 + 30 * k_steps) + dense_bytes + (8 << 20)),
@@ -875,6 +967,7 @@ def pallas_cpml_stepk_fn(
     dtype=jnp.float32,
     flux_faces=(),
     dense=None,
+    dft=None,
 ):
     """Build step(state: PmlKernelState, coeffs, sources) advancing
     ``k_steps`` absorbing ticks per call. Uniform scalar coefficients;
@@ -895,8 +988,18 @@ def pallas_cpml_stepk_fn(
     per-cell uniaxial stretch IN-KERNEL on its AABB subgrid (interior
     absorbers of any shape, engine.py semantics); the state must come
     from init_pml_kernel_state(..., dense=dense), which appends the
-    (4, bx+1, by, bz) region psi volume to ``psi``."""
-    if not supports_cpml_k(shape, bc, cpml, k_steps, dtype, dense=dense):
+    (4, bx+1, by, bz) region psi volume to ``psi``.
+
+    ``dft`` = (planes, frequencies): running per-tick DFT of the E field
+    at the given x-planes, accumulated IN-KERNEL (psi carry pattern) —
+    DftProbe spectra without dropping to single-stepping. One
+    (6F, 2, ny, nz) accumulator tensor per plane rides the psi tail
+    (init_pml_kernel_state(..., dft=dft)); slots are (f, re/im, comp),
+    live plane 1, trash plane 0, phase convention exp(-2j pi f t) with
+    t = (tick_after_step) * dt — exactly probes.DftProbe.update."""
+    dft_key = (tuple(dft[0]), len(dft[1])) if dft is not None else None
+    if not supports_cpml_k(shape, bc, cpml, k_steps, dtype, dense=dense,
+                           dft=dft_key):
         raise ValueError(f"CPML K-step kernel does not support {shape=} {k_steps=}")
     if with_m and max_sources == 0:
         raise ValueError("with_m requires in-kernel sources (max_sources > 0)")
@@ -947,9 +1050,15 @@ def pallas_cpml_stepk_fn(
         tfsf_planes, tfsf_box, float(dt), constants_key, interpret,
         int(max_sources), n_mat, 0, False, False, bool(with_m),
         jnp.dtype(dtype).name, flux_faces=tuple(flux_faces),
-        dense_spec=dense_spec,
+        dense_spec=dense_spec, dft_spec=dft_key,
     )
     n_psi = len(_psi_layout(tuple(shape), cpml))
+    n_dft_pl = len(dft[0]) if dft is not None else 0
+    if dft is not None:
+        import math as _math
+
+        dft_freqs = jnp.asarray(tuple(dft[1]), jnp.float32)
+        _two_pi = jnp.float32(2.0 * _math.pi)
 
     def step(state: PmlKernelState, coeffs, sources) -> PmlKernelState:
         if matid is not None:
@@ -999,7 +1108,22 @@ def pallas_cpml_stepk_fn(
             args += [matid] * k_steps
         if dense is not None:
             args += [dco] * k_steps
-            args.append(state.psi[-1])  # region psi volume (init ...dense=)
+            # region psi volume (init_pml_kernel_state dense=); the dft
+            # accumulators (if any) follow it in the psi tail
+            args.append(state.psi[n_psi])
+        if dft is not None:
+            rows = []
+            for lvl in range(k_steps):
+                t = (state.tick + 1 + lvl).astype(jnp.float32) \
+                    * jnp.float32(dt)
+                ph = -_two_pi * dft_freqs * t
+                rows.append(
+                    jnp.stack([jnp.cos(ph), jnp.sin(ph)], axis=1)
+                    .reshape(-1)
+                )
+            args.append(jnp.stack(rows))  # (K, 2F)
+            n_tail_d = 1 if dense is not None else 0
+            args += list(state.psi[n_psi + n_tail_d:])
         args += [state.ex, state.ey, state.ez, state.hx, state.hy, state.hz,
                  state.ey, state.ez]
         args += list(state.psi[:n_psi])
@@ -1009,6 +1133,9 @@ def pallas_cpml_stepk_fn(
         if dense is not None:
             psi_new = psi_new + (outs[n_out],)
             n_out += 1
+        if dft is not None:
+            psi_new = psi_new + tuple(outs[n_out: n_out + n_dft_pl])
+            n_out += n_dft_pl
         new = PmlKernelState(
             ex=outs[0], ey=outs[1], ez=outs[2],
             hx=outs[3], hy=outs[4], hz=outs[5],

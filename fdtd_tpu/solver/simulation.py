@@ -329,11 +329,10 @@ class Simulation:
         intermediate state, so they force single-stepping.
         """
         step, k = self._step, 1
-        flux_faces_spec = flux_owners = None
+        flux_faces_spec = flux_items = dft_items = dft_arg = None
         if accumulators:
-            flux_faces_spec, flux_owners = kernel_flux_spec(
-                tuple(accumulators)
-            )
+            flux_faces_spec, flux_items, dft_items, dft_arg = \
+                kernel_accumulator_spec(tuple(accumulators))
         flux_mode = False
         if (
             self.backend == "auto"
@@ -360,7 +359,8 @@ class Simulation:
                     )
                 ):
                     faces = flux_faces_spec if accumulators else ()
-                    key = ("cpmlk", cand, faces)
+                    dft_kw = dft_arg if accumulators else None
+                    key = ("cpmlk", cand, faces, dft_kw)
                     if key in self._multi_step_cache:
                         step = self._multi_step_cache[key]
                         k = cand
@@ -377,7 +377,7 @@ class Simulation:
                         cpml=self._cpml_or_empty, tfsf=self.tfsf,
                         max_sources=n_src, with_m=self._has_m_sources(),
                         dtype=self.dtype, flux_faces=faces,
-                        dense=self._dense_kernel,
+                        dense=self._dense_kernel, dft=dft_kw,
                     )
                     if self.matid is not None:
                         kernel = pallas_cpml_stepk_fn(
@@ -449,15 +449,36 @@ class Simulation:
                     break
 
         if flux_mode and k > 1:
-            # accumulators ride the K-step CPML kernel: per-tick per-plane
-            # Poynting reductions are emitted in-kernel (flux_faces) and
-            # folded inside the same compiled scan — no single-stepping
+            # accumulators ride the K-step CPML kernel: per-tick Poynting
+            # reductions fold inside the compiled scan (flux_faces) and
+            # DFT spectra accumulate inside the kernel state itself
+            # (dft) — no single-stepping either way
+            if dft_arg is not None:
+                # the per-run DFT accumulators ride the psi tail: append
+                # zero volumes for this run, strip them before returning
+                planes, freqs = dft_arg
+                ny, nz = self.grid.shape[1], self.grid.shape[2]
+                state = state._replace(psi=state.psi + tuple(
+                    jnp.zeros((6 * len(freqs), 2, ny, nz), jnp.float32)
+                    for _ in planes
+                ))
+            owners = tuple((a, cr) for _, a, cr in flux_items)
             fn = _compiled_flux(
-                step, tuple(probes), tuple(accumulators), flux_owners,
+                step, tuple(probes), tuple(accumulators), owners,
                 max(probe_every // k, 1) if probes else 1,
                 n_steps // k, self.grid.dt,
             )
-            return fn(state, self.coeffs, self.sources)
+            state, probe_out, flux_accs = fn(
+                state, self.coeffs, self.sources)
+            finals = [None] * len(accumulators)
+            for (pos, _a, _cr), acc in zip(flux_items, flux_accs):
+                finals[pos] = acc
+            for pos, _p, slot in dft_items:
+                finals[pos] = extract_dft_acc(state, dft_arg, slot)
+            if dft_arg is not None:
+                state = state._replace(
+                    psi=state.psi[: len(state.psi) - len(planes)])
+            return state, probe_out, tuple(finals)
         fn = _compiled(step, tuple(probes), tuple(accumulators),
                        max(probe_every // k, 1) if probes else 1,
                        n_steps // k, self.grid.dt,
@@ -500,6 +521,52 @@ def kernel_flux_spec(accumulators):
     return tuple(faces), tuple(owners)
 
 
+def kernel_accumulator_spec(accumulators):
+    """Partition accumulators for the kernel tier. Flux-capable ones
+    (kernel_flux_faces/update_from_flux_rows) map to flux_faces columns;
+    DftProbe(axis=0, component=E) accumulators map to in-kernel DFT
+    planes (all must share ONE frequency tuple). Returns
+    (faces, flux_items, dft_items, dft_arg); all None when any
+    accumulator fits neither (caller falls back to per-tick paths).
+    flux_items = ((pos, acc, (c0, c1)), ...); dft_items =
+    ((pos, probe, plane_slot), ...); dft_arg = (planes, freqs) or None."""
+    from ..probes import DftProbe, FieldComponent
+
+    faces, flux_items, dft_items = [], [], []
+    planes, freqs = [], None
+    for pos, a in enumerate(accumulators):
+        if (isinstance(a, DftProbe) and a.axis == 0
+                and a.component == FieldComponent.E):
+            f = tuple(a.frequencies)
+            if freqs is None:
+                freqs = f
+            elif f != freqs:
+                return None, None, None, None
+            dft_items.append((pos, a, len(planes)))
+            planes.append(int(a.index))
+            continue
+        if (hasattr(a, "kernel_flux_faces")
+                and hasattr(a, "update_from_flux_rows")):
+            ff = tuple(a.kernel_flux_faces())
+            flux_items.append((pos, a, (len(faces), len(faces) + len(ff))))
+            faces.extend(ff)
+            continue
+        return None, None, None, None
+    dft_arg = (tuple(planes), freqs) if dft_items else None
+    return tuple(faces), tuple(flux_items), tuple(dft_items), dft_arg
+
+
+def extract_dft_acc(state, dft_arg, plane_slot):
+    """(re, im) DftProbe-layout accumulators from a kernel state's psi
+    tail (the LAST len(planes) entries are the (6F, 2, ny, nz) DFT
+    volumes, slot order (f, re/im, comp), live plane 1)."""
+    planes, freqs = dft_arg
+    vol = state.psi[-(len(planes) - plane_slot)]
+    n_f = len(freqs)
+    live = vol[:, 1].reshape(n_f, 2, 3, *vol.shape[2:])
+    return live[:, 0], live[:, 1]
+
+
 def _run_scan_flux(step, probes, owners, probe_every, n_steps, dt,
                    state, coeffs, sources):
     """The accumulator scan for flux-emitting K-step kernels: the step
@@ -514,11 +581,15 @@ def _run_scan_flux(step, probes, owners, probe_every, n_steps, dt,
 
     def tick(carry, _):
         s, accs = carry
-        s2, rows = step(s, coeffs, sources)
-        accs2 = tuple(
-            a.update_from_flux_rows(acc, rows[:, :, s0:s1], dt)
-            for (a, (s0, s1)), acc in zip(owners, accs)
-        )
+        out = step(s, coeffs, sources)
+        if owners:
+            s2, rows = out
+            accs2 = tuple(
+                a.update_from_flux_rows(acc, rows[:, :, s0:s1], dt)
+                for (a, (s0, s1)), acc in zip(owners, accs)
+            )
+        else:
+            s2, accs2 = out, accs
         return (s2, accs2), None
 
     if stride == 1:

@@ -573,3 +573,64 @@ def test_cpml_k_flux_with_box_tfsf_and_matid():
                 err_msg=f"tick {t} descriptor {j}",
             )
     assert np.abs(rows_all).max() > 0  # the plane wave actually radiated
+
+
+def test_cpml_k_inkernel_dft_matches_per_tick():
+    """In-kernel DFT accumulation (dft_spec): the (6F, 2, ny, nz) plane
+    accumulators must equal DftProbe.update applied per tick to the
+    engine's states — two probe planes, two frequencies, chained K=4
+    passes."""
+    import fdtd_tpu as ft
+    from fdtd_tpu.probes import DftProbe, FieldComponent
+    from fdtd_tpu.solver.engine import build_step, init_engine_state
+
+    shape, k = (32, 32, 256), 4
+    cpml = Cpml(thickness=((5, 5), (4, 4), (4, 4)))
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    coeffs = ft.CellCoefficients.uniform(
+        ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)[0], jnp.float32)
+    src = ft.SourceSet.build([ft.PointSource(
+        (16, 16, 128), ft.GaussianPulse(4 * dt, 2 * dt), j=(0.3, -0.2, 1.0))])
+    planes = (10, 24)
+    freqs = (0.02, 0.05)
+
+    fstep = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, interpret=True, dft=(planes, freqs))
+    st = init_pml_kernel_state(shape, cpml=cpml, dft=(planes, freqs))
+    for _ in range(2):
+        st = fstep(st, coeffs, src)
+
+    eng = build_step(shape, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+                     constants=ft.REDUCED, cpml=cpml)
+    est = init_engine_state(shape, cpml=cpml)
+    probes = [DftProbe(frequencies=freqs, axis=0, index=x0,
+                       component=FieldComponent.E) for x0 in planes]
+    accs = [p.init(est, dt) for p in probes]
+    for _ in range(2 * k):
+        est = eng(est, coeffs, src)
+        accs = [p.update(a, est, dt) for p, a in zip(probes, accs)]
+
+    # fields also still match (the DFT path must not perturb the step)
+    for name in ("ex", "ey", "ez"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(st, name)), np.asarray(getattr(est, name)),
+            rtol=0, atol=2e-6, err_msg=name)
+
+    n_f = len(freqs)
+    for pi, (p, (re, im)) in enumerate(zip(probes, accs)):
+        vol = np.asarray(st.psi[-(len(planes) - pi)])
+        assert vol.shape == (6 * n_f, 2, shape[1], shape[2])
+        np.testing.assert_allclose(vol[:, 0], 0.0, atol=0)  # trash plane
+        for f_i in range(n_f):
+            for c in range(3):
+                got_re = vol[(f_i * 2 + 0) * 3 + c, 1]
+                got_im = vol[(f_i * 2 + 1) * 3 + c, 1]
+                scale = max(np.abs(np.asarray(re)).max(), 1e-12)
+                np.testing.assert_allclose(
+                    got_re / scale, np.asarray(re)[f_i, c] / scale,
+                    atol=3e-6, err_msg=f"re f{f_i} c{c} plane{pi}")
+                np.testing.assert_allclose(
+                    got_im / scale, np.asarray(im)[f_i, c] / scale,
+                    atol=3e-6, err_msg=f"im f{f_i} c{c} plane{pi}")
