@@ -47,18 +47,21 @@ def _timed(run1, state, sync):
 
 
 def _timed_min(run1, state, sync, repeats=None):
-    """min-of-N of `_timed` regions (BENCH_REPEATS, default 3) plus the
-    max/min spread in percent — one-shot timings behind a drifting remote
-    tunnel cannot distinguish a perf regression from noise."""
+    """MEDIAN-of-N of `_timed` regions (BENCH_REPEATS, default 3) plus
+    the max/min spread in percent. One-shot timings behind a drifting
+    remote tunnel cannot distinguish a perf regression from noise — and
+    paired-region DIFFERENCES can be spuriously SMALL too (async queue
+    overlap can nearly cancel the 2x-vs-1x regions), so the median, not
+    the minimum, is the robust pick."""
     if repeats is None:
         repeats = max(int(os.environ.get("BENCH_REPEATS", "3")), 1)
     times = []
     for _ in range(repeats):
         dt_wall, state = _timed(run1, state, sync)
         times.append(dt_wall)
-    lo = min(times)
-    spread = (max(times) - lo) / lo * 100.0
-    return lo, spread, state
+    mid = sorted(times)[len(times) // 2]
+    spread = (max(times) - min(times)) / mid * 100.0
+    return mid, spread, state
 
 
 def _measure_readback(jnp, n: int = 8) -> float:
@@ -491,7 +494,7 @@ def _selfcheck(ft, jax, jnp, np) -> bool:
 
 
 
-def _run_isolated(section: str, n_steps: int) -> None:
+def _run_isolated(section: str, n_steps: int, extra_env=None):
     """Run a heavy bench section in a FRESH subprocess (own axon client).
 
     The remote runtime retains device memory beyond the client's live
@@ -501,19 +504,32 @@ def _run_isolated(section: str, n_steps: int) -> None:
     client disconnect is the one reliable way to return HBM to the
     server. BENCH_NO_SUBPROC=1 runs them in-process instead."""
     import subprocess
+    import tempfile
 
     if os.environ.get("BENCH_NO_SUBPROC"):
         _run_section(section, n_steps)
-        return
+        return None
     env = dict(os.environ)
     env["BENCH_SECTION"] = section
     env["BENCH_STEPS"] = str(n_steps)
-    r = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)], env=env
-    )
-    if r.returncode != 0:
-        print(f"[isolated {section}] exited rc={r.returncode}",
-              file=sys.stderr)
+    if extra_env:
+        env.update(extra_env)
+    result = None
+    with tempfile.NamedTemporaryFile("r", suffix=".json") as rf:
+        env["BENCH_RESULT_FILE"] = rf.name
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env
+        )
+        if r.returncode != 0:
+            print(f"[isolated {section}] exited rc={r.returncode}",
+                  file=sys.stderr)
+        try:
+            txt = open(rf.name).read().strip()
+            if txt:
+                result = json.loads(txt)
+        except Exception:
+            pass
+    return result
 
 
 def _run_section(section: str, n_steps: int) -> None:
@@ -521,8 +537,147 @@ def _run_section(section: str, n_steps: int) -> None:
         _section_cpml512(n_steps)
     elif section == "b1024":
         _section_1024()
+    elif section == "free":
+        _section_free(
+            int(os.environ["BENCH_SECTION_N"]), n_steps,
+            os.environ.get("BENCH_SECTION_BF16") == "1",
+        )
     else:
         raise SystemExit(f"unknown BENCH_SECTION {section!r}")
+
+
+def _section_free(n: int, n_steps: int, with_bf16: bool) -> None:
+    """Free-space + probe-readback (+ optionally bf16) flow for one cube
+    size; writes the headline cells/s to BENCH_RESULT_FILE."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import fdtd_tpu as ft
+    from fdtd_tpu.probes import PointProbe
+    from fdtd_tpu.solver.best import best_multi_step_fn, best_step_fn
+
+    shape = (n, n, n)
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.99)
+    grid = ft.Grid(shape=shape, resolution=res, constants=ft.REDUCED)
+    table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+    coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
+    src = ft.SourceSet.build(
+        [ft.PointSource((n // 2,) * 3,
+                        ft.GaussianPulse(20 * grid.dt, 6 * grid.dt),
+                        j=(0.0, 0.0, 1.0))]
+    )
+    state = ft.zero_state(shape)
+    step_k, k_per_call = best_multi_step_fn(
+        shape, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt
+    )
+    n_calls = max(n_steps // k_per_call, 1)
+
+    def run(state, k: int):
+        def body(s, _):
+            return step_k(s, coeffs, src), None
+
+        return jax.lax.scan(body, state, None, length=k)[0]
+
+    run_j = jax.jit(run, static_argnums=1, donate_argnums=0)
+    state = run_j(state, n_calls)
+    _sync(state)
+    dt_wall, spread, state = _timed_min(
+        lambda s: run_j(s, n_calls), state, _sync)
+    steps_done = n_calls * k_per_call
+    cells_per_s = grid.num_cells * steps_done / dt_wall
+    print(
+        f"{n}^3 free-space (K={k_per_call} temporal blocking): "
+        f"{cells_per_s/1e9:.3f} Gcell/s [spread {spread:.0f}%] "
+        f"({steps_done/dt_wall:.1f} steps/s, "
+        f"{dt_wall*1e3/steps_done:.2f} ms/step)",
+        file=sys.stderr,
+    )
+    rf = os.environ.get("BENCH_RESULT_FILE")
+    if rf:
+        with open(rf, "w") as f:
+            json.dump({"n": n, "cells_per_s": cells_per_s}, f)
+
+    probe = PointProbe(points=(((n // 2) + 8, n // 2, n // 2),))
+
+    def run_probe(state, k: int):
+        def body(s, _):
+            s2 = step_k(s, coeffs, src)
+            return s2, probe.sample(s2, grid.dt)
+
+        return jax.lax.scan(body, state, None, length=k)
+
+    runp_j = jax.jit(run_probe, static_argnums=1, donate_argnums=0)
+    state, trace = runp_j(state, 1)
+    _ = np.asarray(trace)
+    t0 = time.perf_counter()
+    n_chunks = max(n_steps // k_per_call, 1)
+    for _ in range(n_chunks):
+        state, trace = runp_j(state, 1)
+        _ = np.asarray(trace)
+    dt_wall = time.perf_counter() - t0
+    ticks = n_chunks * k_per_call
+    print(
+        f"{n}^3 with per-{k_per_call}-step probe readback: "
+        f"{ticks/dt_wall:.1f} steps/s "
+        f"({grid.num_cells*ticks/dt_wall/1e9:.3f} Gcell/s)",
+        file=sys.stderr,
+    )
+    step_1 = best_step_fn(shape, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt)
+
+    def tick_probe(state):
+        s2 = step_1(state, coeffs, src)
+        return s2, probe.sample(s2, grid.dt)
+
+    tickp_j = jax.jit(tick_probe, donate_argnums=0)
+    state, trace = tickp_j(state)
+    _ = np.asarray(trace)
+    n1 = min(n_steps, 30)
+    t0 = time.perf_counter()
+    for _ in range(n1):
+        state, trace = tickp_j(state)
+        _ = np.asarray(trace)
+    dt_wall = time.perf_counter() - t0
+    print(
+        f"{n}^3 with per-1-step probe readback: "
+        f"{n1/dt_wall:.1f} steps/s "
+        f"({grid.num_cells*n1/dt_wall/1e9:.3f} Gcell/s)",
+        file=sys.stderr,
+    )
+    del state
+
+    # bf16 storage only dispatches to a dtype-preserving kernel on TPU;
+    # the CPU fallback step promotes to f32 and breaks the scan carry
+    if with_bf16 and jax.devices()[0].platform == "tpu":
+        bstep, bk = best_multi_step_fn(
+            shape, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt, dtype=jnp.bfloat16
+        )
+        bsrc = ft.SourceSet.build(
+            [ft.PointSource((n // 2,) * 3,
+                            ft.GaussianPulse(20 * grid.dt, 6 * grid.dt),
+                            j=(0.0, 0.0, 1.0))],
+            dtype=jnp.bfloat16,
+        )
+
+        def run_b(state, k: int):
+            def body(s, _):
+                return bstep(s, coeffs, bsrc), None
+
+            return jax.lax.scan(body, state, None, length=k)[0]
+
+        runb_j = jax.jit(run_b, static_argnums=1, donate_argnums=0)
+        state = ft.zero_state(shape, jnp.bfloat16)
+        bcalls = max(n_steps // bk, 1)
+        state = runb_j(state, bcalls)
+        _sync(state)
+        dt_wall, spread, state = _timed_min(
+            lambda s: runb_j(s, bcalls), state, _sync)
+        print(
+            f"{n}^3 bf16 storage (K={bk}): "
+            f"{grid.num_cells*bcalls*bk/dt_wall/1e9:.3f} Gcell/s "
+            f"[spread {spread:.0f}%]",
+            file=sys.stderr,
+        )
 
 
 def _section_cpml512(n_steps: int) -> None:
@@ -781,6 +936,23 @@ def main() -> None:
     target = 5e9  # BASELINE.md: >= 5 Gcell-updates/s/chip at 512^3 f32
     results = {}
     for n in sizes:
+        # big sizes: the whole flow runs in ISOLATED subprocesses so no
+        # single client accumulates allocator pools across tiers — the
+        # remote runtime retains pool arenas beyond live arrays, and two
+        # concurrent multi-GB pools exhaust the chip (measured: 512^3
+        # absorbing OOMs after the free-space flow in the same OR a
+        # sibling process, passes standalone)
+        if n >= 512 and dev.platform == "tpu":
+            r = _run_isolated("free", n_steps, extra_env={
+                "BENCH_SECTION_N": str(n),
+                "BENCH_SECTION_BF16": "1" if n == max(sizes) else "0",
+            })
+            if r and "cells_per_s" in r:
+                results[n] = r["cells_per_s"]
+            if n == 512:
+                _run_isolated("cpml512", n_steps)
+            continue
+
         shape = (n, n, n)
         res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.99)
         grid = ft.Grid(shape=shape, resolution=res, constants=ft.REDUCED)
@@ -1022,13 +1194,6 @@ def main() -> None:
             except Exception as e:
                 print(f"{n}^3 interior-absorber tier failed: {e!r}",
                       file=sys.stderr)
-
-        # 512^3 absorbing tiers run ISOLATED in a fresh subprocess: the
-        # remote runtime retains HBM beyond the client's live arrays
-        # (0 GB reported, allocation still RESOURCE_EXHAUSTS; standalone
-        # runs pass), and client disconnect is the reliable release
-        if n == 512 and dev.platform == "tpu":
-            _run_isolated("cpml512", n_steps)
 
         # compressed-material mode (uint8 matid + K-row table), 256^3 only
         if n == 256:
