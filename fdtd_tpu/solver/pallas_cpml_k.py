@@ -68,7 +68,7 @@ __all__ = ["pallas_cpml_stepk_fn", "supports_cpml_k"]
 
 
 def supports_cpml_k(shape, bc, cpml, k: int, dtype=jnp.float32,
-                    dense=None, dft=None) -> bool:
+                    dense=None, dft=None, dft_rows=()) -> bool:
     if not supports_cpml(shape, bc, cpml, dtype):
         return False
     if not (2 <= k <= 10):
@@ -96,6 +96,12 @@ def supports_cpml_k(shape, bc, cpml, k: int, dtype=jnp.float32,
     if dft is not None:
         n_planes, n_freq = len(dft[0]), dft[1]
         vmem += 6 * n_freq * n_planes * ((k - 1) + 4) * plane_f32
+    if dft_rows:
+        # all "z" descriptors pack into one 128-lane output set
+        if 6 * sum(1 for d in dft_rows if d[0] == "z") > 128:
+            return False
+        n_y = sum(1 for d in dft_rows if d[0] == "y")
+        vmem += 2 * (n_y * 8 * shape[2] + shape[1] * 128) * 4
     if vmem > 90 * (1 << 20):
         return False
     return True
@@ -104,7 +110,8 @@ def supports_cpml_k(shape, bc, cpml, k: int, dtype=jnp.float32,
 def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                  tfsf_box, n_src, n_materials, runtime_edges=False,
                  with_m=False, runtime_tfsf=False, y_halo=0,
-                 flux_faces=(), dense_spec=None, dft_spec=None):
+                 flux_faces=(), dense_spec=None, dft_spec=None,
+                 dft_rows=()):
     inv_x, inv_y, inv_z = inv_dx
     n_psi = len(layout)
     # dft_spec = (planes tuple, n_freq): running per-tick DFT of the E
@@ -164,6 +171,18 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
         flux_out = ()
         if flux_faces:
             flux_out = refs[k: k + k_steps]; k += k_steps
+        # per-stage DFT row captures (lateral-plane spectra support):
+        # one K-output set of (nx+2, 8, nz) tiles per "y" descriptor
+        # (E/H comps on sublanes 0-5), plus ONE shared K-output set of
+        # (nx+2, ny, 128) tiles for ALL "z" descriptors (descriptor di's
+        # comps on lanes 6*di .. 6*di+5)
+        rowy_out, rowz_out = [], None
+        row_y = tuple(d[1] for d in dft_rows if d[0] == "y")
+        row_z = tuple(d[1] for d in dft_rows if d[0] == "z")
+        for _ in row_y:
+            rowy_out.append(refs[k: k + k_steps]); k += k_steps
+        if row_z:
+            rowz_out = refs[k: k + k_steps]; k += k_steps
         scratch = refs[k:]
         # scratch: per level 1..K-1: 6 field planes + 12 psi slots
         # (+ 4 dense-region psi slots + 6F DFT slots per probe plane);
@@ -582,15 +601,17 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                     )
             ek = tuple(ek)
 
-            # running DFT of E at fixed x-planes, accumulated in-kernel:
+            # running DFT of E or H at fixed x-planes ((x0, which) with
+            # which 0=E / 1=H), accumulated in-kernel:
             # acc for plane x0 enters at stage 1 through the plane-clamped
             # block (trash plane 0 absorbs non-x0 iterations), each stage
             # folds its tick's phase-weighted plane when q == x0 (relaying
             # unchanged otherwise), and stage K writes back through the
             # clamped out map — the psi carry pattern applied to spectra.
             if dft_planes:
-                for pi, x0 in enumerate(dft_planes):
+                for pi, (x0, which) in enumerate(dft_planes):
                     at_p = q == x0
+                    fld = ek if which == 0 else hk
                     for f_i in range(n_freq):
                         for ri in range(2):
                             ph = dft_phase_ref[st - 1, 2 * f_i + ri]
@@ -602,7 +623,7 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                                 else:
                                     prev = prev_dft[st - 1][gl]
                                 newv = jnp.where(
-                                    at_p, prev + ph * ek[c], prev
+                                    at_p, prev + ph * fld[c], prev
                                 )
                                 if st == k_steps:
                                     dft_out[pi][sl, 0] = newv
@@ -651,6 +672,38 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                     )
                 flux_out[st - 1][0] = tile
 
+            # per-stage DFT ROW captures: the raw E/H values along one
+            # lateral line of this stage's plane, written out so lateral-
+            # plane spectra (DftProbe axis 1/2, BoxDft y/z faces) can be
+            # phase-folded OUTSIDE the kernel (XLA) without dropping the
+            # run to single-stepping. Rows are selected with iota masks +
+            # cross-sublane/lane sums (single-row slicing hits Mosaic
+            # "offset change"); fill/drain writes land on trash rows.
+            if row_y or row_z:
+                fld6 = (ek[0], ek[1], ek[2], hk[0], hk[1], hk[2])
+            if row_y:
+                t8y = jax.lax.broadcasted_iota(jnp.int32, (8, nz), 0)
+                for di, y0 in enumerate(row_y):
+                    tile = jnp.zeros((8, nz), f32)
+                    for c6 in range(6):
+                        row = jnp.sum(
+                            jnp.where(iy == y0, fld6[c6], 0.0), axis=0
+                        )
+                        tile = jnp.where(t8y == c6, row[None, :], tile)
+                    rowy_out[di][st - 1][0] = tile
+            if row_z:
+                tl = jax.lax.broadcasted_iota(jnp.int32, (ny, 128), 1)
+                tile = jnp.zeros((ny, 128), f32)
+                for di, z0 in enumerate(row_z):
+                    for c6 in range(6):
+                        col = jnp.sum(
+                            jnp.where(iz == z0, fld6[c6], 0.0), axis=1
+                        )
+                        tile = jnp.where(
+                            tl == 6 * di + c6, col[:, None], tile
+                        )
+                rowz_out[st - 1][0] = tile
+
             if st < k_steps:
                 new_carries[st] = (ek, hk, new_psi_lvl, dpsi_holder[0],
                                    dft_holder[0])
@@ -692,7 +745,7 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
                 x_extra=0, runtime_edges=False, runtime_xprof=False,
                 with_m=False, dtype_name="float32", runtime_tfsf=False,
                 y_halo=0, runtime_ystrips=False, flux_faces=(),
-                dense_spec=None, dft_spec=None):
+                dense_spec=None, dft_spec=None, dft_rows=()):
     from ..constants import REDUCED
 
     constants = SI if constants_key == "si" else REDUCED
@@ -821,7 +874,7 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
         # (K, 2F) cos/sin phase rows + one (6F, 2, ny, nz) accumulator
         # per probe plane (trash plane 0), blocked at the stage-1 plane
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        for x0 in dft_planes:
+        for x0, _which in dft_planes:
             in_specs.append(pl.BlockSpec(
                 (6 * n_freq, 1, ny, nz),
                 lambda i, x0=x0: (
@@ -862,7 +915,7 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
         )
 
     dft_out_specs, dft_shapes = [], []
-    for x0 in dft_planes:
+    for x0, _which in dft_planes:
         dft_out_specs.append(pl.BlockSpec(
             (6 * n_freq, 1, ny, nz),
             lambda i, x0=x0: (
@@ -876,9 +929,32 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
             jax.ShapeDtypeStruct((6 * n_freq, 2, ny, nz), f32)
         )
 
+    # DFT row-capture outputs (lateral-plane spectra): K per-stage tiles
+    # per "y" descriptor, one shared K-set for all "z" descriptors; the
+    # stage's plane row is selected by the same descending map as flux
+    row_specs, row_shapes = [], []
+    n_row_y = sum(1 for d in dft_rows if d[0] == "y")
+    has_row_z = any(d[0] == "z" for d in dft_rows)
+    for _ in range(n_row_y):
+        for j in range(k_steps):
+            row_specs.append(pl.BlockSpec(
+                (1, 8, nz),
+                lambda i, j=j: (jnp.clip(nx - i + j, 0, nx + 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ))
+            row_shapes.append(jax.ShapeDtypeStruct((nx + 2, 8, nz), f32))
+    if has_row_z:
+        for j in range(k_steps):
+            row_specs.append(pl.BlockSpec(
+                (1, ny, 128),
+                lambda i, j=j: (jnp.clip(nx - i + j, 0, nx + 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ))
+            row_shapes.append(jax.ShapeDtypeStruct((nx + 2, ny, 128), f32))
+
     out_specs = tuple(
         [out_spec] * 6 + psi_out_specs + dpsi_out_specs + dft_out_specs
-        + flux_specs
+        + flux_specs + row_specs
     )
     out_shape = tuple(
         [jax.ShapeDtypeStruct(shape, jnp.dtype(dtype_name)) for _ in range(6)]
@@ -886,12 +962,13 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
         + dpsi_shapes
         + dft_shapes
         + flux_shapes
+        + row_shapes
     )
 
     kernel, x_terms, yz_terms = _make_kernel(
         shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes, tfsf_box,
         n_src, n_materials, runtime_edges, with_m, runtime_tfsf, y_halo,
-        flux_faces, dense_spec, dft_spec,
+        flux_faces, dense_spec, dft_spec, dft_rows,
     )
 
     # scratch per level: 6 field planes + per-term psi slots
@@ -968,6 +1045,7 @@ def pallas_cpml_stepk_fn(
     flux_faces=(),
     dense=None,
     dft=None,
+    dft_rows=(),
 ):
     """Build step(state: PmlKernelState, coeffs, sources) advancing
     ``k_steps`` absorbing ticks per call. Uniform scalar coefficients;
@@ -990,16 +1068,38 @@ def pallas_cpml_stepk_fn(
     from init_pml_kernel_state(..., dense=dense), which appends the
     (4, bx+1, by, bz) region psi volume to ``psi``.
 
-    ``dft`` = (planes, frequencies): running per-tick DFT of the E field
-    at the given x-planes, accumulated IN-KERNEL (psi carry pattern) —
-    DftProbe spectra without dropping to single-stepping. One
-    (6F, 2, ny, nz) accumulator tensor per plane rides the psi tail
-    (init_pml_kernel_state(..., dft=dft)); slots are (f, re/im, comp),
-    live plane 1, trash plane 0, phase convention exp(-2j pi f t) with
-    t = (tick_after_step) * dt — exactly probes.DftProbe.update."""
-    dft_key = (tuple(dft[0]), len(dft[1])) if dft is not None else None
+    ``dft`` = (planes, frequencies): running per-tick DFT of the E or H
+    field at the given x-planes, accumulated IN-KERNEL (psi carry
+    pattern) — DftProbe spectra without dropping to single-stepping.
+    Each plane is ``x0`` (E field) or ``(x0, which)`` with which 0=E /
+    1=H. One (6F, 2, ny, nz) accumulator tensor per plane rides the psi
+    tail (init_pml_kernel_state(..., dft=dft)); slots are
+    (f, re/im, comp), live plane 1, trash plane 0, phase convention
+    exp(-2j pi f t) with t = (tick_after_step) * dt — exactly
+    probes.DftProbe.update for either component (no Yee half-tick
+    shift: the engine-side accumulator samples H at the same post-step
+    tick).
+
+    ``dft_rows`` = tuple of ("y", y0) / ("z", z0) descriptors: per-stage
+    RAW E+H row captures along the given lateral line of every x-plane,
+    for lateral-plane spectra (DftProbe axis 1/2, BoxDft y/z faces). The
+    step then additionally returns a tuple (descriptor order) of
+    (K, nx, 6, lat) f32 capture blocks — comps (ex,ey,ez,hx,hy,hz), lat
+    = nz for "y" / ny for "z" — whose phase fold happens OUTSIDE the
+    kernel (simulation.py fold_dft_rows). Return order: state
+    [, flux_rows][, dft_row_captures]."""
+    dft_rows = tuple((str(a), int(v)) for a, v in dft_rows)
+    if dft is not None:
+        dft_planes_n = tuple(
+            (int(p), 0) if not isinstance(p, tuple) else
+            (int(p[0]), int(p[1]))
+            for p in dft[0]
+        )
+        dft_key = (dft_planes_n, len(dft[1]))
+    else:
+        dft_key = None
     if not supports_cpml_k(shape, bc, cpml, k_steps, dtype, dense=dense,
-                           dft=dft_key):
+                           dft=dft_key, dft_rows=dft_rows):
         raise ValueError(f"CPML K-step kernel does not support {shape=} {k_steps=}")
     if with_m and max_sources == 0:
         raise ValueError("with_m requires in-kernel sources (max_sources > 0)")
@@ -1050,7 +1150,7 @@ def pallas_cpml_stepk_fn(
         tfsf_planes, tfsf_box, float(dt), constants_key, interpret,
         int(max_sources), n_mat, 0, False, False, bool(with_m),
         jnp.dtype(dtype).name, flux_faces=tuple(flux_faces),
-        dense_spec=dense_spec, dft_spec=dft_key,
+        dense_spec=dense_spec, dft_spec=dft_key, dft_rows=dft_rows,
     )
     n_psi = len(_psi_layout(tuple(shape), cpml))
     n_dft_pl = len(dft[0]) if dft is not None else 0
@@ -1142,12 +1242,41 @@ def pallas_cpml_stepk_fn(
             tick=state.tick + k_steps, psi=psi_new,
             aux_e=aux_e, aux_h=aux_h,
         )
+        res = [new]
         if flux_faces:
             # (K, nx, n_q): drop the trash rows and the tile padding
-            flux_rows = jnp.stack(outs[n_out:])[
+            flux_rows = jnp.stack(outs[n_out: n_out + k_steps])[
                 :, 1: nx + 1, 0, : len(flux_faces)
             ]
-            return new, flux_rows
-        return new
+            n_out += k_steps
+            res.append(flux_rows)
+        if dft_rows:
+            # kernel output order: one K-set per "y" descriptor, then the
+            # shared "z" K-set; re-emit in the caller's dft_rows order as
+            # (K, nx, 6, lat) blocks
+            y_caps = []
+            for _ in range(sum(1 for d in dft_rows if d[0] == "y")):
+                y_caps.append(jnp.stack(outs[n_out: n_out + k_steps])[
+                    :, 1: nx + 1, 0:6, :
+                ])
+                n_out += k_steps
+            z_block = None
+            if any(d[0] == "z" for d in dft_rows):
+                z_block = jnp.stack(outs[n_out: n_out + k_steps])[
+                    :, 1: nx + 1
+                ]  # (K, nx, ny, 128)
+                n_out += k_steps
+            caps, yi, zi = [], 0, 0
+            for a, _v in dft_rows:
+                if a == "y":
+                    caps.append(y_caps[yi]); yi += 1
+                else:
+                    blk = z_block[:, :, :, 6 * zi: 6 * zi + 6]
+                    caps.append(jnp.transpose(blk, (0, 1, 3, 2)))
+                    zi += 1
+            res.append(tuple(caps))
+        if len(res) == 1:
+            return new
+        return tuple(res)
 
     return step

@@ -524,26 +524,27 @@ def kernel_flux_spec(accumulators):
 def kernel_accumulator_spec(accumulators):
     """Partition accumulators for the kernel tier. Flux-capable ones
     (kernel_flux_faces/update_from_flux_rows) map to flux_faces columns;
-    DftProbe(axis=0, component=E) accumulators map to in-kernel DFT
-    planes (all must share ONE frequency tuple). Returns
+    DftProbe(axis=0) accumulators (E or H component) map to in-kernel
+    DFT planes (all must share ONE frequency tuple). Returns
     (faces, flux_items, dft_items, dft_arg); all None when any
     accumulator fits neither (caller falls back to per-tick paths).
     flux_items = ((pos, acc, (c0, c1)), ...); dft_items =
-    ((pos, probe, plane_slot), ...); dft_arg = (planes, freqs) or None."""
+    ((pos, probe, plane_slot), ...); dft_arg = (planes, freqs) or None
+    with planes entries (index, which) — which 0=E / 1=H."""
     from ..probes import DftProbe, FieldComponent
 
     faces, flux_items, dft_items = [], [], []
     planes, freqs = [], None
     for pos, a in enumerate(accumulators):
-        if (isinstance(a, DftProbe) and a.axis == 0
-                and a.component == FieldComponent.E):
+        if isinstance(a, DftProbe) and a.axis == 0:
             f = tuple(a.frequencies)
             if freqs is None:
                 freqs = f
             elif f != freqs:
                 return None, None, None, None
             dft_items.append((pos, a, len(planes)))
-            planes.append(int(a.index))
+            which = 0 if a.component == FieldComponent.E else 1
+            planes.append((int(a.index), which))
             continue
         if (hasattr(a, "kernel_flux_faces")
                 and hasattr(a, "update_from_flux_rows")):

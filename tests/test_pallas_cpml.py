@@ -592,7 +592,8 @@ def test_cpml_k_inkernel_dft_matches_per_tick():
         ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)[0], jnp.float32)
     src = ft.SourceSet.build([ft.PointSource(
         (16, 16, 128), ft.GaussianPulse(4 * dt, 2 * dt), j=(0.3, -0.2, 1.0))])
-    planes = (10, 24)
+    # mixed spec forms: bare int = E plane, (x0, 0) = E, (x0, 1) = H
+    planes = (10, (24, 0), (24, 1))
     freqs = (0.02, 0.05)
 
     fstep = pallas_cpml_stepk_fn(
@@ -605,8 +606,14 @@ def test_cpml_k_inkernel_dft_matches_per_tick():
     eng = build_step(shape, inv_dx=(1.0, 1.0, 1.0), dt=dt,
                      constants=ft.REDUCED, cpml=cpml)
     est = init_engine_state(shape, cpml=cpml)
-    probes = [DftProbe(frequencies=freqs, axis=0, index=x0,
-                       component=FieldComponent.E) for x0 in planes]
+    probes = [
+        DftProbe(frequencies=freqs, axis=0, index=10,
+                 component=FieldComponent.E),
+        DftProbe(frequencies=freqs, axis=0, index=24,
+                 component=FieldComponent.E),
+        DftProbe(frequencies=freqs, axis=0, index=24,
+                 component=FieldComponent.H),
+    ]
     accs = [p.init(est, dt) for p in probes]
     for _ in range(2 * k):
         est = eng(est, coeffs, src)
@@ -634,3 +641,50 @@ def test_cpml_k_inkernel_dft_matches_per_tick():
                 np.testing.assert_allclose(
                     got_im / scale, np.asarray(im)[f_i, c] / scale,
                     atol=3e-6, err_msg=f"im f{f_i} c{c} plane{pi}")
+
+
+def test_cpml_k_dft_row_captures_match_engine_ticks():
+    """dft_rows: the per-stage raw E/H row captures returned by the K-step
+    kernel must equal the corresponding lattice line of the engine's state
+    after every tick — "y" and "z" descriptors, chained passes."""
+    shape, k = (32, 32, 256), 4
+    cpml = Cpml(thickness=((5, 5), (4, 4), (4, 4)))
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    coeffs = ft.CellCoefficients.uniform(
+        ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)[0], jnp.float32)
+    src = ft.SourceSet.build([ft.PointSource(
+        (16, 16, 128), ft.GaussianPulse(4 * dt, 2 * dt), j=(0.3, -0.2, 1.0))])
+    descs = (("y", 12), ("z", 100), ("y", 20), ("z", 140))
+
+    fstep = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, interpret=True, dft_rows=descs)
+    st = init_pml_kernel_state(shape, cpml=cpml)
+    caps_all = []
+    for _ in range(2):
+        st, caps = fstep(st, coeffs, src)
+        caps_all.append([np.asarray(c) for c in caps])
+
+    eng = build_step(shape, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+                     constants=ft.REDUCED, cpml=cpml)
+    est = init_engine_state(shape, cpml=cpml)
+    for p in range(2):
+        for lvl in range(k):
+            est = eng(est, coeffs, src)
+            fields = (est.ex, est.ey, est.ez, est.hx, est.hy, est.hz)
+            for di, (ax, v) in enumerate(descs):
+                got = caps_all[p][di][lvl]  # (nx, 6, lat)
+                for c6, f in enumerate(fields):
+                    ref = (np.asarray(f)[:, v, :] if ax == "y"
+                           else np.asarray(f)[:, :, v])
+                    scale = np.abs(ref).max() or 1.0
+                    np.testing.assert_allclose(
+                        got[:, c6] / scale, ref / scale, atol=5e-6,
+                        err_msg=f"pass {p} lvl {lvl} desc {di} comp {c6}")
+    # fields advanced identically (captures must not perturb the step)
+    for name in ("ex", "ey", "ez"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(st, name)), np.asarray(getattr(est, name)),
+            rtol=0, atol=2e-6, err_msg=name)
+    assert max(np.abs(c).max() for cs in caps_all for c in cs) > 0
