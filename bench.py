@@ -452,7 +452,7 @@ def _selfcheck(ft, jax, jnp, np) -> bool:
     # the single-pass CPML kernel's states
     from fdtd_tpu.probes import DftProbe, FieldComponent
 
-    dft_planes_ = (20, 44)
+    dft_planes_ = (20, 44, (44, 1))  # E planes + one H plane
     dft_freqs_ = (0.02, 0.05)
     dft_step = jax.jit(pallas_cpml_stepk_fn(
         shape, ck, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
@@ -463,13 +463,44 @@ def _selfcheck(ft, jax, jnp, np) -> bool:
     for _ in range(n_ticks // ck):
         dfst = dft_step(dfst, coeffs, src)
     jax.block_until_ready(dfst)
-    probes_ = [DftProbe(frequencies=dft_freqs_, axis=0, index=x0,
-                        component=FieldComponent.E) for x0 in dft_planes_]
+    probes_ = [
+        DftProbe(frequencies=dft_freqs_, axis=0,
+                 index=p if isinstance(p, int) else p[0],
+                 component=(FieldComponent.E
+                            if isinstance(p, int) or p[1] == 0
+                            else FieldComponent.H))
+        for p in dft_planes_
+    ]
+    # lateral-plane spectra via the kernel's raw row captures, folded
+    # outside the kernel (DftProbe.update_from_dft_rows)
+    lat_probes = [
+        DftProbe(frequencies=dft_freqs_, axis=1, index=13,
+                 component=FieldComponent.E),
+        DftProbe(frequencies=dft_freqs_, axis=2, index=120,
+                 component=FieldComponent.H),
+    ]
+    lat_descs = sum((p.kernel_dft_rows() for p in lat_probes), ())
+    lat_step = jax.jit(pallas_cpml_stepk_fn(
+        shape, ck, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, dft_rows=lat_descs,
+    ))
+    lst = init_pml_kernel_state(shape, cpml=cpml)
+    laccs = [p.init_rows_acc(lst, dt) for p in lat_probes]
+    for _ in range(n_ticks // ck):
+        tick0 = lst.tick
+        lst, caps = lat_step(lst, coeffs, src)
+        laccs = [
+            p.update_from_dft_rows(a, caps[i: i + 1], tick0, dt)
+            for i, (p, a) in enumerate(zip(lat_probes, laccs))
+        ]
+    jax.block_until_ready(laccs)
     pst = init_pml_kernel_state(shape, cpml=cpml)
     paccs = [p.init(pst, dt) for p in probes_]
+    lref = [p.init(pst, dt) for p in lat_probes]
     for _ in range(n_ticks):
         pst = one_step(pst, coeffs, src)
         paccs = [p.update(a, pst, dt) for p, a in zip(probes_, paccs)]
+        lref = [p.update(a, pst, dt) for p, a in zip(lat_probes, lref)]
     jax.block_until_ready(paccs)
     err_df = 0.0
     n_f = len(dft_freqs_)
@@ -485,8 +516,23 @@ def _selfcheck(ft, jax, jnp, np) -> bool:
     good_df = err_df < tol
     ok = ok and good_df
     print(
-        f"selfcheck in-kernel DFT K={ck}: rel_err {err_df:.2e} "
+        f"selfcheck in-kernel DFT K={ck} (E+H): rel_err {err_df:.2e} "
         f"{'PASS' if good_df else 'FAIL'}",
+        file=sys.stderr,
+    )
+    err_lat = 0.0
+    for (re, im), (rre, rim) in zip(laccs, lref):
+        scale = max(float(np.abs(np.asarray(rre)).max()), 1e-12)
+        err_lat = max(
+            err_lat,
+            float(np.abs(np.asarray(re) - np.asarray(rre)).max()) / scale,
+            float(np.abs(np.asarray(im) - np.asarray(rim)).max()) / scale,
+        )
+    good_lat = err_lat < tol
+    ok = ok and good_lat
+    print(
+        f"selfcheck lateral-DFT row captures K={ck}: rel_err "
+        f"{err_lat:.2e} {'PASS' if good_lat else 'FAIL'}",
         file=sys.stderr,
     )
     return ok

@@ -172,6 +172,52 @@ class DftProbe:
             im + s.reshape(bshape) * plane[None],
         )
 
+    # -- kernel-tier row-capture support (axis 1/2) ----------------------
+    # Lateral-plane spectra ride the K-step CPML kernel's dft_rows
+    # captures (solver/pallas_cpml_k.py): the kernel emits the raw E+H
+    # line of every x-plane per tick level; the phase fold happens here,
+    # outside the kernel, and reproduces update() exactly.
+
+    def kernel_dft_rows(self):
+        if self.axis not in (1, 2):
+            raise ValueError("kernel_dft_rows: lateral axes only")
+        return (("y" if self.axis == 1 else "z", int(self.index)),)
+
+    def init_rows_acc(self, state, dt):
+        nx = state.ex.shape[0]
+        lat = state.ex.shape[2] if self.axis == 1 else state.ex.shape[1]
+        z = jnp.zeros((len(self.frequencies), 3, nx, lat), jnp.float32)
+        return (z, z)
+
+    def update_from_dft_rows(self, acc, caps, tick0, dt):
+        """Fold one kernel pass's (K, nx, 6, lat) capture block; equals K
+        sequential update() calls on the per-tick states. ``tick0`` is
+        the PRE-pass tick (levels sample ticks tick0+1 .. tick0+K)."""
+        re, im = acc
+        (rows,) = caps
+        c0 = 0 if self.component is FieldComponent.E else 3
+        rows = rows[:, :, c0: c0 + 3]  # (K, nx, 3, lat)
+        kk = rows.shape[0]
+        t = (
+            tick0.astype(jnp.float32) + 1.0
+            + jnp.arange(kk, dtype=jnp.float32)
+        ) * jnp.float32(dt)
+        freqs = jnp.asarray(self.frequencies, jnp.float32)
+        phase = (-2.0 * math.pi) * freqs[:, None] * t[None, :]  # (F, K)
+        # precision=HIGHEST: the TPU MXU's default bf16 matmul rounding
+        # costs ~1e-2 relative on the spectra (measured on-chip); this
+        # tiny (F, K) contraction must stay f32
+        hi = jax.lax.Precision.HIGHEST
+        fold_re = jnp.tensordot(jnp.cos(phase), rows, axes=(1, 0),
+                                precision=hi)
+        fold_im = jnp.tensordot(jnp.sin(phase), rows, axes=(1, 0),
+                                precision=hi)
+        # (F, nx, 3, lat) -> DftProbe layout (F, 3, nx, lat)
+        return (
+            re + jnp.transpose(fold_re, (0, 2, 1, 3)),
+            im + jnp.transpose(fold_im, (0, 2, 1, 3)),
+        )
+
 
 @dataclasses.dataclass(frozen=True)
 class PoyntingFluxProbe:

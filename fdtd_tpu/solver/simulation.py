@@ -330,8 +330,10 @@ class Simulation:
         """
         step, k = self._step, 1
         flux_faces_spec = flux_items = dft_items = dft_arg = None
+        row_items = rows_arg = None
         if accumulators:
-            flux_faces_spec, flux_items, dft_items, dft_arg = \
+            (flux_faces_spec, flux_items, dft_items, dft_arg,
+             row_items, rows_arg) = \
                 kernel_accumulator_spec(tuple(accumulators))
         flux_mode = False
         if (
@@ -356,11 +358,15 @@ class Simulation:
                     and supports_cpml_k(
                         self.grid.shape, self.bc, self._cpml_or_empty, cand,
                         dtype=self.dtype, dense=self._dense_kernel,
+                        dft=((dft_arg[0], len(dft_arg[1]))
+                             if accumulators and dft_arg else None),
+                        dft_rows=(rows_arg or ()) if accumulators else (),
                     )
                 ):
                     faces = flux_faces_spec if accumulators else ()
                     dft_kw = dft_arg if accumulators else None
-                    key = ("cpmlk", cand, faces, dft_kw)
+                    rows_kw = rows_arg if accumulators else ()
+                    key = ("cpmlk", cand, faces, dft_kw, rows_kw)
                     if key in self._multi_step_cache:
                         step = self._multi_step_cache[key]
                         k = cand
@@ -378,6 +384,7 @@ class Simulation:
                         max_sources=n_src, with_m=self._has_m_sources(),
                         dtype=self.dtype, flux_faces=faces,
                         dense=self._dense_kernel, dft=dft_kw,
+                        dft_rows=rows_kw,
                     )
                     if self.matid is not None:
                         kernel = pallas_cpml_stepk_fn(
@@ -463,15 +470,19 @@ class Simulation:
                     for _ in planes
                 ))
             owners = tuple((a, cr) for _, a, cr in flux_items)
+            row_owners = tuple((a, dr) for _, a, dr in row_items)
             fn = _compiled_flux(
                 step, tuple(probes), tuple(accumulators), owners,
+                row_owners,
                 max(probe_every // k, 1) if probes else 1,
                 n_steps // k, self.grid.dt,
             )
-            state, probe_out, flux_accs = fn(
+            state, probe_out, flux_accs, row_accs = fn(
                 state, self.coeffs, self.sources)
             finals = [None] * len(accumulators)
             for (pos, _a, _cr), acc in zip(flux_items, flux_accs):
+                finals[pos] = acc
+            for (pos, _a, _dr), acc in zip(row_items, row_accs):
                 finals[pos] = acc
             for pos, _p, slot in dft_items:
                 finals[pos] = extract_dft_acc(state, dft_arg, slot)
@@ -525,26 +536,39 @@ def kernel_accumulator_spec(accumulators):
     """Partition accumulators for the kernel tier. Flux-capable ones
     (kernel_flux_faces/update_from_flux_rows) map to flux_faces columns;
     DftProbe(axis=0) accumulators (E or H component) map to in-kernel
-    DFT planes (all must share ONE frequency tuple). Returns
-    (faces, flux_items, dft_items, dft_arg); all None when any
-    accumulator fits neither (caller falls back to per-tick paths).
-    flux_items = ((pos, acc, (c0, c1)), ...); dft_items =
+    DFT planes (all must share ONE frequency tuple); row-capture-capable
+    ones (kernel_dft_rows/update_from_dft_rows — lateral DftProbes,
+    BoxDft) map to dft_rows capture descriptors. Returns
+    (faces, flux_items, dft_items, dft_arg, row_items, rows_arg); all
+    None when any accumulator fits none (caller falls back to per-tick
+    paths). flux_items = ((pos, acc, (c0, c1)), ...); dft_items =
     ((pos, probe, plane_slot), ...); dft_arg = (planes, freqs) or None
-    with planes entries (index, which) — which 0=E / 1=H."""
+    with planes entries (index, which) — which 0=E / 1=H; row_items =
+    ((pos, acc, (d0, d1)), ...) with (d0, d1) the accumulator's slice of
+    rows_arg = the concatenated ("y"/"z", index) descriptor tuple."""
     from ..probes import DftProbe, FieldComponent
 
-    faces, flux_items, dft_items = [], [], []
-    planes, freqs = [], None
+    faces, flux_items, dft_items, row_items = [], [], [], []
+    planes, freqs, row_descs = [], None, []
+    _none = (None,) * 6
     for pos, a in enumerate(accumulators):
         if isinstance(a, DftProbe) and a.axis == 0:
             f = tuple(a.frequencies)
             if freqs is None:
                 freqs = f
             elif f != freqs:
-                return None, None, None, None
+                return _none
             dft_items.append((pos, a, len(planes)))
             which = 0 if a.component == FieldComponent.E else 1
             planes.append((int(a.index), which))
+            continue
+        if (hasattr(a, "kernel_dft_rows")
+                and hasattr(a, "update_from_dft_rows")):
+            dd = tuple(a.kernel_dft_rows())
+            row_items.append(
+                (pos, a, (len(row_descs), len(row_descs) + len(dd)))
+            )
+            row_descs.extend(dd)
             continue
         if (hasattr(a, "kernel_flux_faces")
                 and hasattr(a, "update_from_flux_rows")):
@@ -552,9 +576,10 @@ def kernel_accumulator_spec(accumulators):
             flux_items.append((pos, a, (len(faces), len(faces) + len(ff))))
             faces.extend(ff)
             continue
-        return None, None, None, None
+        return _none
     dft_arg = (tuple(planes), freqs) if dft_items else None
-    return tuple(faces), tuple(flux_items), tuple(dft_items), dft_arg
+    return (tuple(faces), tuple(flux_items), tuple(dft_items), dft_arg,
+            tuple(row_items), tuple(row_descs))
 
 
 def extract_dft_acc(state, dft_arg, plane_slot):
@@ -568,57 +593,69 @@ def extract_dft_acc(state, dft_arg, plane_slot):
     return live[:, 0], live[:, 1]
 
 
-def _run_scan_flux(step, probes, owners, probe_every, n_steps, dt,
-                   state, coeffs, sources):
-    """The accumulator scan for flux-emitting K-step kernels: the step
-    returns (state, (K, nx, n_q) per-tick reductions) and each
-    accumulator folds its column range — accumulators advance K ticks
-    per kernel pass inside one compiled scan."""
+def _run_scan_flux(step, probes, owners, row_owners, probe_every, n_steps,
+                   dt, state, coeffs, sources):
+    """The accumulator scan for flux/capture-emitting K-step kernels: the
+    step returns (state[, (K, nx, n_q) flux reductions][, DFT row
+    captures]) and each accumulator folds its column/descriptor range —
+    accumulators advance K ticks per kernel pass inside one compiled
+    scan."""
     stride = max(probe_every, 1)
     if n_steps % stride != 0:
         raise ValueError(f"{n_steps=} not divisible by {probe_every=}")
 
     accs = tuple(a.init(state, dt) for a, _ in owners)
+    raccs = tuple(a.init_rows_acc(state, dt) for a, _ in row_owners)
 
     def tick(carry, _):
-        s, accs = carry
+        s, accs, raccs = carry
         out = step(s, coeffs, sources)
+        if not (owners or row_owners):
+            return (out, accs, raccs), None
+        s2 = out[0]
+        idx = 1
+        accs2, raccs2 = accs, raccs
         if owners:
-            s2, rows = out
+            rows = out[idx]; idx += 1
             accs2 = tuple(
                 a.update_from_flux_rows(acc, rows[:, :, s0:s1], dt)
                 for (a, (s0, s1)), acc in zip(owners, accs)
             )
-        else:
-            s2, accs2 = out, accs
-        return (s2, accs2), None
+        if row_owners:
+            caps = out[idx]; idx += 1
+            raccs2 = tuple(
+                a.update_from_dft_rows(racc, caps[d0:d1], s.tick, dt)
+                for (a, (d0, d1)), racc in zip(row_owners, raccs)
+            )
+        return (s2, accs2, raccs2), None
 
     if stride == 1:
         def body(carry, _):
             carry2, _ = tick(carry, None)
             return carry2, tuple(p.sample(carry2[0], dt) for p in probes)
 
-        (state, accs), probe_out = jax.lax.scan(
-            body, (state, accs), None, length=n_steps
+        (state, accs, raccs), probe_out = jax.lax.scan(
+            body, (state, accs, raccs), None, length=n_steps
         )
     else:
         def body(carry, _):
             carry2, _ = jax.lax.scan(tick, carry, None, length=stride)
             return carry2, tuple(p.sample(carry2[0], dt) for p in probes)
 
-        (state, accs), probe_out = jax.lax.scan(
-            body, (state, accs), None, length=n_steps // stride
+        (state, accs, raccs), probe_out = jax.lax.scan(
+            body, (state, accs, raccs), None, length=n_steps // stride
         )
 
-    return state, probe_out, accs
+    return state, probe_out, accs, raccs
 
 
 @lru_cache(maxsize=128)
-def _compiled_flux(step, probes, accums, owners, probe_every, n_steps, dt):
+def _compiled_flux(step, probes, accums, owners, row_owners, probe_every,
+                   n_steps, dt):
     # no donation: flux kernels carry PmlKernelState (axon donation flake)
     return jax.jit(
-        partial(_run_scan_flux, step, probes, owners, probe_every,
-                n_steps, dt),
+        partial(_run_scan_flux, step, probes, owners, row_owners,
+                probe_every, n_steps, dt),
     )
 
 

@@ -688,3 +688,61 @@ def test_cpml_k_dft_row_captures_match_engine_ticks():
             np.asarray(getattr(st, name)), np.asarray(getattr(est, name)),
             rtol=0, atol=2e-6, err_msg=name)
     assert max(np.abs(c).max() for cs in caps_all for c in cs) > 0
+
+
+def test_cpml_k_lateral_dft_fold_matches_per_tick():
+    """DftProbe(axis=1/2) at kernel tier: folding the K-step kernel's raw
+    row captures via update_from_dft_rows must equal per-tick
+    DftProbe.update on the engine's states — E and H components, chained
+    passes (the exact composition Simulation.run dispatches)."""
+    from fdtd_tpu.probes import DftProbe, FieldComponent
+
+    shape, k = (32, 32, 256), 4
+    cpml = Cpml(thickness=((5, 5), (4, 4), (4, 4)))
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    coeffs = ft.CellCoefficients.uniform(
+        ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)[0], jnp.float32)
+    src = ft.SourceSet.build([ft.PointSource(
+        (16, 16, 128), ft.GaussianPulse(4 * dt, 2 * dt), j=(0.3, -0.2, 1.0))])
+    freqs = (0.02, 0.05)
+    probes = [
+        DftProbe(frequencies=freqs, axis=1, index=13,
+                 component=FieldComponent.E),
+        DftProbe(frequencies=freqs, axis=2, index=120,
+                 component=FieldComponent.H),
+    ]
+    descs = sum((p.kernel_dft_rows() for p in probes), ())
+    assert descs == (("y", 13), ("z", 120))
+
+    fstep = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, interpret=True, dft_rows=descs)
+    st = init_pml_kernel_state(shape, cpml=cpml)
+    accs = [p.init_rows_acc(st, dt) for p in probes]
+    for _ in range(6):
+        tick0 = st.tick
+        st, caps = fstep(st, coeffs, src)
+        accs = [
+            p.update_from_dft_rows(a, caps[i: i + 1], tick0, dt)
+            for i, (p, a) in enumerate(zip(probes, accs))
+        ]
+
+    eng = build_step(shape, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+                     constants=ft.REDUCED, cpml=cpml)
+    est = init_engine_state(shape, cpml=cpml)
+    ref_accs = [p.init(est, dt) for p in probes]
+    for _ in range(6 * k):
+        est = eng(est, coeffs, src)
+        ref_accs = [p.update(a, est, dt) for p, a in zip(probes, ref_accs)]
+
+    for pi, ((re, im), (rre, rim)) in enumerate(zip(accs, ref_accs)):
+        assert re.shape == rre.shape
+        scale = max(float(np.abs(np.asarray(rre)).max()), 1e-12)
+        np.testing.assert_allclose(
+            np.asarray(re) / scale, np.asarray(rre) / scale, atol=5e-6,
+            err_msg=f"re probe {pi}")
+        np.testing.assert_allclose(
+            np.asarray(im) / scale, np.asarray(rim) / scale, atol=5e-6,
+            err_msg=f"im probe {pi}")
+        assert float(np.abs(np.asarray(rre)).max()) > 0
