@@ -535,6 +535,54 @@ def _selfcheck(ft, jax, jnp, np) -> bool:
         f"{err_lat:.2e} {'PASS' if good_lat else 'FAIL'}",
         file=sys.stderr,
     )
+
+    # BoxDft at kernel tier: in-kernel x-plane spectra + lateral row
+    # captures IN ONE KERNEL BUILD (the NTFF scattering composition),
+    # reassembled by finalize_from_kernel vs per-tick BoxDft.update
+    from fdtd_tpu.probes import BoxDft
+    from fdtd_tpu.solver.simulation import extract_dft_acc
+
+    bx = BoxDft(frequencies=dft_freqs_, box=((20, 44), (8, 24), (96, 160)))
+    b_planes, b_descs = bx.kernel_parts()
+    bstep = jax.jit(pallas_cpml_stepk_fn(
+        shape, ck, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, dft=(b_planes, dft_freqs_),
+        dft_rows=b_descs,
+    ))
+    bst = init_pml_kernel_state(shape, cpml=cpml,
+                                dft=(b_planes, dft_freqs_))
+    braccs = bx.init_rows_acc(bst, dt)
+    for _ in range(n_ticks // ck):
+        tick0 = bst.tick
+        bst, caps = bstep(bst, coeffs, src)
+        braccs = bx.update_from_dft_rows(braccs, caps, tick0, dt)
+    jax.block_until_ready(braccs)
+    acc_k = bx.finalize_from_kernel(
+        [extract_dft_acc(bst, (b_planes, dft_freqs_), s)
+         for s in range(len(b_planes))],
+        braccs,
+    )
+    qst = init_pml_kernel_state(shape, cpml=cpml)
+    acc_r = bx.init(qst, dt)
+    for _ in range(n_ticks):
+        qst = one_step(qst, coeffs, src)
+        acc_r = bx.update(acc_r, qst, dt)
+    jax.block_until_ready(acc_r)
+    err_bx = 0.0
+    for fi, (fk, fr) in enumerate(zip(acc_k, acc_r)):
+        for qi, (ak, ar) in enumerate(zip(fk, fr)):
+            ak, ar = np.asarray(ak), np.asarray(ar)
+            if fi < 2 and qi < 2:
+                ak, ar = ak[:, 1:], ar[:, 1:]  # x-face normal E unused
+            scale = max(float(np.abs(ar).max()), 1e-12)
+            err_bx = max(err_bx, float(np.abs(ak - ar).max()) / scale)
+    good_bx = err_bx < tol
+    ok = ok and good_bx
+    print(
+        f"selfcheck BoxDft kernel tier K={ck}: rel_err {err_bx:.2e} "
+        f"{'PASS' if good_bx else 'FAIL'}",
+        file=sys.stderr,
+    )
     return ok
 
 

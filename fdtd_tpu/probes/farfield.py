@@ -154,6 +154,126 @@ class BoxDft:
             )
         return tuple(out)
 
+    # -- kernel-tier support (K-step CPML kernel, solver/pallas_cpml_k) --
+    # The normal-centering above is LINEAR in the fields, so the DFT of a
+    # centered face equals the same combination of RAW plane/row spectra
+    # at the adjacent lattice indices. The kernel accumulates raw E/H
+    # x-plane spectra in-kernel (dft planes) and emits raw E+H row
+    # captures for the lateral faces (dft_rows); finalize_from_kernel
+    # reassembles the exact update() face accumulators from them. Only
+    # the x-faces' NORMAL E component (Ex, never consumed by
+    # radiation_pattern — n x F drops it) is left zero: reconstructing it
+    # would cost two extra in-kernel plane tensors for a dead entry.
+
+    def kernel_parts(self):
+        """((x-plane specs for the kernel's ``dft``), (row descriptors
+        for ``dft_rows``)) — offsets derived from _E_OFF/_H_OFF along
+        each face normal (d=0 -> face index; d=-1/2 -> avg(i, i+1);
+        d=+1/2 -> avg(i-1, i))."""
+        (x0, x1), (y0, y1), (z0, z1) = self.box
+        planes = tuple(
+            p for xf in (x0, x1)
+            for p in ((xf, 0), (xf, 1), (xf + 1, 1))
+        )
+        rows = (("y", y0), ("y", y0 + 1), ("y", y1), ("y", y1 + 1),
+                ("z", z0 - 1), ("z", z0), ("z", z1 - 1), ("z", z1))
+        return planes, rows
+
+    def kernel_dft_rows(self):
+        return self.kernel_parts()[1]
+
+    def init_rows_acc(self, state, dt):
+        nx, ny, nz = state.ex.shape
+        k = len(self.frequencies)
+        zy = jnp.zeros((k, 6, nx, nz), jnp.float32)
+        zz = jnp.zeros((k, 6, nx, ny), jnp.float32)
+        return tuple((z, z) for z in (zy, zy, zy, zy, zz, zz, zz, zz))
+
+    def update_from_dft_rows(self, accs, caps, tick0, dt):
+        """Fold one kernel pass's raw row captures (one (K, nx, 6, lat)
+        block per descriptor, kernel_dft_rows order) into per-descriptor
+        raw spectra; tick0 is the PRE-pass tick."""
+        kk = caps[0].shape[0]
+        t = (
+            tick0.astype(jnp.float32) + 1.0
+            + jnp.arange(kk, dtype=jnp.float32)
+        ) * jnp.float32(dt)
+        freqs = jnp.asarray(self.frequencies, jnp.float32)
+        phase = (-2.0 * math.pi) * freqs[:, None] * t[None, :]  # (F, K)
+        hi = jax.lax.Precision.HIGHEST  # MXU bf16 default costs ~1e-2
+        cos, sin = jnp.cos(phase), jnp.sin(phase)
+        out = []
+        for (re, im), rows in zip(accs, caps):
+            fr = jnp.tensordot(cos, rows, axes=(1, 0), precision=hi)
+            fi = jnp.tensordot(sin, rows, axes=(1, 0), precision=hi)
+            out.append((re + jnp.transpose(fr, (0, 2, 1, 3)),
+                        im + jnp.transpose(fi, (0, 2, 1, 3))))
+        return tuple(out)
+
+    def finalize_from_kernel(self, plane_accs, row_accs):
+        """Reassemble the 6-face accumulator structure (update()'s
+        output, _faces() order) from the kernel's raw spectra.
+
+        ``plane_accs``: per kernel_parts()[0] entry, (re, im) each
+        (F, 3, ny, nz). ``row_accs``: per kernel_parts()[1] entry,
+        (re, im) each (F, 6, nx, lat)."""
+        def comb(parts):
+            # parts: per component 0..2, list of (weight, array) terms
+            return jnp.stack(
+                [sum(w * a for w, a in terms) if terms
+                 else jnp.zeros_like(parts[-1][0][1])
+                 for terms in parts],
+                axis=1,
+            )
+
+        out = []
+        for fi in range(2):  # x-lo, x-hi faces
+            e_f, h_f, h_f1 = plane_accs[3 * fi: 3 * fi + 3]
+            face = []
+            for ri in range(2):
+                e, h, h1 = e_f[ri], h_f[ri], h_f1[ri]
+                face.append(comb([[], [(1.0, e[:, 1])], [(1.0, e[:, 2])]]))
+                face.append(comb([
+                    [(1.0, h[:, 0])],
+                    [(0.5, h[:, 1]), (0.5, h1[:, 1])],
+                    [(0.5, h[:, 2]), (0.5, h1[:, 2])],
+                ]))
+            # (ere, hre, eim, him) -> (ere, eim, hre, him)
+            out.append((face[0], face[2], face[1], face[3]))
+        for fi in range(2):  # y-lo, y-hi faces
+            ra, rb = row_accs[2 * fi], row_accs[2 * fi + 1]
+            face = []
+            for ri in range(2):
+                a, b = ra[ri], rb[ri]
+                face.append(comb([
+                    [(1.0, a[:, 0])],
+                    [(0.5, a[:, 1]), (0.5, b[:, 1])],
+                    [(1.0, a[:, 2])],
+                ]))
+                face.append(comb([
+                    [(0.5, a[:, 3]), (0.5, b[:, 3])],
+                    [(1.0, a[:, 4])],
+                    [(0.5, a[:, 5]), (0.5, b[:, 5])],
+                ]))
+            out.append((face[0], face[2], face[1], face[3]))
+        for fi in range(2):  # z-lo, z-hi faces
+            rm, r0 = row_accs[4 + 2 * fi], row_accs[4 + 2 * fi + 1]
+            face = []
+            for ri in range(2):
+                m, o = rm[ri], r0[ri]
+                face.append(comb([
+                    [(0.5, m[:, 0]), (0.5, o[:, 0])],
+                    [(0.5, m[:, 1]), (0.5, o[:, 1])],
+                    [(1.0, o[:, 2])],
+                ]))
+                face.append(comb([
+                    [(1.0, o[:, 3])],
+                    [(1.0, o[:, 4])],
+                    [(0.5, m[:, 5]), (0.5, o[:, 5])],
+                ]))
+            out.append((face[0], face[2], face[1], face[3]))
+        return tuple(out)
+
 
 def radiation_pattern(
     box_dft: BoxDft,

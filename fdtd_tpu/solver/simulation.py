@@ -470,7 +470,7 @@ class Simulation:
                     for _ in planes
                 ))
             owners = tuple((a, cr) for _, a, cr in flux_items)
-            row_owners = tuple((a, dr) for _, a, dr in row_items)
+            row_owners = tuple((it[1], it[2]) for it in row_items)
             fn = _compiled_flux(
                 step, tuple(probes), tuple(accumulators), owners,
                 row_owners,
@@ -482,8 +482,16 @@ class Simulation:
             finals = [None] * len(accumulators)
             for (pos, _a, _cr), acc in zip(flux_items, flux_accs):
                 finals[pos] = acc
-            for (pos, _a, _dr), acc in zip(row_items, row_accs):
-                finals[pos] = acc
+            for it, acc in zip(row_items, row_accs):
+                if len(it) == 4:  # BoxDft: reassemble faces from both
+                    pos, a, _dr, (p0, p1) = it
+                    finals[pos] = a.finalize_from_kernel(
+                        [extract_dft_acc(state, dft_arg, s)
+                         for s in range(p0, p1)],
+                        acc,
+                    )
+                else:
+                    finals[it[0]] = acc
             for pos, _p, slot in dft_items:
                 finals[pos] = extract_dft_acc(state, dft_arg, slot)
             if dft_arg is not None:
@@ -545,22 +553,44 @@ def kernel_accumulator_spec(accumulators):
     ((pos, probe, plane_slot), ...); dft_arg = (planes, freqs) or None
     with planes entries (index, which) — which 0=E / 1=H; row_items =
     ((pos, acc, (d0, d1)), ...) with (d0, d1) the accumulator's slice of
-    rows_arg = the concatenated ("y"/"z", index) descriptor tuple."""
-    from ..probes import DftProbe, FieldComponent
+    rows_arg = the concatenated ("y"/"z", index) descriptor tuple.
+
+    BoxDft accumulators decompose onto BOTH mechanisms (kernel_parts):
+    their x-face raw plane spectra join ``planes`` and their y/z-face
+    captures join the descriptors; run() reassembles the faces with
+    finalize_from_kernel. They appear in row_items with a (p0, p1)
+    plane-slot range appended: (pos, acc, (d0, d1), (p0, p1))."""
+    from ..probes import BoxDft, DftProbe, FieldComponent
 
     faces, flux_items, dft_items, row_items = [], [], [], []
     planes, freqs, row_descs = [], None, []
     _none = (None,) * 6
+
+    def share_freqs(f):
+        nonlocal freqs
+        if freqs is None:
+            freqs = f
+            return True
+        return f == freqs
+
     for pos, a in enumerate(accumulators):
         if isinstance(a, DftProbe) and a.axis == 0:
-            f = tuple(a.frequencies)
-            if freqs is None:
-                freqs = f
-            elif f != freqs:
+            if not share_freqs(tuple(a.frequencies)):
                 return _none
             dft_items.append((pos, a, len(planes)))
             which = 0 if a.component == FieldComponent.E else 1
             planes.append((int(a.index), which))
+            continue
+        if isinstance(a, BoxDft):
+            if not share_freqs(tuple(a.frequencies)):
+                return _none
+            xp, dd = a.kernel_parts()
+            row_items.append((
+                pos, a, (len(row_descs), len(row_descs) + len(dd)),
+                (len(planes), len(planes) + len(xp)),
+            ))
+            planes.extend(xp)
+            row_descs.extend(dd)
             continue
         if (hasattr(a, "kernel_dft_rows")
                 and hasattr(a, "update_from_dft_rows")):
@@ -577,7 +607,7 @@ def kernel_accumulator_spec(accumulators):
             faces.extend(ff)
             continue
         return _none
-    dft_arg = (tuple(planes), freqs) if dft_items else None
+    dft_arg = (tuple(planes), freqs) if planes else None
     return (tuple(faces), tuple(flux_items), tuple(dft_items), dft_arg,
             tuple(row_items), tuple(row_descs))
 

@@ -158,3 +158,112 @@ def test_dipole_pattern_pulse_excitation():
     expected /= expected.max()
     assert np.abs(got - expected).max() < 0.015
     assert (np.abs(u - um[:, None]) / u.max()).max() < 0.04
+
+
+def test_boxdft_kernel_tier_matches_per_tick():
+    """BoxDft decomposed onto the K-step CPML kernel (in-kernel x-plane
+    spectra + lateral row captures, linear normal-centering reassembled by
+    finalize_from_kernel) must reproduce per-tick BoxDft.update on the
+    engine — every face entry except the x-faces' never-consumed normal
+    E component, and the radiation pattern exactly."""
+    import jax
+
+    from fdtd_tpu.solver.engine import build_step, init_engine_state
+    from fdtd_tpu.solver.pallas_cpml import init_pml_kernel_state
+    from fdtd_tpu.solver.pallas_cpml_k import pallas_cpml_stepk_fn
+
+    shape, k = (32, 32, 256), 4
+    cpml = Cpml(thickness=((5, 5), (4, 4), (4, 4)))
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    coeffs = ft.CellCoefficients.uniform(
+        ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)[0], jnp.float32)
+    f = 1.0 / (36 * dt)
+    src = ft.SourceSet.build([ft.PointSource(
+        (16, 16, 128), ft.ContinuousWave(frequency=f), j=(0.0, 0.0, 1.0))])
+    box = BoxDft(frequencies=(f,), box=((9, 23), (9, 23), (100, 156)))
+    planes, descs = box.kernel_parts()
+
+    fstep = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, interpret=True,
+        dft=(planes, box.frequencies), dft_rows=descs)
+    st = init_pml_kernel_state(shape, cpml=cpml,
+                               dft=(planes, box.frequencies))
+    raccs = box.init_rows_acc(st, dt)
+    n_pass = 18
+    for _ in range(n_pass):
+        tick0 = st.tick
+        st, caps = fstep(st, coeffs, src)
+        raccs = box.update_from_dft_rows(raccs, caps, tick0, dt)
+    # x-plane spectra ride the psi tail (extract_dft_acc layout)
+    from fdtd_tpu.solver.simulation import extract_dft_acc
+    plane_accs = [
+        extract_dft_acc(st, (planes, box.frequencies), s)
+        for s in range(len(planes))
+    ]
+    acc_k = box.finalize_from_kernel(plane_accs, raccs)
+
+    eng = jax.jit(build_step(shape, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+                             constants=ft.REDUCED, cpml=cpml))
+    est = init_engine_state(shape, cpml=cpml)
+    acc_ref = box.init(est, dt)
+    for _ in range(n_pass * k):
+        est = eng(est, coeffs, src)
+        acc_ref = box.update(acc_ref, est, dt)
+
+    names = ("ere", "eim", "hre", "him")
+    for fi, (fk, fr) in enumerate(zip(acc_k, acc_ref)):
+        for qi, (ak, ar) in enumerate(zip(fk, fr)):
+            ak, ar = np.asarray(ak), np.asarray(ar)
+            assert ak.shape == ar.shape, (fi, qi, ak.shape, ar.shape)
+            scale = max(np.abs(ar).max(), 1e-12)
+            if fi < 2 and qi < 2:
+                # x-faces: normal E (comp 0) is left zero by design
+                np.testing.assert_allclose(ak[:, 0], 0.0, atol=0)
+                d = np.abs(ak[:, 1:] - ar[:, 1:]).max() / scale
+            else:
+                d = np.abs(ak - ar).max() / scale
+            assert d < 2e-5, (fi, names[qi], d)
+            assert np.abs(ar).max() > 0, (fi, qi)
+
+    theta = np.radians(np.arange(15, 166, 15))
+    phi = np.radians(np.array([0.0, 90.0]))
+    u_k = radiation_pattern(box, acc_k, dt=dt, dx=(1.0, 1.0, 1.0),
+                            theta=theta, phi=phi, eta=1.0, c0=1.0)
+    u_r = radiation_pattern(box, acc_ref, dt=dt, dx=(1.0, 1.0, 1.0),
+                            theta=theta, phi=phi, eta=1.0, c0=1.0)
+    np.testing.assert_allclose(u_k / u_r.max(), u_r / u_r.max(), atol=1e-4)
+
+
+def test_kernel_accumulator_spec_partitions_boxdft():
+    """The dispatcher decomposes a BoxDft + mixed accumulators onto the
+    three kernel mechanisms, sharing one frequency tuple."""
+    from fdtd_tpu.models.scattering import _BoxFluxAccumulator
+    from fdtd_tpu.probes import DftProbe, FieldComponent
+    from fdtd_tpu.solver.simulation import kernel_accumulator_spec
+
+    box = BoxDft(frequencies=(0.03,), box=((8, 24), (8, 24), (96, 160)))
+    dp_h = DftProbe(frequencies=(0.03,), axis=0, index=5,
+                    component=FieldComponent.H)
+    dp_y = DftProbe(frequencies=(0.03,), axis=1, index=12,
+                    component=FieldComponent.E)
+    flux = _BoxFluxAccumulator(((4, 28), (4, 28), (64, 192)),
+                               (1.0, 1.0, 1.0), 0.5)
+    faces, flux_items, dft_items, dft_arg, row_items, rows_arg = \
+        kernel_accumulator_spec((box, dp_h, dp_y, flux))
+    assert faces == flux.kernel_flux_faces()
+    assert [it[0] for it in flux_items] == [3]
+    assert [it[0] for it in dft_items] == [1]
+    planes, freqs = dft_arg
+    assert freqs == (0.03,)
+    # box planes first (6), then the axis-0 H probe's plane
+    assert planes[:6] == box.kernel_parts()[0] and planes[6] == (5, 1)
+    assert [it[0] for it in row_items] == [0, 2]
+    assert len(row_items[0]) == 4 and row_items[0][3] == (0, 6)
+    assert rows_arg == box.kernel_parts()[1] + dp_y.kernel_dft_rows()
+
+    # mismatched frequency tuples kill the kernel plan
+    bad = DftProbe(frequencies=(0.07,), axis=0, index=5,
+                   component=FieldComponent.E)
+    assert kernel_accumulator_spec((box, bad)) == (None,) * 6
