@@ -536,6 +536,40 @@ def _selfcheck(ft, jax, jnp, np) -> bool:
         file=sys.stderr,
     )
 
+    # SHARDED capture build (runtime_edges/xprof variant) on the n_dev=1
+    # mesh vs the same per-tick references
+    sl_step = jax.jit(make_pallas_sharded_cpml_stepk(
+        mesh1, shape, ck, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+        constants=ft.REDUCED, cpml=cpml, max_sources=1,
+        dft_rows=lat_descs,
+    ))
+    slt = init_sharded_pml_state(shape, mesh1, ck, cpml=cpml)
+    slaccs = [p.init_rows_acc(init_pml_kernel_state(shape, cpml=cpml), dt)
+              for p in lat_probes]
+    for _ in range(n_ticks // ck):
+        tick0 = slt.tick
+        slt, caps = sl_step(slt, coeffs, src)
+        slaccs = [
+            p.update_from_dft_rows(a, caps[i: i + 1], tick0, dt)
+            for i, (p, a) in enumerate(zip(lat_probes, slaccs))
+        ]
+    jax.block_until_ready(slaccs)
+    err_sl = 0.0
+    for (re, im), (rre, rim) in zip(slaccs, lref):
+        scale = max(float(np.abs(np.asarray(rre)).max()), 1e-12)
+        err_sl = max(
+            err_sl,
+            float(np.abs(np.asarray(re) - np.asarray(rre)).max()) / scale,
+            float(np.abs(np.asarray(im) - np.asarray(rim)).max()) / scale,
+        )
+    good_sl = err_sl < tol
+    ok = ok and good_sl
+    print(
+        f"selfcheck sharded DFT captures K={ck}: rel_err {err_sl:.2e} "
+        f"{'PASS' if good_sl else 'FAIL'}",
+        file=sys.stderr,
+    )
+
     # BoxDft at kernel tier: in-kernel x-plane spectra + lateral row
     # captures IN ONE KERNEL BUILD (the NTFF scattering composition),
     # reassembled by finalize_from_kernel vs per-tick BoxDft.update

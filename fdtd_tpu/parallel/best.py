@@ -59,6 +59,7 @@ def best_sharded_absorbing_step(
     interpret: bool = False,
     axis: str = "x",
     flux_faces=(),
+    dft_rows=(),
 ):
     """(step, init_state, k, kind) for a sharded absorbing run.
 
@@ -96,7 +97,7 @@ def best_sharded_absorbing_step(
     # box TF/SF lateral faces are cut by a 2-D mesh: engine handles that;
     # same for the static lateral indices of in-kernel flux reductions
     tfsf_ok = tfsf is None or not (tfsf.is_box and y_axis is not None)
-    flux_ok = not flux_faces or y_axis is None
+    flux_ok = not (flux_faces or dft_rows) or y_axis is None
     if (
         cpml is not None
         and flux_ok
@@ -121,6 +122,7 @@ def best_sharded_absorbing_step(
                     axis=axis, with_m=with_m, matid=matid,
                     n_materials=n_materials, dtype=dtype, y_axis=y_axis,
                     flux_faces=tuple(flux_faces),
+                    dft_rows=tuple(dft_rows),
                 ))
 
                 def init_state(k=k):

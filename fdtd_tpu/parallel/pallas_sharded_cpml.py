@@ -456,6 +456,7 @@ def make_pallas_sharded_cpml_stepk(
     tfsf=None,
     y_axis: Optional[str] = None,
     flux_faces=(),
+    dft_rows=(),
 ):
     """Build step(state_ext, coeffs, sources) advancing ``k_steps``
     absorbing ticks per pass on each shard of a 1-D x decomposition — or
@@ -499,7 +500,16 @@ def make_pallas_sharded_cpml_stepk(
     each shard emits its owned planes' rows in-kernel, which are then
     scattered into global plane positions and psum-combined over the
     mesh — per-tick accumulators (scattering box flux) thus ride the
-    sharded kernel without dropping to single-stepping."""
+    sharded kernel without dropping to single-stepping.
+
+    ``dft_rows`` (1-D x meshes only, same reason as flux: the y0/z0 line
+    coordinates are static in-kernel masks, valid on every shard only
+    while the lateral dims are uncut) appends a tuple of GLOBAL
+    (K, nx, 6, lat) raw E+H row-capture blocks to the return, assembled
+    like flux_rows (owned extended planes -> global scatter -> psum) —
+    lateral-plane spectra (DftProbe axis 1/2) then fold outside the
+    kernel at full kernel-tier speed on multi-chip runs. Return order
+    matches the single-chip kernel: state [, flux_rows][, captures]."""
     n_dev = mesh.shape[axis]
     two_d = y_axis is not None
     n_dy = mesh.shape[y_axis] if two_d else 1
@@ -523,6 +533,12 @@ def make_pallas_sharded_cpml_stepk(
             "in-kernel flux reductions use static lateral indices; a 2-D "
             "decomposition cuts them — use a 1-D x mesh (or the engine)"
         )
+    if two_d and dft_rows:
+        raise ValueError(
+            "DFT row captures use static lateral indices; a 2-D "
+            "decomposition cuts them — use a 1-D x mesh (or the engine)"
+        )
+    dft_rows = tuple((str(a), int(v)) for a, v in dft_rows)
     nx, ny, nz = shape
     n_mat = n_materials if matid is not None else 1
     nl = nx // n_dev
@@ -588,7 +604,7 @@ def make_pallas_sharded_cpml_stepk(
         with_m=bool(with_m), dtype_name=jnp.dtype(dtype).name,
         runtime_tfsf=tfsf is not None,
         y_halo=k if two_d else 0, runtime_ystrips=runtime_ystrips,
-        flux_faces=tuple(flux_faces),
+        flux_faces=tuple(flux_faces), dft_rows=dft_rows,
     )
     assert not x_inputs  # runtime_xprof: profiles come in as an operand
     n_psi = len(layout)
@@ -716,19 +732,58 @@ def make_pallas_sharded_cpml_stepk(
             tick=state.tick + k, psi=tuple(outs[6: 6 + n_psi]),
             aux_e=state.aux_e, aux_h=state.aux_h,
         )
+        res = [new]
+        n_out = 6 + n_psi
+        zero32 = jnp.zeros((), jnp.int32)
+        x0_32 = (idx * nl).astype(jnp.int32)
         if flux_faces:
             # shard-local extended rows -> GLOBAL (K, nx, n_q): keep the
             # owned planes, scatter to global positions, psum over x
             n_q = len(flux_faces)
-            rows_ext = jnp.stack(outs[6 + n_psi:])[:, 1: nle + 1, 0, :n_q]
+            rows_ext = jnp.stack(
+                outs[n_out: n_out + k])[:, 1: nle + 1, 0, :n_q]
+            n_out += k
             owned = rows_ext[:, k: k + nl]
-            zero32 = jnp.zeros((), jnp.int32)
             glob = lax.dynamic_update_slice(
                 jnp.zeros((k, nx, n_q), jnp.float32), owned,
-                (zero32, (idx * nl).astype(jnp.int32), zero32),
+                (zero32, x0_32, zero32),
             )
-            return new, lax.psum(glob, axis)
-        return new
+            res.append(lax.psum(glob, axis))
+        if dft_rows:
+            # capture sets in kernel order (one per "y" desc, one shared
+            # "z" set): owned extended planes -> global scatter -> psum,
+            # re-emitted in the caller's dft_rows order (single-chip
+            # contract, (K, nx, 6, lat) per descriptor)
+            def to_global(owned4):
+                glob = lax.dynamic_update_slice(
+                    jnp.zeros((k, nx) + owned4.shape[2:], jnp.float32),
+                    owned4, (zero32, x0_32, zero32, zero32),
+                )
+                return lax.psum(glob, axis)
+
+            y_caps = []
+            for _ in range(sum(1 for d in dft_rows if d[0] == "y")):
+                blk = jnp.stack(
+                    outs[n_out: n_out + k])[:, 1 + k: 1 + k + nl, 0:6, :]
+                n_out += k
+                y_caps.append(to_global(blk))
+            z_block = None
+            if any(d[0] == "z" for d in dft_rows):
+                z_block = jnp.stack(
+                    outs[n_out: n_out + k])[:, 1 + k: 1 + k + nl]
+                n_out += k
+            caps, yi, zi = [], 0, 0
+            for a, _v in dft_rows:
+                if a == "y":
+                    caps.append(y_caps[yi]); yi += 1
+                else:
+                    blk = jnp.transpose(
+                        z_block[:, :, :, 6 * zi: 6 * zi + 6], (0, 1, 3, 2)
+                    )
+                    caps.append(to_global(blk))
+                    zi += 1
+            res.append(tuple(caps))
+        return res[0] if len(res) == 1 else tuple(res)
 
     fspec = P(axis, y_axis, None)
     state_spec = PmlKernelState(
@@ -785,23 +840,26 @@ def make_pallas_sharded_cpml_stepk(
         if runtime_ystrips:
             operands += [ystr_h, ystr_e]
             specs += [P(y_axis, None, None, None)] * 2
-        out_specs = (
-            (state_spec, P(None, None, None)) if flux_faces else state_spec
-        )
+        out_spec_l = [state_spec]
+        if flux_faces:
+            out_spec_l.append(P(None, None, None))
+        if dft_rows:
+            out_spec_l.append(tuple(P(None, None, None, None)
+                                    for _ in dft_rows))
+        extras = flux_faces or dft_rows
         res = jax.shard_map(
             local_step,
             mesh=mesh,
             in_specs=tuple(specs),
-            out_specs=out_specs,
+            out_specs=tuple(out_spec_l) if extras else state_spec,
             check_vma=False,
         )(*operands)
-        flux_rows = None
-        if flux_faces:
-            out, flux_rows = res
+        if extras:
+            out = res[0]
         else:
             out = res
         if tfsf is not None:
             out = out._replace(aux_e=aux_e, aux_h=aux_h)
-        return (out, flux_rows) if flux_faces else out
+        return (out, *res[1:]) if extras else out
 
     return step

@@ -207,16 +207,23 @@ class ShardedSimulation:
             raise ValueError(f"{n_steps=} not divisible by plan k={k}")
         coeffs = self._step_coeffs
         if accumulators:
-            faces, owners = self._kernel_flux_spec(accumulators)
-            if (
-                faces is not None and k > 1 and kind == "pallas_cpml_k"
+            from ..solver.simulation import kernel_accumulator_spec
+
+            (faces, flux_items, dft_items, _dft_arg, row_items,
+             rows_arg) = kernel_accumulator_spec(tuple(accumulators))
+            # the sharded kernel covers flux reductions and lateral DFT
+            # row captures (1-D x meshes); in-kernel x-plane spectra
+            # (axis-0 DftProbes, BoxDft — row_items 4-tuples) would need
+            # runtime plane coordinates and fall back to per-tick paths
+            kernel_ok = (
+                faces is not None
+                and not dft_items
+                and all(len(it) == 3 for it in (row_items or ()))
+                and k > 1 and kind == "pallas_cpml_k"
                 and self._y_axis is None
-            ):
-                # accumulators ride the kernel tier: the step emits
-                # per-tick per-plane Poynting reductions in-kernel
-                # (pallas_cpml_k flux_faces) and each accumulator folds
-                # its column slice — no single-stepping
-                fstep = self._flux_step(faces)
+            )
+            if kernel_ok:
+                fstep = self._flux_step(faces, rows_arg)
                 if probes and (
                     probe_every % k != 0 or n_steps % probe_every != 0
                 ):
@@ -224,31 +231,63 @@ class ShardedSimulation:
                         f"{probe_every=} must be a multiple of plan k={k} "
                         f"and divide {n_steps=}"
                     )
+                owners = tuple((a, cr) for _, a, cr in flux_items)
                 accs = tuple(
-                    a.init(state, self.grid.dt) for a in accumulators
+                    a.init(state, self.grid.dt) for a, _ in owners
+                )
+                # captures come back GLOBAL, so row accs are global-shaped
+                # regardless of the extended per-shard state layout
+                import types
+
+                gshape = types.SimpleNamespace(
+                    ex=np.broadcast_to(np.float32(0), self.grid.shape)
+                )
+                raccs = tuple(
+                    a.init_rows_acc(gshape, self.grid.dt)
+                    for _, a, _dr in row_items
                 )
                 outs = [[] for _ in probes]
                 for i in range(n_steps // k):
-                    state, rows = fstep(state, coeffs, self.sources)
-                    accs = tuple(
-                        a.update_from_flux_rows(
-                            acc, rows[:, :, s0:s1], self.grid.dt
+                    tick0 = state.tick
+                    out = fstep(state, coeffs, self.sources)
+                    state = out[0]
+                    oi = 1
+                    if faces:
+                        rows = out[oi]; oi += 1
+                        accs = tuple(
+                            a.update_from_flux_rows(
+                                acc, rows[:, :, s0:s1], self.grid.dt
+                            )
+                            for (a, (s0, s1)), acc in zip(owners, accs)
                         )
-                        for (a, (s0, s1)), acc in zip(owners, accs)
-                    )
+                    if row_items:
+                        caps = out[oi]; oi += 1
+                        raccs = tuple(
+                            a.update_from_dft_rows(
+                                racc, caps[d0:d1], tick0, self.grid.dt
+                            )
+                            for (_p, a, (d0, d1)), racc
+                            in zip(row_items, raccs)
+                        )
                     if probes and ((i + 1) * k) % probe_every == 0:
                         view = self._global_view(state)
                         for j, p in enumerate(probes):
                             outs[j].append(p.sample(view, self.grid.dt))
-                return (state, tuple(jnp.stack(o) for o in outs), accs)
+                finals = [None] * len(accumulators)
+                for (pos, _a, _cr), acc in zip(flux_items, accs):
+                    finals[pos] = acc
+                for (pos, _a, _dr), racc in zip(row_items, raccs):
+                    finals[pos] = racc
+                return (state, tuple(jnp.stack(o) for o in outs),
+                        tuple(finals))
             if k != 1:
                 raise ValueError(
                     "accumulators need every tick; this configuration "
                     f"dispatched to a K={k} kernel path and the "
-                    "accumulators don't expose kernel_flux_faces/"
-                    "update_from_flux_rows (or the mesh is 2-D) — use "
-                    "flux-style accumulators, a 1-D mesh, or force the "
-                    "engine path (e.g. via dense coefficients)"
+                    "accumulators don't all map to the sharded kernel "
+                    "mechanisms (flux faces / lateral DFT row captures "
+                    "on a 1-D mesh) — use those, a 1-D mesh, or force "
+                    "the engine path (e.g. via dense coefficients)"
                 )
             accs = tuple(a.init(state, self.grid.dt) for a in accumulators)
             outs = [[] for _ in probes]
@@ -280,21 +319,14 @@ class ShardedSimulation:
                     outs[j].append(p.sample(view, self.grid.dt))
         return state, tuple(jnp.stack(o) for o in outs)
 
-    @staticmethod
-    def _kernel_flux_spec(accumulators):
-        """(faces, owners) when EVERY accumulator supports in-kernel flux
-        reductions; (None, None) otherwise (shared with the single-chip
-        Simulation)."""
-        from ..solver.simulation import kernel_flux_spec
-
-        return kernel_flux_spec(tuple(accumulators))
-
-    def _flux_step(self, faces):
+    def _flux_step(self, faces, dft_rows=()):
         """The plan's kernel step rebuilt with in-kernel flux reductions
-        (same k and state layout; flux only adds outputs). Cached per
-        faces tuple so repeated run() calls reuse the compiled step."""
+        and/or DFT row captures (same k and state layout; both only add
+        outputs). Cached per (faces, rows) so repeated run() calls reuse
+        the compiled step."""
         cache = self.__dict__.setdefault("_flux_step_cache", {})
-        if faces not in cache:
+        key = (faces, tuple(dft_rows))
+        if key not in cache:
             from .best import best_sharded_absorbing_step
 
             inv_dx = tuple(1.0 / d for d in self.grid.dx)
@@ -309,11 +341,12 @@ class ShardedSimulation:
                 with_m=self._has_m_sources(), matid=self.matid,
                 n_materials=n_mat, dtype=self.dtype, max_k=self.max_k,
                 interpret=self.interpret, axis=self.axis, flux_faces=faces,
+                dft_rows=tuple(dft_rows),
             )
             k, kind = self.plan()
             assert (fk, fkind) == (k, kind), (fk, fkind, k, kind)
-            cache[faces] = step
-        return cache[faces]
+            cache[key] = step
+        return cache[key]
 
     def _global_view(self, state):
         """Device-side global-layout SimState view of any state kind

@@ -464,3 +464,52 @@ def test_sharded_cpml_2d_matid():
             np.asarray(getattr(got, name)), np.asarray(getattr(ref, name)),
             rtol=0, atol=1e-6, err_msg=name,
         )
+
+
+def test_sharded_cpml_dft_row_captures_match_single_device():
+    """dft_rows on the sharded kernel: the psum-assembled global
+    (K, nx, 6, lat) capture blocks must BIT-match the single-device
+    kernel's captures — 4 shards, source within K planes of a shard cut,
+    y and z descriptors, chained passes."""
+    shape, n_dev, k = (64, 16, 256), 4, 3
+    cpml = Cpml(thickness=((4, 4), (3, 3), (4, 4)))
+    mesh = make_mesh(n_dev, ("x",))
+    bc = BoundaryConditions()
+    assert supports_sharded_cpml(shape, n_dev, bc, cpml, k, jnp.float32)
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+    coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
+    src = ft.SourceSet.build([ft.PointSource(
+        (17, 8, 128), ft.GaussianPulse(4 * dt, 2 * dt),
+        j=(0.3, -0.2, 1.0))])  # plane 17: within k=3 of the 16-cut
+    descs = (("y", 7), ("z", 120), ("y", 9))
+
+    kw = dict(max_sources=1, interpret=True, dft_rows=descs)
+    ref_step = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, **kw)
+    ref = init_pml_kernel_state(shape, cpml=cpml)
+    ref_caps = []
+    for _ in range(4):
+        ref, caps = ref_step(ref, coeffs, src)
+        ref_caps.append([np.asarray(c) for c in caps])
+
+    sh_step = make_pallas_sharded_cpml_stepk(
+        mesh, shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+        constants=ft.REDUCED, cpml=cpml, **kw)
+    st = init_sharded_pml_state(shape, mesh, k, cpml=cpml)
+    got_caps = []
+    for _ in range(4):
+        st, caps = sh_step(st, coeffs, src)
+        got_caps.append([np.asarray(c) for c in caps])
+    got = collapse_pml_state(st, mesh, k, shape, cpml=cpml)
+    _assert_state_equal(ref, got)
+
+    for p in range(4):
+        for di in range(len(descs)):
+            assert got_caps[p][di].shape == ref_caps[p][di].shape
+            np.testing.assert_allclose(
+                got_caps[p][di], ref_caps[p][di], rtol=0, atol=1e-6,
+                err_msg=f"pass {p} desc {di}")
+    assert max(np.abs(c).max() for cs in ref_caps for c in cs) > 0

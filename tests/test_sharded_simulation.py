@@ -350,3 +350,52 @@ def test_sharded_checkpoint_resume_mesh_change(tmp_path):
             np.asarray(pg), np.asarray(pr), rtol=0, atol=1e-6,
             err_msg=f"psi[{i}]",
         )
+
+
+def test_lateral_dft_accumulators_ride_sharded_kernel():
+    """DftProbe(axis=1/2) accumulators on a 1-D mesh keep the sharded
+    K-step kernel plan (row captures + outside-kernel fold) and match the
+    single-chip engine's per-tick accumulation — mixed with a flux
+    accumulator in one run."""
+    from fdtd_tpu.models.scattering import _BoxFluxAccumulator
+    from fdtd_tpu.probes import DftProbe, FieldComponent
+    from fdtd_tpu.solver.simulation import Simulation
+
+    shape = (32, 32, 256)
+    grid = _grid(shape)
+    cpml = Cpml(thickness=((6, 6), (4, 4), (4, 4)))
+    coeffs = _uniform_coeffs(grid)
+    src = _src(grid, (15, 16, 128))
+    probes = (
+        DftProbe(frequencies=(0.02, 0.05), axis=1, index=14,
+                 component=FieldComponent.E),
+        DftProbe(frequencies=(0.02, 0.05), axis=2, index=120,
+                 component=FieldComponent.H),
+        _BoxFluxAccumulator(((8, 25), (8, 25), (64, 191)),
+                            (1.0, 1.0, 1.0), grid.dt),
+    )
+    ssim = ShardedSimulation(grid=grid, coeffs=coeffs, sources=src,
+                             cpml=cpml, mesh=make_mesh(2, ("x",)),
+                             interpret=True, max_k=2)
+    kk, kind = ssim.plan()
+    assert kind == "pallas_cpml_k" and kk == 2
+    n_steps = 16 * kk
+    st, pr, finals = ssim.run(ssim.init(), n_steps, accumulators=probes)
+    assert pr == ()
+
+    sim = Simulation(grid=grid, coeffs=coeffs, sources=src, cpml=cpml,
+                     backend="xla")
+    st1 = sim.init()
+    st1, _, ref = sim.run(st1, n_steps, accumulators=probes)
+
+    for i in (0, 1):
+        for ri in range(2):
+            a, b = np.asarray(finals[i][ri]), np.asarray(ref[i][ri])
+            assert a.shape == b.shape
+            s = max(np.abs(b).max(), 1e-12)
+            np.testing.assert_allclose(a / s, b / s, atol=5e-6,
+                                       err_msg=f"probe {i} part {ri}")
+            assert np.abs(b).max() > 0, (i, ri)
+    fa, fb = float(finals[2]), float(ref[2])
+    assert np.isfinite(fa) and abs(fb) > 1e-10
+    assert abs(fa - fb) <= 1e-4 * abs(fb), (fa, fb)
