@@ -73,7 +73,7 @@ _FIELDS = ("ex", "ey", "ez", "hx", "hy", "hz")
 
 def supports_sharded_cpml(
     shape, n_dev: int, bc, cpml, k: int, dtype=jnp.float32,
-    n_dev_y: int = 1,
+    n_dev_y: int = 1, dft_rt=None,
 ) -> bool:
     """True when the sharded in-kernel CPML path supports this config.
 
@@ -96,7 +96,8 @@ def supports_sharded_cpml(
     ny_ext = nly + 2 * k if n_dev_y > 1 else ny
     if n_dev_y > 1 and ny_ext % 8 != 0:
         return False
-    if not supports_cpml_k((nle, ny_ext, nz), bc, cpml, k, dtype):
+    if not supports_cpml_k((nle, ny_ext, nz), bc, cpml, k, dtype,
+                           dft_rt=dft_rt):
         return False
     lo, hi = cpml.thickness[0]
     for half in (False, True):
@@ -216,6 +217,7 @@ def _plane_maps(nx, nl, k, layout):
 def init_sharded_pml_state(
     shape, mesh: Mesh, k: int, *, cpml, axis: str = "x",
     dtype=jnp.float32, tfsf=None, y_axis: Optional[str] = None,
+    dft=None,
 ) -> PmlKernelState:
     """Zero PmlKernelState in the extended sharded layout for a global
     ``shape`` lattice decomposed along x over ``mesh`` (and along y too
@@ -242,6 +244,18 @@ def init_sharded_pml_state(
         z((n_dev * ts[0], n_dy * ts[1], ts[2]), fs)
         for *_, ts, _ in layout
     )
+    if dft is not None and y_axis is not None:
+        raise ValueError("in-kernel x-plane DFT needs a 1-D x mesh")
+    if dft is not None:
+        # runtime-coordinate DFT accumulator tail: one per-shard
+        # (6F, ny, nz) resident block per plane, stored (n_dev*6F, ny,
+        # nz) sharded over the leading dim (make_pallas_sharded_cpml_stepk
+        # dft=; 1-D x meshes only)
+        planes_rt, freqs_rt = dft
+        n_f = len(tuple(freqs_rt))
+        psi = psi + tuple(
+            z((n_dev * 6 * n_f, ny, nz), fs) for _ in tuple(planes_rt)
+        )
     if tfsf is not None:
         ae, ah = tfsf.init_aux(nx, jnp.float32)
         aux_e = jax.device_put(ae, r)
@@ -457,6 +471,7 @@ def make_pallas_sharded_cpml_stepk(
     y_axis: Optional[str] = None,
     flux_faces=(),
     dft_rows=(),
+    dft=None,
 ):
     """Build step(state_ext, coeffs, sources) advancing ``k_steps``
     absorbing ticks per pass on each shard of a 1-D x decomposition — or
@@ -509,13 +524,28 @@ def make_pallas_sharded_cpml_stepk(
     like flux_rows (owned extended planes -> global scatter -> psum) —
     lateral-plane spectra (DftProbe axis 1/2) then fold outside the
     kernel at full kernel-tier speed on multi-chip runs. Return order
-    matches the single-chip kernel: state [, flux_rows][, captures]."""
+    matches the single-chip kernel: state [, flux_rows][, captures].
+
+    ``dft`` = (planes, freqs) with GLOBAL (x0, which) planes (bare int =
+    E): in-kernel x-plane DFT spectra on the sharded path, via the
+    kernel's RUNTIME-coordinate variant (solver/pallas_cpml_k.py
+    dft_runtime) — the x decomposition cuts the plane coordinate, so
+    each shard receives its extended-layout coordinate (owner) or an
+    off-grid sentinel (everyone else; their accumulators stay zero). The
+    per-shard (6F, ny, nz) accumulators ride the psi TAIL as
+    (n_dev*6F, ny, nz) sharded entries (init_sharded_pml_state dft=);
+    the global spectrum is the sum of the per-shard chunks (exactly one
+    nonzero). 1-D x meshes only (the accumulator's lateral dims must be
+    uncut). Owned planes are exact at EVERY stage of the extended-halo
+    sweep (the flux-rows argument), so per-tick accumulation commutes
+    with the K-blocking."""
     n_dev = mesh.shape[axis]
     two_d = y_axis is not None
     n_dy = mesh.shape[y_axis] if two_d else 1
     if not supports_sharded_cpml(
         shape, n_dev, bc, cpml, k_steps, dtype,
         n_dev_y=n_dy if two_d else 1,
+        dft_rt=(len(dft[0]), len(dft[1])) if dft is not None else None,
     ):
         raise ValueError(
             f"sharded CPML kernel does not support {shape=} {n_dev=} "
@@ -538,7 +568,23 @@ def make_pallas_sharded_cpml_stepk(
             "DFT row captures use static lateral indices; a 2-D "
             "decomposition cuts them — use a 1-D x mesh (or the engine)"
         )
+    if two_d and dft is not None:
+        raise ValueError(
+            "in-kernel x-plane DFT accumulators span the full lateral "
+            "plane; a 2-D decomposition cuts it — use a 1-D x mesh (or "
+            "the engine)"
+        )
     dft_rows = tuple((str(a), int(v)) for a, v in dft_rows)
+    if dft is not None:
+        dft_planes_g = tuple(
+            (int(p), 0) if not isinstance(p, tuple) else
+            (int(p[0]), int(p[1]))
+            for p in dft[0]
+        )
+        dft_freqs_t = tuple(float(f) for f in dft[1])
+        n_rt, n_freq_rt = len(dft_planes_g), len(dft_freqs_t)
+    else:
+        dft_planes_g, dft_freqs_t, n_rt, n_freq_rt = (), (), 0, 0
     nx, ny, nz = shape
     n_mat = n_materials if matid is not None else 1
     nl = nx // n_dev
@@ -605,12 +651,20 @@ def make_pallas_sharded_cpml_stepk(
         runtime_tfsf=tfsf is not None,
         y_halo=k if two_d else 0, runtime_ystrips=runtime_ystrips,
         flux_faces=tuple(flux_faces), dft_rows=dft_rows,
+        dft_rt=((tuple(w for _, w in dft_planes_g), n_freq_rt)
+                if n_rt else None),
     )
     assert not x_inputs  # runtime_xprof: profiles come in as an operand
     n_psi = len(layout)
 
     def local_step(state: PmlKernelState, coeffs, sources, xprof_l, mid_l,
-                   tf_rows, *ystr_l):
+                   tf_rows, *extra):
+        # extra = per-y-shard strip profiles (2-D meshes) or the (K, 2F)
+        # DFT phase rows (1-D meshes with dft) — mutually exclusive
+        if n_rt:
+            dft_phase, ystr_l = extra[0], extra[1:]
+        else:
+            ystr_l = extra
         idx = lax.axis_index(axis)
         up = [(i, i + 1) for i in range(n_dev - 1)]
         down = [(i + 1, i) for i in range(n_dev - 1)]
@@ -722,18 +776,36 @@ def make_pallas_sharded_cpml_stepk(
             args += strip_inputs
         if matid is not None:
             args += [mid_l] * k
+        if n_rt:
+            # runtime x-plane DFT: the (K, 2F) phase rows, then each
+            # plane's coordinate in THIS shard's extended frame (owner)
+            # or an off-grid sentinel (everyone else), then the shard's
+            # resident accumulator blocks from the psi tail
+            args.append(dft_phase)
+            off = k - idx * nl
+            coords = []
+            for x0g, _w in dft_planes_g:
+                owner = idx == x0g // nl
+                coords.append(jnp.where(owner, x0g + off, -(2 ** 30)))
+            args.append(
+                jnp.stack(coords).astype(jnp.int32).reshape(1, n_rt)
+            )
+            args += list(state.psi[n_psi: n_psi + n_rt])
         args += [fields[n] for n in _FIELDS]
         args += [fields["ey"], fields["ez"]]
         args += psi
         outs = call(*args)
+        psi_new = tuple(outs[6: 6 + n_psi])
+        if n_rt:
+            psi_new = psi_new + tuple(outs[6 + n_psi: 6 + n_psi + n_rt])
         new = PmlKernelState(
             ex=outs[0], ey=outs[1], ez=outs[2],
             hx=outs[3], hy=outs[4], hz=outs[5],
-            tick=state.tick + k, psi=tuple(outs[6: 6 + n_psi]),
+            tick=state.tick + k, psi=psi_new,
             aux_e=state.aux_e, aux_h=state.aux_h,
         )
         res = [new]
-        n_out = 6 + n_psi
+        n_out = 6 + n_psi + n_rt
         zero32 = jnp.zeros((), jnp.int32)
         x0_32 = (idx * nl).astype(jnp.int32)
         if flux_faces:
@@ -788,7 +860,11 @@ def make_pallas_sharded_cpml_stepk(
     fspec = P(axis, y_axis, None)
     state_spec = PmlKernelState(
         **{n: fspec for n in _FIELDS}, tick=P(),
-        psi=tuple(fspec for _ in layout), aux_e=P(), aux_h=P(),
+        # rt DFT accumulator tail: (n_dev*6F, ny, nz) sharded over the
+        # leading dim — each shard's local block is exactly the kernel's
+        # resident (6F, ny, nz) accumulator (1-D meshes: y_axis is None)
+        psi=tuple(fspec for _ in layout) + (fspec,) * n_rt,
+        aux_e=P(), aux_h=P(),
     )
 
     def step(
@@ -837,6 +913,28 @@ def make_pallas_sharded_cpml_stepk(
             P(axis, y_axis, None),
             P(None, None),
         ]
+        if n_rt:
+            if len(state.psi) != n_psi + n_rt:
+                raise ValueError(
+                    f"dft kernel expects {n_rt} accumulator tail entries "
+                    f"on psi (init_sharded_pml_state dft=); got "
+                    f"{len(state.psi) - n_psi}"
+                )
+            import math as _math
+
+            freqs_a = jnp.asarray(dft_freqs_t, jnp.float32)
+            two_pi = jnp.float32(2.0 * _math.pi)
+            rows = []
+            for lvl in range(k):
+                t = (state.tick + 1 + lvl).astype(jnp.float32) \
+                    * jnp.float32(dt)
+                ph = -two_pi * freqs_a * t
+                rows.append(
+                    jnp.stack([jnp.cos(ph), jnp.sin(ph)], axis=1)
+                    .reshape(-1)
+                )
+            operands.append(jnp.stack(rows))  # (K, 2F), replicated
+            specs.append(P(None, None))
         if runtime_ystrips:
             operands += [ystr_h, ystr_e]
             specs += [P(y_axis, None, None, None)] * 2

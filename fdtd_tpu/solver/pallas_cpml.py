@@ -200,7 +200,7 @@ def _profiles(shape, cpml, inv_dx, dt, constants):
 
 
 def init_pml_kernel_state(shape, dtype=jnp.float32, *, cpml, tfsf=None,
-                          dense=None, dft=None):
+                          dense=None, dft=None, dft_runtime=None):
     # psi AND the TF/SF aux line are always f32: both are recurrences whose
     # bf16 rounding measurably degrades the solution (tests/test_bf16_study)
     # and whose memory footprint is marginal; only the six volumetric field
@@ -219,6 +219,13 @@ def init_pml_kernel_state(shape, dtype=jnp.float32, *, cpml, tfsf=None,
         planes, freqs = dft
         for _ in planes:
             psi = psi + (z((6 * len(freqs), 2, shape[1], shape[2])),)
+    if dft_runtime is not None:
+        # RUNTIME-coordinate in-kernel DFT accumulators: one resident
+        # (6F, ny, nz) volume per plane, after the static dft entries
+        # (pallas_cpml_k.py dft_rt; no trash plane — constant-map block)
+        planes_rt, freqs_rt = dft_runtime
+        for _ in planes_rt:
+            psi = psi + (z((6 * len(freqs_rt), shape[1], shape[2])),)
     if tfsf is not None:
         aux_e, aux_h = tfsf.init_aux(shape[0], jnp.float32)
     else:

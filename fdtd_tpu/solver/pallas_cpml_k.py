@@ -68,7 +68,8 @@ __all__ = ["pallas_cpml_stepk_fn", "supports_cpml_k"]
 
 
 def supports_cpml_k(shape, bc, cpml, k: int, dtype=jnp.float32,
-                    dense=None, dft=None, dft_rows=()) -> bool:
+                    dense=None, dft=None, dft_rows=(),
+                    dft_rt=None) -> bool:
     if not supports_cpml(shape, bc, cpml, dtype):
         return False
     if not (2 <= k <= 10):
@@ -102,6 +103,9 @@ def supports_cpml_k(shape, bc, cpml, k: int, dtype=jnp.float32,
             return False
         n_y = sum(1 for d in dft_rows if d[0] == "y")
         vmem += 2 * (n_y * 8 * shape[2] + shape[1] * 128) * 4
+    if dft_rt is not None:
+        n_rt, n_f_rt = dft_rt
+        vmem += 2 * 6 * n_f_rt * n_rt * plane_f32
     if vmem > 90 * (1 << 20):
         return False
     return True
@@ -111,13 +115,25 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                  tfsf_box, n_src, n_materials, runtime_edges=False,
                  with_m=False, runtime_tfsf=False, y_halo=0,
                  flux_faces=(), dense_spec=None, dft_spec=None,
-                 dft_rows=()):
+                 dft_rows=(), dft_rt=None):
     inv_x, inv_y, inv_z = inv_dx
     n_psi = len(layout)
     # dft_spec = (planes tuple, n_freq): running per-tick DFT of the E
     # field at fixed x-planes, accumulated IN-KERNEL with the psi carry
     # pattern (slot order (f, re/im, comp) -> 6F rows per plane tensor)
     dft_planes, n_freq = dft_spec if dft_spec is not None else ((), 0)
+    # dft_rt = (whiches, n_freq): RUNTIME-coordinate x-plane DFT — the
+    # plane index comes from SMEM per call (per shard under sharding),
+    # so the accumulator can't ride plane-clamped blocks; instead each
+    # plane gets a CONSTANT-index-map (6F, ny, nz) in/out pair that stays
+    # resident in VMEM for the whole sweep (out := in at iteration 0,
+    # then a pl.when-gated read-modify-write at the one stage whose plane
+    # matches). Shares the (K, 2F) phase rows with dft_spec.
+    rt_whiches, rt_freq = dft_rt if dft_rt is not None else ((), 0)
+    n_rt = len(rt_whiches)
+    if n_rt and dft_planes:
+        assert rt_freq == n_freq
+    n_freq = n_freq or rt_freq
     # x-axis terms share one carry per (half, comp); y/z one per term
     x_terms = sorted({(h, c) for h, a, c, *_ in layout if a == 0})
     yz_terms = [(h, a, c, pads) for h, a, c, end, _, pads in layout
@@ -156,9 +172,13 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
         if dense_spec is not None:
             dco_refs = refs[k: k + k_steps]; k += k_steps
             dpsi_in = refs[k]; k += 1
-        if dft_planes:
+        if dft_planes or n_rt:
             dft_phase_ref = refs[k]; k += 1  # (K, 2F) SMEM cos/sin rows
+        if dft_planes:
             dft_in = refs[k: k + len(dft_planes)]; k += len(dft_planes)
+        if n_rt:
+            xdft_coord_ref = refs[k]; k += 1  # (1, n_rt) SMEM i32 planes
+            xdft_in = refs[k: k + n_rt]; k += n_rt
         ex_r, ey_r, ez_r, hx_r, hy_r, hz_r, eyl_r, ezl_r = refs[k: k + 8]
         k += 8
         psi_in = refs[k: k + n_psi]; k += n_psi
@@ -168,6 +188,8 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
             dpsi_out = refs[k]; k += 1
         if dft_planes:
             dft_out = refs[k: k + len(dft_planes)]; k += len(dft_planes)
+        if n_rt:
+            xdft_out = refs[k: k + n_rt]; k += n_rt
         flux_out = ()
         if flux_faces:
             flux_out = refs[k: k + k_steps]; k += k_steps
@@ -447,6 +469,15 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
         halo_ey = eyl_r[0].astype(f32)
         halo_ez = ezl_r[0].astype(f32)
 
+        # runtime-coordinate DFT: the resident out blocks start as copies
+        # of the carried-in accumulators (first grid iteration only; they
+        # stay in VMEM across the sweep and flush once at the end)
+        if n_rt:
+            @pl.when(i == 0)
+            def _init_xdft():
+                for pi_ in range(n_rt):
+                    xdft_out[pi_][...] = xdft_in[pi_][...]
+
         for st in range(1, k_steps + 1):
             q = p + st - 1  # plane computed by this stage
             if n_materials > 1:
@@ -608,6 +639,25 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
             # folds its tick's phase-weighted plane when q == x0 (relaying
             # unchanged otherwise), and stage K writes back through the
             # clamped out map — the psi carry pattern applied to spectra.
+            # runtime-coordinate x-plane DFT: gated read-modify-write on
+            # the resident accumulator block — only the one stage whose
+            # plane matches the SMEM coordinate pays (the sharded wrapper
+            # sends a far-off sentinel to every non-owner shard)
+            for pi in range(n_rt):
+                x0r = xdft_coord_ref[0, pi]
+                fld_rt = ek if rt_whiches[pi] == 0 else hk
+
+                @pl.when(q == x0r)
+                def _acc_xdft(pi=pi, fld_rt=fld_rt, st=st):
+                    for f_i in range(n_freq):
+                        for ri in range(2):
+                            ph = dft_phase_ref[st - 1, 2 * f_i + ri]
+                            for c in range(3):
+                                sl = (f_i * 2 + ri) * 3 + c
+                                xdft_out[pi][sl] = (
+                                    xdft_out[pi][sl] + ph * fld_rt[c]
+                                )
+
             if dft_planes:
                 for pi, (x0, which) in enumerate(dft_planes):
                     at_p = q == x0
@@ -745,7 +795,7 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
                 x_extra=0, runtime_edges=False, runtime_xprof=False,
                 with_m=False, dtype_name="float32", runtime_tfsf=False,
                 y_halo=0, runtime_ystrips=False, flux_faces=(),
-                dense_spec=None, dft_spec=None, dft_rows=()):
+                dense_spec=None, dft_spec=None, dft_rows=(), dft_rt=None):
     from ..constants import REDUCED
 
     constants = SI if constants_key == "si" else REDUCED
@@ -870,16 +920,30 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
             memory_space=pltpu.VMEM,
         ))
     dft_planes, n_freq = dft_spec if dft_spec is not None else ((), 0)
-    if dft_planes:
-        # (K, 2F) cos/sin phase rows + one (6F, 2, ny, nz) accumulator
-        # per probe plane (trash plane 0), blocked at the stage-1 plane
+    rt_whiches, rt_freq = dft_rt if dft_rt is not None else ((), 0)
+    n_rt = len(rt_whiches)
+    n_freq = n_freq or rt_freq
+    if dft_planes or n_rt:
+        # (K, 2F) cos/sin phase rows, shared by both DFT mechanisms
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    if dft_planes:
+        # one (6F, 2, ny, nz) accumulator per probe plane (trash plane
+        # 0), blocked at the stage-1 plane
         for x0, _which in dft_planes:
             in_specs.append(pl.BlockSpec(
                 (6 * n_freq, 1, ny, nz),
                 lambda i, x0=x0: (
                     0, jnp.clip(nx - 1 - i - x0 + 1, 0, 1), 0, 0
                 ),
+                memory_space=pltpu.VMEM,
+            ))
+    if n_rt:
+        # (1, n_rt) SMEM runtime plane coordinates + one resident
+        # constant-map (6F, ny, nz) accumulator block per plane
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        for _ in range(n_rt):
+            in_specs.append(pl.BlockSpec(
+                (6 * n_freq, ny, nz), lambda i: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ))
     in_specs += [in_spec] * 6 + [halo_spec] * 2
@@ -928,6 +992,12 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
         dft_shapes.append(
             jax.ShapeDtypeStruct((6 * n_freq, 2, ny, nz), f32)
         )
+    for _ in range(n_rt):
+        dft_out_specs.append(pl.BlockSpec(
+            (6 * n_freq, ny, nz), lambda i: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        dft_shapes.append(jax.ShapeDtypeStruct((6 * n_freq, ny, nz), f32))
 
     # DFT row-capture outputs (lateral-plane spectra): K per-stage tiles
     # per "y" descriptor, one shared K-set for all "z" descriptors; the
@@ -968,7 +1038,7 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
     kernel, x_terms, yz_terms = _make_kernel(
         shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes, tfsf_box,
         n_src, n_materials, runtime_edges, with_m, runtime_tfsf, y_halo,
-        flux_faces, dense_spec, dft_spec, dft_rows,
+        flux_faces, dense_spec, dft_spec, dft_rows, dft_rt,
     )
 
     # scratch per level: 6 field planes + per-term psi slots
@@ -1007,6 +1077,8 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
     dense_bytes += (
         6 * n_freq * len(dft_planes) * ((k_steps - 1) + 4) * ny * nz * 4
     )
+    # runtime-coordinate DFT: in + out resident blocks per plane
+    dense_bytes += 2 * 6 * n_freq * n_rt * ny * nz * 4
     vmem_limit = min(
         int(plane_bytes * (80 + 30 * k_steps) + dense_bytes + (8 << 20)),
         120 * (1 << 20),
@@ -1046,6 +1118,7 @@ def pallas_cpml_stepk_fn(
     dense=None,
     dft=None,
     dft_rows=(),
+    dft_runtime=None,
 ):
     """Build step(state: PmlKernelState, coeffs, sources) advancing
     ``k_steps`` absorbing ticks per call. Uniform scalar coefficients;
@@ -1087,8 +1160,31 @@ def pallas_cpml_stepk_fn(
     (K, nx, 6, lat) f32 capture blocks — comps (ex,ey,ez,hx,hy,hz), lat
     = nz for "y" / ny for "z" — whose phase fold happens OUTSIDE the
     kernel (simulation.py fold_dft_rows). Return order: state
-    [, flux_rows][, dft_row_captures]."""
+    [, flux_rows][, dft_row_captures].
+
+    ``dft_runtime`` = (planes, frequencies), planes as in ``dft``: the
+    RUNTIME-COORDINATE variant of the in-kernel x-plane DFT — the plane
+    index enters through SMEM per call instead of being baked into the
+    block maps, and each plane's accumulator is a resident
+    constant-index (6F, ny, nz) block on the psi tail
+    (init_pml_kernel_state(..., dft_runtime=...); slot (f, re/im, comp)).
+    Numerically identical to ``dft``; exists so the SHARDED wrapper can
+    move plane coordinates per shard (axis-0 DftProbe / BoxDft x-face
+    spectra on multi-chip runs). Frequencies must match ``dft``'s when
+    both are given (they share the phase rows)."""
     dft_rows = tuple((str(a), int(v)) for a, v in dft_rows)
+    if dft_runtime is not None:
+        rt_planes = tuple(
+            (int(p), 0) if not isinstance(p, tuple) else
+            (int(p[0]), int(p[1]))
+            for p in dft_runtime[0]
+        )
+        rt_freqs = tuple(dft_runtime[1])
+        if dft is not None and tuple(dft[1]) != rt_freqs:
+            raise ValueError("dft and dft_runtime must share frequencies")
+        dft_rt_key = (tuple(w for _, w in rt_planes), len(rt_freqs))
+    else:
+        rt_planes, rt_freqs, dft_rt_key = (), (), None
     if dft is not None:
         dft_planes_n = tuple(
             (int(p), 0) if not isinstance(p, tuple) else
@@ -1099,7 +1195,9 @@ def pallas_cpml_stepk_fn(
     else:
         dft_key = None
     if not supports_cpml_k(shape, bc, cpml, k_steps, dtype, dense=dense,
-                           dft=dft_key, dft_rows=dft_rows):
+                           dft=dft_key, dft_rows=dft_rows,
+                           dft_rt=((len(rt_planes), len(rt_freqs))
+                                   if rt_planes else None)):
         raise ValueError(f"CPML K-step kernel does not support {shape=} {k_steps=}")
     if with_m and max_sources == 0:
         raise ValueError("with_m requires in-kernel sources (max_sources > 0)")
@@ -1151,14 +1249,22 @@ def pallas_cpml_stepk_fn(
         int(max_sources), n_mat, 0, False, False, bool(with_m),
         jnp.dtype(dtype).name, flux_faces=tuple(flux_faces),
         dense_spec=dense_spec, dft_spec=dft_key, dft_rows=dft_rows,
+        dft_rt=dft_rt_key,
     )
     n_psi = len(_psi_layout(tuple(shape), cpml))
     n_dft_pl = len(dft[0]) if dft is not None else 0
-    if dft is not None:
+    n_rt_pl = len(rt_planes)
+    if dft is not None or n_rt_pl:
         import math as _math
 
-        dft_freqs = jnp.asarray(tuple(dft[1]), jnp.float32)
+        dft_freqs = jnp.asarray(
+            tuple(dft[1]) if dft is not None else rt_freqs, jnp.float32
+        )
         _two_pi = jnp.float32(2.0 * _math.pi)
+    if n_rt_pl:
+        rt_coords = jnp.asarray(
+            [[p for p, _ in rt_planes]], jnp.int32
+        )
 
     def step(state: PmlKernelState, coeffs, sources) -> PmlKernelState:
         if matid is not None:
@@ -1211,7 +1317,7 @@ def pallas_cpml_stepk_fn(
             # region psi volume (init_pml_kernel_state dense=); the dft
             # accumulators (if any) follow it in the psi tail
             args.append(state.psi[n_psi])
-        if dft is not None:
+        if dft is not None or n_rt_pl:
             rows = []
             for lvl in range(k_steps):
                 t = (state.tick + 1 + lvl).astype(jnp.float32) \
@@ -1222,8 +1328,15 @@ def pallas_cpml_stepk_fn(
                     .reshape(-1)
                 )
             args.append(jnp.stack(rows))  # (K, 2F)
-            n_tail_d = 1 if dense is not None else 0
-            args += list(state.psi[n_psi + n_tail_d:])
+        n_tail_d = 1 if dense is not None else 0
+        if dft is not None:
+            args += list(
+                state.psi[n_psi + n_tail_d: n_psi + n_tail_d + n_dft_pl]
+            )
+        if n_rt_pl:
+            args.append(rt_coords)  # (1, n_rt) SMEM plane coordinates
+            base = n_psi + n_tail_d + n_dft_pl
+            args += list(state.psi[base: base + n_rt_pl])
         args += [state.ex, state.ey, state.ez, state.hx, state.hy, state.hz,
                  state.ey, state.ez]
         args += list(state.psi[:n_psi])
@@ -1236,6 +1349,9 @@ def pallas_cpml_stepk_fn(
         if dft is not None:
             psi_new = psi_new + tuple(outs[n_out: n_out + n_dft_pl])
             n_out += n_dft_pl
+        if n_rt_pl:
+            psi_new = psi_new + tuple(outs[n_out: n_out + n_rt_pl])
+            n_out += n_rt_pl
         new = PmlKernelState(
             ex=outs[0], ey=outs[1], ez=outs[2],
             hx=outs[3], hy=outs[4], hz=outs[5],

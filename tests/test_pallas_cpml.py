@@ -746,3 +746,75 @@ def test_cpml_k_lateral_dft_fold_matches_per_tick():
             np.asarray(im) / scale, np.asarray(rim) / scale, atol=5e-6,
             err_msg=f"im probe {pi}")
         assert float(np.abs(np.asarray(rre)).max()) > 0
+
+
+def test_cpml_k_runtime_dft_matches_static():
+    """Runtime-coordinate in-kernel DFT (dft_runtime): SMEM plane
+    coordinates + resident constant-map accumulators must reproduce the
+    static plane-clamped dft path bit-for-bit (same planes/frequencies),
+    including an H-component plane and a static+runtime mixed build."""
+    import fdtd_tpu as ft
+
+    shape, k = (32, 32, 256), 4
+    cpml = Cpml(thickness=((5, 5), (4, 4), (4, 4)))
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    coeffs = ft.CellCoefficients.uniform(
+        ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)[0], jnp.float32)
+    src = ft.SourceSet.build([ft.PointSource(
+        (16, 16, 128), ft.GaussianPulse(4 * dt, 2 * dt), j=(0.3, -0.2, 1.0))])
+    planes = (10, (24, 0), (24, 1))
+    freqs = (0.02, 0.05)
+
+    sstep = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, interpret=True, dft=(planes, freqs))
+    sst = init_pml_kernel_state(shape, cpml=cpml, dft=(planes, freqs))
+    rstep = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, interpret=True,
+        dft_runtime=(planes, freqs))
+    rst = init_pml_kernel_state(shape, cpml=cpml,
+                                dft_runtime=(planes, freqs))
+    for _ in range(5):
+        sst = sstep(sst, coeffs, src)
+        rst = rstep(rst, coeffs, src)
+
+    for name in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(rst, name)), np.asarray(getattr(sst, name)),
+            err_msg=name)
+    n_f = len(freqs)
+    for pi in range(len(planes)):
+        svol = np.asarray(sst.psi[-(len(planes) - pi)])[:, 1]  # live plane
+        rvol = np.asarray(rst.psi[-(len(planes) - pi)])
+        assert rvol.shape == (6 * n_f, shape[1], shape[2])
+        np.testing.assert_array_equal(rvol, svol, err_msg=f"plane {pi}")
+        assert np.abs(rvol).max() > 0
+
+    # mixed build: plane 10 static, planes 24 E/H runtime
+    mstep = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, interpret=True,
+        dft=((10,), freqs), dft_runtime=(((24, 0), (24, 1)), freqs))
+    mst = init_pml_kernel_state(shape, cpml=cpml, dft=((10,), freqs),
+                                dft_runtime=(((24, 0), (24, 1)), freqs))
+    for _ in range(5):
+        mst = mstep(mst, coeffs, src)
+    np.testing.assert_array_equal(
+        np.asarray(mst.psi[-3])[:, 1], np.asarray(sst.psi[-3])[:, 1])
+    np.testing.assert_array_equal(
+        np.asarray(mst.psi[-2]), np.asarray(rst.psi[-2]))
+    np.testing.assert_array_equal(
+        np.asarray(mst.psi[-1]), np.asarray(rst.psi[-1]))
+
+    # a sentinel coordinate never accumulates (the sharded non-owner case)
+    nstep = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, interpret=True,
+        dft_runtime=((-(2 ** 30),), freqs))
+    nst = init_pml_kernel_state(shape, cpml=cpml,
+                                dft_runtime=((-(2 ** 30),), freqs))
+    for _ in range(5):
+        nst = nstep(nst, coeffs, src)
+    np.testing.assert_array_equal(np.asarray(nst.psi[-1]), 0.0)

@@ -513,3 +513,63 @@ def test_sharded_cpml_dft_row_captures_match_single_device():
                 got_caps[p][di], ref_caps[p][di], rtol=0, atol=1e-6,
                 err_msg=f"pass {p} desc {di}")
     assert max(np.abs(c).max() for cs in ref_caps for c in cs) > 0
+
+
+def test_sharded_cpml_inkernel_dft_matches_single_device():
+    """dft on the sharded kernel (runtime plane coordinates + per-shard
+    resident accumulators on the psi tail): the dev-summed global
+    (6F, ny, nz) spectra must BIT-match the single-device kernel's
+    static in-kernel DFT — 4 shards, a plane within K of a shard cut, an
+    H-component plane, chained passes."""
+    shape, n_dev, k = (64, 16, 256), 4, 3
+    cpml = Cpml(thickness=((4, 4), (3, 3), (4, 4)))
+    mesh = make_mesh(n_dev, ("x",))
+    bc = BoundaryConditions()
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+    coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
+    src = ft.SourceSet.build([ft.PointSource(
+        (17, 8, 128), ft.GaussianPulse(4 * dt, 2 * dt),
+        j=(0.3, -0.2, 1.0))])  # plane 17: within k=3 of the 16-cut
+    planes = (15, (33, 0), (33, 1))  # 15 = last plane of shard 0
+    freqs = (0.02, 0.05)
+    assert supports_sharded_cpml(shape, n_dev, bc, cpml, k, jnp.float32,
+                                 dft_rt=(len(planes), len(freqs)))
+
+    ref_step = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, interpret=True, dft=(planes, freqs))
+    ref = init_pml_kernel_state(shape, cpml=cpml, dft=(planes, freqs))
+    for _ in range(6):
+        ref = ref_step(ref, coeffs, src)
+
+    sh_step = make_pallas_sharded_cpml_stepk(
+        mesh, shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+        constants=ft.REDUCED, cpml=cpml, max_sources=1, interpret=True,
+        dft=(planes, freqs))
+    st = init_sharded_pml_state(shape, mesh, k, cpml=cpml,
+                                dft=(planes, freqs))
+    for _ in range(6):
+        st = sh_step(st, coeffs, src)
+
+    n_f = len(freqs)
+    for pi in range(len(planes)):
+        ref_vol = np.asarray(ref.psi[-(len(planes) - pi)])[:, 1]
+        got_ext = np.asarray(st.psi[-(len(planes) - pi)])
+        got = got_ext.reshape(n_dev, 6 * n_f, shape[1], shape[2])
+        # exactly one shard (the owner) accumulated
+        nz_shards = [d for d in range(n_dev)
+                     if np.abs(got[d]).max() > 0]
+        assert nz_shards == [planes[pi] // 16
+                             if isinstance(planes[pi], int)
+                             else planes[pi][0] // 16], f"plane {pi}"
+        np.testing.assert_array_equal(got.sum(0), ref_vol,
+                                      err_msg=f"plane {pi}")
+        assert np.abs(ref_vol).max() > 0, f"plane {pi}"
+
+    # the field state itself is untouched by the accumulators
+    got_state = collapse_pml_state(
+        st._replace(psi=st.psi[:-len(planes)]), mesh, k, shape, cpml=cpml)
+    _assert_state_equal(ref._replace(psi=ref.psi[:-len(planes)]),
+                        got_state)
