@@ -570,6 +570,63 @@ def _selfcheck(ft, jax, jnp, np) -> bool:
         file=sys.stderr,
     )
 
+    # RUNTIME-coordinate in-kernel DFT (the sharded x-plane spectra
+    # mechanism, round 3): SMEM plane coordinates + resident accumulator
+    # blocks, built through the sharded wrapper on the n_dev=1 mesh with
+    # interpret=False — Mosaic-compiles the dft_rt kernel variant on the
+    # chip and gates it against the static dft tier's accumulators
+    srt_step = jax.jit(make_pallas_sharded_cpml_stepk(
+        mesh1, shape, ck, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+        constants=ft.REDUCED, cpml=cpml, max_sources=1,
+        dft=(dft_planes_, dft_freqs_),
+    ))
+    srt = init_sharded_pml_state(shape, mesh1, ck, cpml=cpml,
+                                 dft=(dft_planes_, dft_freqs_))
+    for _ in range(n_ticks // ck):
+        srt = srt_step(srt, coeffs, src)
+    jax.block_until_ready(srt.psi[-1])
+    err_rt = 0.0
+    for pi in range(len(dft_planes_)):
+        svol = np.asarray(dfst.psi[-(len(dft_planes_) - pi)])[:, 1]
+        rvol = np.asarray(srt.psi[-(len(dft_planes_) - pi)])
+        scale = max(float(np.abs(svol).max()), 1e-12)
+        err_rt = max(err_rt, float(np.abs(rvol - svol).max()) / scale)
+    good_rt = err_rt < tol
+    ok = ok and good_rt
+    print(
+        f"selfcheck sharded runtime-DFT K={ck}: rel_err {err_rt:.2e} "
+        f"{'PASS' if good_rt else 'FAIL'}",
+        file=sys.stderr,
+    )
+
+    # SHARDED DensePml (runtime coefficient volume + region-psi tail,
+    # round 3): the kernel variant multi-chip volumetric absorbers use —
+    # dense_spec at full extended x span with per-shard identity padding —
+    # Mosaic-compiled on the n_dev=1 mesh and gated against the
+    # single-chip dense kernel result `dst`
+    sd_step = jax.jit(make_pallas_sharded_cpml_stepk(
+        mesh1, shape, ck, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+        constants=ft.REDUCED, cpml=cpml, max_sources=1, dense=dense,
+    ))
+    sdt = init_sharded_pml_state(shape, mesh1, ck, cpml=cpml, dense=dense)
+    for _ in range(n_ticks // ck):
+        sdt = sd_step(sdt, coeffs, src)
+    jax.block_until_ready(sdt)
+    gdt = collapse_pml_state(sdt, mesh1, ck, shape, cpml=cpml, dense=dense)
+    err_sd = max(
+        _rel_err(getattr(gdt, f), getattr(dst, f), np)
+        for f in ("ex", "ey", "ez", "hx", "hy", "hz")
+    )
+    # the collapsed region psi must match the single-chip layout too
+    err_sd = max(err_sd, _rel_err(gdt.psi[-1][:, 1:], dst.psi[-1][:, 1:], np))
+    good_sd = err_sd < tol
+    ok = ok and good_sd
+    print(
+        f"selfcheck sharded DensePml K={ck}: rel_err {err_sd:.2e} "
+        f"{'PASS' if good_sd else 'FAIL'}",
+        file=sys.stderr,
+    )
+
     # BoxDft at kernel tier: in-kernel x-plane spectra + lateral row
     # captures IN ONE KERNEL BUILD (the NTFF scattering composition),
     # reassembled by finalize_from_kernel vs per-tick BoxDft.update

@@ -2,12 +2,15 @@
 
 The multi-chip analog of solver/best.py: absorbing (CPML) multi-chip runs
 prefer the sharded in-kernel CPML K-step (pallas_sharded_cpml.py, runs at
-Pallas-kernel speed per chip) — which covers slab TF/SF, M sources,
-compressed (matid) materials, and bf16 storage — and fall back to the
-composed XLA sharded engine (sharded_engine.py, exact but ~XLA speed)
-only for configurations the kernel path doesn't cover: box TF/SF, dense
-per-cell coefficients, multi-axis meshes, or x-PML slabs too deep for
-the shard layout.
+Pallas-kernel speed per chip) — which covers TF/SF (slab AND closed box),
+M sources, compressed (matid) materials, bf16 storage, 2-D (x, y) meshes,
+per-tick flux reductions, DFT row captures, and in-kernel x-plane DFT
+spectra — and fall back to the composed XLA sharded engine
+(sharded_engine.py, exact but ~XLA speed) only for configurations the
+kernel path doesn't cover: dense per-cell coefficients, meshes that cut
+lattice z (or any non-(x, y) multi-axis shape), x-PML slabs too deep for
+the shard layout, box TF/SF or accumulator mechanisms under a 2-D mesh
+(their lateral coordinates are cut).
 """
 
 from __future__ import annotations
@@ -19,7 +22,30 @@ import jax
 from ..constants import SI, PhysicalConstants
 from ..solver.boundary import BoundaryConditions
 
-__all__ = ["best_sharded_absorbing_step", "kernel_lateral_axis"]
+__all__ = ["best_sharded_absorbing_step", "kernel_dense",
+           "kernel_lateral_axis"]
+
+
+def kernel_dense(dense, shape, cpml):
+    """The tile-padded DensePml the sharded kernel path would be built
+    with, or None when the region can't ride the kernel (no boundary
+    CPML to host the kernel, unpaddable box, or the LIVE box touching
+    a boundary slab on its axis — padded identity cells may overlap)."""
+    if dense is None or cpml is None:
+        return None
+    from ..solver.pml_region import pad_dense_to_tiles
+
+    try:
+        dense_k = pad_dense_to_tiles(dense, shape)
+    except ValueError:
+        return None
+    if dense_k.axis in set(cpml.active_axes()):
+        # live extent only: tile-padded cells are identity no-ops
+        b0, b1 = dense_k.live[dense_k.axis]
+        lo_t, hi_t = cpml.thickness[dense_k.axis]
+        if b0 < lo_t or b1 > shape[dense_k.axis] - hi_t:
+            return None  # live box touches a boundary slab
+    return dense_k
 
 
 def kernel_lateral_axis(mesh, axis: str = "x"):
@@ -60,6 +86,8 @@ def best_sharded_absorbing_step(
     axis: str = "x",
     flux_faces=(),
     dft_rows=(),
+    dft=None,
+    dense=None,
 ):
     """(step, init_state, k, kind) for a sharded absorbing run.
 
@@ -73,7 +101,13 @@ def best_sharded_absorbing_step(
     M sources, compressed materials, and TF/SF (slab AND closed box) all
     ride the kernel; dense per-cell coefficients fall back to the XLA
     engine.
-    """
+
+    ``dense`` is an optional solver.pml_region.DensePml (volumetric
+    interior absorber, GLOBAL coordinates, UNPADDED): the kernel attempt
+    tile-pads it (pml_region.pad_dense_to_tiles) and requires a 1-D x
+    mesh plus clearance from the boundary slabs on its axis; otherwise
+    the run rides the engine, which takes the region under any
+    decomposition (sharded_engine.py dense path)."""
     from .pallas_sharded_cpml import (
         init_sharded_pml_state,
         make_pallas_sharded_cpml_stepk,
@@ -97,10 +131,16 @@ def best_sharded_absorbing_step(
     # box TF/SF lateral faces are cut by a 2-D mesh: engine handles that;
     # same for the static lateral indices of in-kernel flux reductions
     tfsf_ok = tfsf is None or not (tfsf.is_box and y_axis is not None)
-    flux_ok = not (flux_faces or dft_rows) or y_axis is None
+    flux_ok = not (flux_faces or dft_rows or dft is not None) \
+        or y_axis is None
+    dft_rt = (len(dft[0]), len(dft[1])) if dft is not None else None
+    dense_k = (kernel_dense(dense, shape, cpml)
+               if y_axis is None else None)
+    dense_ok = dense is None or dense_k is not None
     if (
         cpml is not None
         and flux_ok
+        and dense_ok
         and kernel_mesh_ok
         and tfsf_ok
         and n_dev * n_dy > 1
@@ -114,7 +154,8 @@ def best_sharded_absorbing_step(
             if matid is not None and ny_ext % 32 != 0:
                 continue
             if supports_sharded_cpml(shape, n_dev, bc, cpml, k, dtype,
-                                     n_dev_y=n_dy):
+                                     n_dev_y=n_dy, dft_rt=dft_rt,
+                                     dense=dense_k):
                 step = jax.jit(make_pallas_sharded_cpml_stepk(
                     mesh, shape, k, inv_dx=inv_dx, dt=dt, bc=bc,
                     constants=constants, cpml=cpml, tfsf=tfsf,
@@ -122,13 +163,13 @@ def best_sharded_absorbing_step(
                     axis=axis, with_m=with_m, matid=matid,
                     n_materials=n_materials, dtype=dtype, y_axis=y_axis,
                     flux_faces=tuple(flux_faces),
-                    dft_rows=tuple(dft_rows),
+                    dft_rows=tuple(dft_rows), dft=dft, dense=dense_k,
                 ))
 
                 def init_state(k=k):
                     return init_sharded_pml_state(
                         shape, mesh, k, cpml=cpml, axis=axis, dtype=dtype,
-                        tfsf=tfsf, y_axis=y_axis,
+                        tfsf=tfsf, y_axis=y_axis, dft=dft, dense=dense_k,
                     )
 
                 return step, init_state, k, "pallas_cpml_k"
@@ -141,12 +182,12 @@ def best_sharded_absorbing_step(
     )
     step = jax.jit(make_sharded_engine_step(
         mesh, shape, dims, inv_dx=inv_dx, dt=dt, bc=bc,
-        constants=constants, cpml=cpml, tfsf=tfsf,
+        constants=constants, cpml=cpml, tfsf=tfsf, dense=dense,
     ))
 
     def init_state():
         return init_sharded_engine_state(
-            shape, mesh, dims, cpml=cpml, tfsf=tfsf
+            shape, mesh, dims, cpml=cpml, tfsf=tfsf, dense=dense
         )
 
     return step, init_state, 1, "xla_engine"

@@ -73,7 +73,7 @@ _FIELDS = ("ex", "ey", "ez", "hx", "hy", "hz")
 
 def supports_sharded_cpml(
     shape, n_dev: int, bc, cpml, k: int, dtype=jnp.float32,
-    n_dev_y: int = 1, dft_rt=None,
+    n_dev_y: int = 1, dft_rt=None, dense=None,
 ) -> bool:
     """True when the sharded in-kernel CPML path supports this config.
 
@@ -96,8 +96,22 @@ def supports_sharded_cpml(
     ny_ext = nly + 2 * k if n_dev_y > 1 else ny
     if n_dev_y > 1 and ny_ext % 8 != 0:
         return False
+    dense_shim = None
+    if dense is not None:
+        if n_dev_y > 1:
+            return False  # region lateral extent is cut by 2-D meshes
+        # the per-shard kernel sees the region at FULL extended x span
+        # (identity coefficients outside the real box); only the lateral
+        # extents matter for the tile/VMEM checks
+        import types
+
+        (gy0, gy1), (gz0, gz1) = dense.box[1], dense.box[2]
+        dense_shim = types.SimpleNamespace(
+            box_shape=(nle, gy1 - gy0, gz1 - gz0),
+            box=((0, nle), (gy0, gy1), (gz0, gz1)),
+        )
     if not supports_cpml_k((nle, ny_ext, nz), bc, cpml, k, dtype,
-                           dft_rt=dft_rt):
+                           dft_rt=dft_rt, dense=dense_shim):
         return False
     lo, hi = cpml.thickness[0]
     for half in (False, True):
@@ -217,7 +231,7 @@ def _plane_maps(nx, nl, k, layout):
 def init_sharded_pml_state(
     shape, mesh: Mesh, k: int, *, cpml, axis: str = "x",
     dtype=jnp.float32, tfsf=None, y_axis: Optional[str] = None,
-    dft=None,
+    dft=None, dense=None,
 ) -> PmlKernelState:
     """Zero PmlKernelState in the extended sharded layout for a global
     ``shape`` lattice decomposed along x over ``mesh`` (and along y too
@@ -244,6 +258,17 @@ def init_sharded_pml_state(
         z((n_dev * ts[0], n_dy * ts[1], ts[2]), fs)
         for *_, ts, _ in layout
     )
+    if dense is not None:
+        if y_axis is not None:
+            raise ValueError("sharded DensePml needs a 1-D x mesh")
+        # volumetric-region psi in the per-shard FULL-x-span layout
+        # (make_pallas_sharded_cpml_stepk dense=): (4, nle+1, by, bz) per
+        # shard with a trash plane, stored (n_dev*4, ...) sharded
+        (gy0, gy1), (gz0, gz1) = dense.box[1], dense.box[2]
+        psi = psi + (z(
+            (n_dev * 4, nle + 1, gy1 - gy0, gz1 - gz0),
+            NamedSharding(mesh, P(axis, None, None, None)),
+        ),)
     if dft is not None and y_axis is not None:
         raise ValueError("in-kernel x-plane DFT needs a 1-D x mesh")
     if dft is not None:
@@ -327,12 +352,19 @@ def _lat_maps(nly: int, k: int, layout, n_dy: int):
 
 def extend_pml_state(
     state: PmlKernelState, mesh: Mesh, k: int, *, cpml, axis: str = "x",
-    y_axis: Optional[str] = None,
+    y_axis: Optional[str] = None, dense=None,
 ) -> PmlKernelState:
     """Global PmlKernelState -> extended sharded layout (host round-trip).
     Halo/trash slots start zero; the first pass refreshes the field and
     strip halos before anything reads them. ``y_axis`` switches on the
-    2-D (x, y) layout."""
+    2-D (x, y) layout.
+
+    ``dense`` (the same tile-padded DensePml the kernel was built with)
+    re-extends the volumetric-region psi entry that follows the boundary
+    entries: global (4, bx+1, by, bz) -> per-shard (n_dev*4, nle+1, by,
+    bz) with the box's owned planes scattered to their local extended
+    positions (halo planes zero — the per-pass x exchange refreshes them
+    from the owners before the kernel reads them)."""
     from .pallas_sharded_k import _ext_axis
 
     n_dev = mesh.shape[axis]
@@ -376,6 +408,18 @@ def extend_pml_state(
                             out[d * per0 + j, dy * per1 + j1] = ghost[gi, gy]
         psi.append(jnp.asarray(out))
 
+    specs = [fs] * len(psi)
+    if dense is not None:
+        gvol = np.asarray(state.psi[len(elayout)])  # (4, bx+1, by, bz)
+        (gx0, gx1) = dense.box[0]
+        out = np.zeros((n_dev * 4, nle + 1) + gvol.shape[2:], np.float32)
+        for g in range(gx0, gx1):
+            d = g // nl
+            j = g - d * nl + k + 1  # owned volume plane (trash at 0)
+            out[d * 4: (d + 1) * 4, j] = gvol[:, g - gx0 + 1]
+        psi.append(jnp.asarray(out))
+        specs.append(NamedSharding(mesh, P(axis, None, None, None)))
+
     new = PmlKernelState(
         **{name: ext_field(getattr(state, name)) for name in _FIELDS},
         tick=state.tick, psi=tuple(psi),
@@ -383,7 +427,7 @@ def extend_pml_state(
     )
     spec = PmlKernelState(
         **{n: fs for n in _FIELDS}, tick=r,
-        psi=tuple(fs for _ in psi), aux_e=r, aux_h=r,
+        psi=tuple(specs), aux_e=r, aux_h=r,
     )
     return jax.device_put(new, spec)
 
@@ -397,9 +441,12 @@ def collapse_pml_state(
     cpml,
     axis: str = "x",
     y_axis: Optional[str] = None,
+    dense=None,
 ) -> PmlKernelState:
     """Extended sharded layout -> plain global PmlKernelState (host
-    round-trip); halo and trash slots are dropped."""
+    round-trip); halo and trash slots are dropped. ``dense`` (the
+    tile-padded DensePml of the build) collapses the volumetric-region
+    psi entry back to the single-chip (4, bx+1, by, bz) layout."""
     from .pallas_sharded_k import _col_axis
 
     n_dev = mesh.shape[axis]
@@ -443,6 +490,16 @@ def collapse_pml_state(
                             out[gi, gy] = host[d * per0 + j, dy * per1 + j1]
         psi.append(jnp.asarray(out))
 
+    if dense is not None:
+        evol = np.asarray(state_ext.psi[len(elayout)])
+        (gx0, gx1) = dense.box[0]
+        out = np.zeros((4, gx1 - gx0 + 1) + evol.shape[2:], np.float32)
+        for g in range(gx0, gx1):
+            d = g // nl
+            j = g - d * nl + k + 1
+            out[:, g - gx0 + 1] = evol[d * 4: (d + 1) * 4, j]
+        psi.append(jnp.asarray(out))
+
     return PmlKernelState(
         **{name: col_field(getattr(state_ext, name)) for name in _FIELDS},
         tick=state_ext.tick, psi=tuple(psi),
@@ -472,6 +529,7 @@ def make_pallas_sharded_cpml_stepk(
     flux_faces=(),
     dft_rows=(),
     dft=None,
+    dense=None,
 ):
     """Build step(state_ext, coeffs, sources) advancing ``k_steps``
     absorbing ticks per pass on each shard of a 1-D x decomposition — or
@@ -538,7 +596,21 @@ def make_pallas_sharded_cpml_stepk(
     nonzero). 1-D x meshes only (the accumulator's lateral dims must be
     uncut). Owned planes are exact at EVERY stage of the extended-halo
     sweep (the flux-rows argument), so per-tick accumulation commutes
-    with the K-blocking."""
+    with the K-blocking.
+
+    ``dense`` (a solver.pml_region.DensePml in GLOBAL coordinates, 1-D x
+    meshes only): volumetric per-cell absorbers at the sharded kernel
+    tier. The x decomposition cuts the region box, so the per-shard
+    kernel is built with the region at FULL extended x span and each
+    shard receives a runtime coefficient volume holding the real
+    per-cell (inv_kappa, b, c) on its extended planes inside the global
+    box and the IDENTITY stretch (1, 0, 0) everywhere else — identity
+    coefficients freeze psi at zero and pass derivatives through, so
+    uniform SPMD shapes cost only HBM streaming, not correctness. The
+    region psi volume rides the psi tail in per-shard extended layout
+    ((n_dev*4, nle+1, by, bz), trash plane per shard) with an x halo
+    exchange per pass — its recurrence is plane-local in x, the same
+    exactness argument as the z-strip psi (module docstring)."""
     n_dev = mesh.shape[axis]
     two_d = y_axis is not None
     n_dy = mesh.shape[y_axis] if two_d else 1
@@ -546,6 +618,7 @@ def make_pallas_sharded_cpml_stepk(
         shape, n_dev, bc, cpml, k_steps, dtype,
         n_dev_y=n_dy if two_d else 1,
         dft_rt=(len(dft[0]), len(dft[1])) if dft is not None else None,
+        dense=dense,
     ):
         raise ValueError(
             f"sharded CPML kernel does not support {shape=} {n_dev=} "
@@ -573,6 +646,11 @@ def make_pallas_sharded_cpml_stepk(
             "in-kernel x-plane DFT accumulators span the full lateral "
             "plane; a 2-D decomposition cuts it — use a 1-D x mesh (or "
             "the engine)"
+        )
+    if two_d and dense is not None:
+        raise ValueError(
+            "sharded DensePml regions span uncut lateral extents; a 2-D "
+            "decomposition cuts them — use a 1-D x mesh (or the engine)"
         )
     dft_rows = tuple((str(a), int(v)) for a, v in dft_rows)
     if dft is not None:
@@ -625,6 +703,43 @@ def make_pallas_sharded_cpml_stepk(
         if matid is not None else None
     )
 
+    dense_spec = None
+    dco_ext = None
+    n_dense = 0
+    if dense is not None:
+        dense.validate(shape)
+        if dense.axis in set(cpml.active_axes()):
+            # live extent only: tile-padded cells are identity no-ops
+            (bq0, bq1) = dense.live[dense.axis]
+            lo_t, hi_t = cpml.thickness[dense.axis]
+            n_ax = shape[dense.axis]
+            if bq0 < lo_t or bq1 > n_ax - hi_t:
+                raise ValueError(
+                    "DensePml region overlaps a boundary CPML slab on "
+                    f"axis {dense.axis}"
+                )
+        n_dense = 1
+        (gx0, gx1) = dense.box[0]
+        (gy0, gy1), (gz0, gz1) = dense.box[1], dense.box[2]
+        by_d, bz_d = gy1 - gy0, gz1 - gz0
+        # kernel region = full extended x span; per-shard runtime
+        # coefficient volumes carry the real box planes at their local
+        # extended positions, identity (1, 0, 0) elsewhere
+        dense_spec = (dense.axis, (0, nle), (gy0, gy1), (gz0, gz1))
+        dco_g = np.stack([np.asarray(c, np.float32)
+                          for c in (*dense.coeffs_h, *dense.coeffs_e)])
+        ident = np.array([1.0, 0.0, 0.0, 1.0, 0.0, 0.0], np.float32)
+        dco_host = np.broadcast_to(
+            ident[None, :, None, None, None],
+            (n_dev, 6, nle, by_d, bz_d),
+        ).copy()
+        for d in range(n_dev):
+            for j in range(nle):
+                g = d * nl - k + j
+                if gx0 <= g < gx1:
+                    dco_host[d, :, j] = dco_g[:, g - gx0]
+        dco_ext = jnp.asarray(dco_host)
+
     aux_coeffs = None
     tfsf_box = None
     if tfsf is not None:
@@ -651,6 +766,7 @@ def make_pallas_sharded_cpml_stepk(
         runtime_tfsf=tfsf is not None,
         y_halo=k if two_d else 0, runtime_ystrips=runtime_ystrips,
         flux_faces=tuple(flux_faces), dft_rows=dft_rows,
+        dense_spec=dense_spec,
         dft_rt=((tuple(w for _, w in dft_planes_g), n_freq_rt)
                 if n_rt else None),
     )
@@ -659,12 +775,14 @@ def make_pallas_sharded_cpml_stepk(
 
     def local_step(state: PmlKernelState, coeffs, sources, xprof_l, mid_l,
                    tf_rows, *extra):
-        # extra = per-y-shard strip profiles (2-D meshes) or the (K, 2F)
-        # DFT phase rows (1-D meshes with dft) — mutually exclusive
+        # extra = [dense coefficient volume][DFT phase rows][per-y-shard
+        # strip profiles]; dense/dft are 1-D-mesh-only, ystrips 2-D-only
+        extra = list(extra)
+        if n_dense:
+            dco_l = extra.pop(0)
         if n_rt:
-            dft_phase, ystr_l = extra[0], extra[1:]
-        else:
-            ystr_l = extra
+            dft_phase = extra.pop(0)
+        ystr_l = extra
         idx = lax.axis_index(axis)
         up = [(i, i + 1) for i in range(n_dev - 1)]
         down = [(i + 1, i) for i in range(n_dev - 1)]
@@ -776,6 +894,19 @@ def make_pallas_sharded_cpml_stepk(
             args += strip_inputs
         if matid is not None:
             args += [mid_l] * k
+        if n_dense:
+            # per-shard coefficient volume (identity outside the global
+            # box) + the region psi in per-shard extended layout, its x
+            # halo planes refreshed like the z-strip psi (volume plane
+            # j <-> extended plane j-1; plane 0 is the trash plane)
+            dco_vol = dco_l.reshape(dco_l.shape[1:])
+            args += [dco_vol] * k
+            dp = state.psi[n_psi]
+            recv_lo = lax.ppermute(dp[:, 1 + nl: 1 + nl + k], axis, up)
+            recv_hi = lax.ppermute(dp[:, 1 + k: 1 + 2 * k], axis, down)
+            dp = dp.at[:, 1: 1 + k].set(recv_lo) \
+                   .at[:, 1 + nl + k:].set(recv_hi)
+            args.append(dp)
         if n_rt:
             # runtime x-plane DFT: the (K, 2F) phase rows, then each
             # plane's coordinate in THIS shard's extended frame (owner)
@@ -790,14 +921,20 @@ def make_pallas_sharded_cpml_stepk(
             args.append(
                 jnp.stack(coords).astype(jnp.int32).reshape(1, n_rt)
             )
-            args += list(state.psi[n_psi: n_psi + n_rt])
+            args += list(state.psi[n_psi + n_dense:
+                                   n_psi + n_dense + n_rt])
         args += [fields[n] for n in _FIELDS]
         args += [fields["ey"], fields["ez"]]
         args += psi
         outs = call(*args)
         psi_new = tuple(outs[6: 6 + n_psi])
+        n_out = 6 + n_psi
+        if n_dense:
+            psi_new = psi_new + (outs[n_out],)
+            n_out += 1
         if n_rt:
-            psi_new = psi_new + tuple(outs[6 + n_psi: 6 + n_psi + n_rt])
+            psi_new = psi_new + tuple(outs[n_out: n_out + n_rt])
+            n_out += n_rt
         new = PmlKernelState(
             ex=outs[0], ey=outs[1], ez=outs[2],
             hx=outs[3], hy=outs[4], hz=outs[5],
@@ -805,7 +942,6 @@ def make_pallas_sharded_cpml_stepk(
             aux_e=state.aux_e, aux_h=state.aux_h,
         )
         res = [new]
-        n_out = 6 + n_psi + n_rt
         zero32 = jnp.zeros((), jnp.int32)
         x0_32 = (idx * nl).astype(jnp.int32)
         if flux_faces:
@@ -860,10 +996,13 @@ def make_pallas_sharded_cpml_stepk(
     fspec = P(axis, y_axis, None)
     state_spec = PmlKernelState(
         **{n: fspec for n in _FIELDS}, tick=P(),
-        # rt DFT accumulator tail: (n_dev*6F, ny, nz) sharded over the
-        # leading dim — each shard's local block is exactly the kernel's
-        # resident (6F, ny, nz) accumulator (1-D meshes: y_axis is None)
-        psi=tuple(fspec for _ in layout) + (fspec,) * n_rt,
+        # psi tail (1-D meshes only, y_axis None): the DensePml region
+        # psi as (n_dev*4, nle+1, by, bz) sharded over the leading dim,
+        # then the rt DFT accumulators as (n_dev*6F, ny, nz) — each
+        # shard's local block is exactly the kernel's operand shape
+        psi=tuple(fspec for _ in layout)
+        + (P(axis, None, None, None),) * n_dense
+        + (fspec,) * n_rt,
         aux_e=P(), aux_h=P(),
     )
 
@@ -913,13 +1052,17 @@ def make_pallas_sharded_cpml_stepk(
             P(axis, y_axis, None),
             P(None, None),
         ]
-        if n_rt:
-            if len(state.psi) != n_psi + n_rt:
+        if n_dense or n_rt:
+            if len(state.psi) != n_psi + n_dense + n_rt:
                 raise ValueError(
-                    f"dft kernel expects {n_rt} accumulator tail entries "
-                    f"on psi (init_sharded_pml_state dft=); got "
+                    f"kernel expects {n_dense + n_rt} psi tail entries "
+                    f"(init_sharded_pml_state dense=/dft=); got "
                     f"{len(state.psi) - n_psi}"
                 )
+        if n_dense:
+            operands.append(dco_ext)
+            specs.append(P(axis, None, None, None, None))
+        if n_rt:
             import math as _math
 
             freqs_a = jnp.asarray(dft_freqs_t, jnp.float32)

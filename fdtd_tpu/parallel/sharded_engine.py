@@ -88,12 +88,14 @@ class ShardedEngineState(NamedTuple):
 
 
 def sharded_engine_state_sharding(
-    mesh: Mesh, dims=("x", None, None), *, cpml=None, tfsf=None
+    mesh: Mesh, dims=("x", None, None), *, cpml=None, tfsf=None, dense=None
 ) -> ShardedEngineState:
     """NamedShardings for a ShardedEngineState on ``mesh``."""
     fs = NamedSharding(mesh, P(*dims))
     r = NamedSharding(mesh, P())
     active = set(cpml.active_axes()) if cpml is not None else set()
+    if dense is not None:
+        active = active | {dense.axis}
     psi = tuple(fs if axis in active else r for _, axis in _TERMS)
     return ShardedEngineState(
         ex=fs, ey=fs, ez=fs, hx=fs, hy=fs, hz=fs, tick=r,
@@ -103,10 +105,12 @@ def sharded_engine_state_sharding(
 
 def init_sharded_engine_state(
     shape, mesh: Mesh, dims=("x", None, None), dtype=jnp.float32,
-    *, cpml=None, tfsf=None,
+    *, cpml=None, tfsf=None, dense=None,
 ) -> ShardedEngineState:
     """Zero state placed on the mesh with the engine layout."""
     active = set(cpml.active_axes()) if cpml is not None else set()
+    if dense is not None:
+        active = active | {dense.axis}
     z = lambda: jnp.zeros(shape, dtype)
     zs = lambda: jnp.zeros((), dtype)
     psi = lambda: tuple(z() if axis in active else zs() for _, axis in _TERMS)
@@ -120,7 +124,8 @@ def init_sharded_engine_state(
         psi_h=psi(), psi_e=psi(), aux_e=aux_e, aux_h=aux_h,
     )
     return jax.device_put(
-        state, sharded_engine_state_sharding(mesh, dims, cpml=cpml, tfsf=tfsf)
+        state, sharded_engine_state_sharding(mesh, dims, cpml=cpml,
+                                             tfsf=tfsf, dense=dense)
     )
 
 
@@ -143,6 +148,7 @@ def make_sharded_engine_step(
     dtype=jnp.float32,
     cpml=None,
     tfsf=None,
+    dense=None,
 ):
     """Build step(state, coeffs, sources) -> state: the full engine update
     (solver/engine.py order, cpu/mod.rs:412-516) over a sharded lattice.
@@ -150,9 +156,20 @@ def make_sharded_engine_step(
     ``shape`` is the GLOBAL lattice shape (profiles are built for it and
     split by shard_map). Coeffs may be uniform scalars or dense sharded
     arrays.
-    """
+
+    ``dense`` is an optional solver.pml_region.DensePml (per-cell uniaxial
+    CPML on an AABB subgrid — arbitrary-shape interior absorbers,
+    runner.rs:633-676): its per-cell (inv_kappa, b, c) volumes are merged
+    into FULL-DOMAIN elementwise coefficient arrays for the two curl terms
+    along its axis (identity outside the box, the boundary-slab profile in
+    the slabs — the overlap check keeps them disjoint), so the recurrence
+    stays purely elementwise and composes with ANY decomposition exactly
+    like the boundary psi (module docstring). The psi terms along
+    dense.axis become full-domain arrays even when no boundary slab
+    absorbs there."""
     n_devs = tuple(1 if d is None else mesh.shape[d] for d in dims)
     active = set(cpml.active_axes()) if cpml is not None else set()
+    active_eff = set(active)
 
     # full-length elementwise (inv_kappa, b, c) per (half, axis); these are
     # shard_map operands so each shard sees its own slice
@@ -174,6 +191,36 @@ def make_sharded_engine_step(
                 spec = [None, None, None]
                 spec[axis] = dims[axis]
                 prof_specs[(key, axis)] = (P(*spec),) * 3
+
+    if dense is not None:
+        dense.validate(shape)
+        if dense.axis in active:
+            # live extent only: tile-padded cells are identity no-ops
+            (db0, db1) = dense.live[dense.axis]
+            lo, hi = cpml.thickness[dense.axis]
+            n = shape[dense.axis]
+            if db0 < lo or db1 > n - hi:
+                raise ValueError(
+                    "DensePml region overlaps a boundary CPML slab on "
+                    f"axis {dense.axis}: box [{db0}, {db1}) vs slabs "
+                    f"[0, {lo}) / [{n - hi}, {n})"
+                )
+        active_eff.add(dense.axis)
+        dbox = tuple(slice(b0, b1) for b0, b1 in dense.box)
+        for key, coeffs3 in (("h", dense.coeffs_h), ("e", dense.coeffs_e)):
+            prev = profs.get((key, dense.axis))
+            full = []
+            for j, (cv, ident) in enumerate(
+                zip(coeffs3, (1.0, 0.0, 0.0))
+            ):
+                base = (
+                    jnp.broadcast_to(prev[j], shape)
+                    if prev is not None
+                    else jnp.full(shape, ident, dtype)
+                )
+                full.append(base.at[dbox].set(jnp.asarray(cv, dtype)))
+            profs[(key, dense.axis)] = tuple(full)
+            prof_specs[(key, dense.axis)] = (P(*dims),) * 3
 
     aux_coeffs = None
     if tfsf is not None:
@@ -278,7 +325,7 @@ def make_sharded_engine_step(
                     )
                     * inv_dx[axis]
                 )
-                if axis in active:
+                if axis in active_eff:
                     ik, b, c = lprofs[(key, axis)]
                     p = b * psi[idx] + c * raw
                     new_psi[idx] = p
@@ -370,7 +417,8 @@ def make_sharded_engine_step(
         )
 
     field_spec = P(*dims)
-    spec_tree = sharded_engine_state_sharding(mesh, dims, cpml=cpml, tfsf=tfsf)
+    spec_tree = sharded_engine_state_sharding(mesh, dims, cpml=cpml,
+                                              tfsf=tfsf, dense=dense)
     state_spec = jax.tree.map(lambda s: s.spec, spec_tree)
 
     def _spec_for(x):

@@ -48,6 +48,10 @@ class ShardedSimulation:
     dtype: Any = jnp.float32
     cpml: Any = None
     tfsf: Any = None
+    # Optional volumetric per-cell PML region (solver/pml_region.py,
+    # GLOBAL coordinates): rides the sharded kernel tier on 1-D x meshes
+    # (tile-padded automatically) and the sharded engine elsewhere.
+    dense_pml: Any = None
     # compressed materials: GLOBAL (nx, ny, nz) index + (K, 4) table
     matid: Any = None
     table: Any = None
@@ -80,6 +84,16 @@ class ShardedSimulation:
         return (self.axis, self._y_axis) if self._y_axis is not None \
             else (self.axis,)
 
+    @cached_property
+    def _dense_kernel(self):
+        """The tile-padded DensePml the kernel plan was built with, or
+        None (no region, or the region rides the engine)."""
+        if self.dense_pml is None or self._y_axis is not None:
+            return None
+        from .best import kernel_dense
+
+        return kernel_dense(self.dense_pml, self.grid.shape, self.cpml)
+
     def _has_m_sources(self) -> bool:
         if self.sources is None or self.sources.num_sources == 0:
             return False
@@ -92,7 +106,8 @@ class ShardedSimulation:
         n_src = self.sources.num_sources if self.sources is not None else 0
         n_mat = 0 if self.table is None else int(np.shape(self.table)[0])
 
-        if self.cpml is not None or self.tfsf is not None:
+        if (self.cpml is not None or self.tfsf is not None
+                or self.dense_pml is not None):
             from .best import best_sharded_absorbing_step
 
             return best_sharded_absorbing_step(
@@ -102,6 +117,7 @@ class ShardedSimulation:
                 with_m=self._has_m_sources(), matid=self.matid,
                 n_materials=n_mat, dtype=self.dtype, max_k=self.max_k,
                 interpret=self.interpret, axis=self.axis,
+                dense=self.dense_pml,
             )
 
         # free space: try the sharded K-step kernel (1-D x or 2-D (x, y)
@@ -209,21 +225,49 @@ class ShardedSimulation:
         if accumulators:
             from ..solver.simulation import kernel_accumulator_spec
 
-            (faces, flux_items, dft_items, _dft_arg, row_items,
+            (faces, flux_items, dft_items, dft_arg, row_items,
              rows_arg) = kernel_accumulator_spec(tuple(accumulators))
-            # the sharded kernel covers flux reductions and lateral DFT
-            # row captures (1-D x meshes); in-kernel x-plane spectra
-            # (axis-0 DftProbes, BoxDft — row_items 4-tuples) would need
-            # runtime plane coordinates and fall back to per-tick paths
+            # the sharded kernel covers flux reductions, lateral DFT row
+            # captures, AND in-kernel x-plane spectra (axis-0 DftProbes,
+            # BoxDft x-faces — via the kernel's runtime plane
+            # coordinates); all of them 1-D x meshes only
             kernel_ok = (
                 faces is not None
-                and not dft_items
-                and all(len(it) == 3 for it in (row_items or ()))
                 and k > 1 and kind == "pallas_cpml_k"
                 and self._y_axis is None
             )
+            n_dev = self._mesh.shape[self.axis]
+            if kernel_ok and dft_arg is not None:
+                # the accumulator VMEM budget can reject the plan's k —
+                # fall back to the per-tick error below rather than
+                # silently replanning at a different k
+                from .pallas_sharded_cpml import supports_sharded_cpml
+
+                kernel_ok = supports_sharded_cpml(
+                    self.grid.shape, n_dev, self.bc, self.cpml, k,
+                    self.dtype,
+                    dft_rt=(len(dft_arg[0]), len(dft_arg[1])),
+                    dense=self._dense_kernel,
+                )
             if kernel_ok:
-                fstep = self._flux_step(faces, rows_arg)
+                fstep = self._flux_step(faces, rows_arg, dft_arg)
+                if dft_arg is not None:
+                    # per-run accumulators ride the psi tail (the sharded
+                    # (n_dev*6F, ny, nz) layout); stripped before return
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as P
+
+                    planes_d, freqs_d = dft_arg
+                    n_f = len(freqs_d)
+                    ny, nz = self.grid.shape[1], self.grid.shape[2]
+                    fs = NamedSharding(
+                        self._mesh, P(self.axis, None, None))
+                    state = state._replace(psi=state.psi + tuple(
+                        jax.device_put(
+                            jnp.zeros((n_dev * 6 * n_f, ny, nz),
+                                      jnp.float32), fs)
+                        for _ in planes_d
+                    ))
                 if probes and (
                     probe_every % k != 0 or n_steps % probe_every != 0
                 ):
@@ -243,13 +287,23 @@ class ShardedSimulation:
                     ex=np.broadcast_to(np.float32(0), self.grid.shape)
                 )
                 raccs = tuple(
-                    a.init_rows_acc(gshape, self.grid.dt)
-                    for _, a, _dr in row_items
+                    it[1].init_rows_acc(gshape, self.grid.dt)
+                    for it in row_items
                 )
                 outs = [[] for _ in probes]
                 for i in range(n_steps // k):
                     tick0 = state.tick
                     out = fstep(state, coeffs, self.sources)
+                    # with neither flux faces nor row captures the step
+                    # returns the bare state (dft accumulators ride
+                    # INSIDE it, on the psi tail)
+                    if not (faces or row_items):
+                        state = out
+                        if probes and ((i + 1) * k) % probe_every == 0:
+                            view = self._global_view(state)
+                            for j, p in enumerate(probes):
+                                outs[j].append(p.sample(view, self.grid.dt))
+                        continue
                     state = out[0]
                     oi = 1
                     if faces:
@@ -263,11 +317,11 @@ class ShardedSimulation:
                     if row_items:
                         caps = out[oi]; oi += 1
                         raccs = tuple(
-                            a.update_from_dft_rows(
-                                racc, caps[d0:d1], tick0, self.grid.dt
+                            it[1].update_from_dft_rows(
+                                racc, caps[it[2][0]: it[2][1]], tick0,
+                                self.grid.dt,
                             )
-                            for (_p, a, (d0, d1)), racc
-                            in zip(row_items, raccs)
+                            for it, racc in zip(row_items, raccs)
                         )
                     if probes and ((i + 1) * k) % probe_every == 0:
                         view = self._global_view(state)
@@ -276,8 +330,23 @@ class ShardedSimulation:
                 finals = [None] * len(accumulators)
                 for (pos, _a, _cr), acc in zip(flux_items, accs):
                     finals[pos] = acc
-                for (pos, _a, _dr), racc in zip(row_items, raccs):
-                    finals[pos] = racc
+                for it, racc in zip(row_items, raccs):
+                    if len(it) == 4:  # BoxDft: x-faces from the psi tail
+                        pos, a, _dr, (p0, p1) = it
+                        finals[pos] = a.finalize_from_kernel(
+                            [_extract_sharded_dft_acc(
+                                state, dft_arg, s, n_dev)
+                             for s in range(p0, p1)],
+                            racc,
+                        )
+                    else:
+                        finals[it[0]] = racc
+                for pos, _p, slot in dft_items:
+                    finals[pos] = _extract_sharded_dft_acc(
+                        state, dft_arg, slot, n_dev)
+                if dft_arg is not None:
+                    state = state._replace(
+                        psi=state.psi[: len(state.psi) - len(dft_arg[0])])
                 return (state, tuple(jnp.stack(o) for o in outs),
                         tuple(finals))
             if k != 1:
@@ -285,9 +354,10 @@ class ShardedSimulation:
                     "accumulators need every tick; this configuration "
                     f"dispatched to a K={k} kernel path and the "
                     "accumulators don't all map to the sharded kernel "
-                    "mechanisms (flux faces / lateral DFT row captures "
-                    "on a 1-D mesh) — use those, a 1-D mesh, or force "
-                    "the engine path (e.g. via dense coefficients)"
+                    "mechanisms (flux faces / DFT row captures / "
+                    "in-kernel x-plane spectra, all on a 1-D mesh) — "
+                    "use those, a 1-D mesh, or force the engine path "
+                    "(e.g. via dense coefficients)"
                 )
             accs = tuple(a.init(state, self.grid.dt) for a in accumulators)
             outs = [[] for _ in probes]
@@ -319,13 +389,14 @@ class ShardedSimulation:
                     outs[j].append(p.sample(view, self.grid.dt))
         return state, tuple(jnp.stack(o) for o in outs)
 
-    def _flux_step(self, faces, dft_rows=()):
-        """The plan's kernel step rebuilt with in-kernel flux reductions
-        and/or DFT row captures (same k and state layout; both only add
-        outputs). Cached per (faces, rows) so repeated run() calls reuse
-        the compiled step."""
+    def _flux_step(self, faces, dft_rows=(), dft=None):
+        """The plan's kernel step rebuilt with in-kernel flux reductions,
+        DFT row captures, and/or runtime-coordinate x-plane spectra (same
+        k; flux/rows only add outputs, dft adds psi-tail accumulator
+        entries the caller appends). Cached per (faces, rows, dft) so
+        repeated run() calls reuse the compiled step."""
         cache = self.__dict__.setdefault("_flux_step_cache", {})
-        key = (faces, tuple(dft_rows))
+        key = (faces, tuple(dft_rows), dft)
         if key not in cache:
             from .best import best_sharded_absorbing_step
 
@@ -341,7 +412,7 @@ class ShardedSimulation:
                 with_m=self._has_m_sources(), matid=self.matid,
                 n_materials=n_mat, dtype=self.dtype, max_k=self.max_k,
                 interpret=self.interpret, axis=self.axis, flux_faces=faces,
-                dft_rows=tuple(dft_rows),
+                dft_rows=tuple(dft_rows), dft=dft, dense=self.dense_pml,
             )
             k, kind = self.plan()
             assert (fk, fkind) == (k, kind), (fk, fkind, k, kind)
@@ -413,6 +484,7 @@ class ShardedSimulation:
             return collapse_pml_state(
                 state, self._mesh, k, self.grid.shape, cpml=self._cpml_pad,
                 axis=self.axis, y_axis=self._y_axis,
+                dense=self._dense_kernel,
             )
         if kind == "pallas_k":
             from .pallas_sharded_k import collapse_state
@@ -432,7 +504,7 @@ class ShardedSimulation:
 
             return init_pml_kernel_state(
                 self.grid.shape, self.dtype, cpml=self._cpml_pad,
-                tfsf=self.tfsf,
+                tfsf=self.tfsf, dense=self._dense_kernel,
             )
         if kind == "pallas_k":
             from ..solver.state import zero_state
@@ -468,7 +540,7 @@ class ShardedSimulation:
 
             return extend_pml_state(
                 state, self._mesh, k, cpml=self._cpml_pad, axis=self.axis,
-                y_axis=self._y_axis,
+                y_axis=self._y_axis, dense=self._dense_kernel,
             )
         if kind == "pallas_k":
             from .pallas_sharded_k import extend_state
@@ -483,3 +555,17 @@ class ShardedSimulation:
         from ..solver.cpml import Cpml
 
         return Cpml(thickness=((0, 0), (0, 0), (0, 0)))
+
+
+def _extract_sharded_dft_acc(state, dft_arg, plane_slot, n_dev):
+    """(re, im) DftProbe-layout accumulators from a SHARDED kernel
+    state's psi tail: the last len(planes) entries are (n_dev*6F, ny,
+    nz) per-shard accumulator stacks (exactly one shard — the plane's
+    owner — is nonzero), so the global spectrum is the dev-sum. Mirrors
+    solver.simulation.extract_dft_acc for the extended layout."""
+    planes, freqs = dft_arg
+    vol = state.psi[-(len(planes) - plane_slot)]
+    n_f = len(freqs)
+    v = vol.reshape(n_dev, 6 * n_f, *vol.shape[1:]).sum(0)
+    live = v.reshape(n_f, 2, 3, *vol.shape[1:])
+    return live[:, 0], live[:, 1]

@@ -218,7 +218,8 @@ def build_step(
     if dense is not None:
         dense.validate(shape)
         if dense.axis in active:
-            (dx0, dx1) = dense.box[dense.axis]
+            # live extent only: tile-padded cells are identity no-ops
+            (dx0, dx1) = dense.live[dense.axis]
             lo, hi = cpml.thickness[dense.axis]
             n = shape[dense.axis]
             if dx0 < lo or dx1 > n - hi:

@@ -793,7 +793,8 @@ def pallas_cpml_step_fn(
                 "(pml_region.pad_dense_to_tiles)"
             )
         if dense.axis in set(cpml.active_axes()):
-            (bx0, bx1) = dense.box[dense.axis]
+            # live extent only: tile-padded cells are identity no-ops
+            (bx0, bx1) = dense.live[dense.axis]
             lo_t, hi_t = cpml.thickness[dense.axis]
             n_ax = shape[dense.axis]
             if bx0 < lo_t or bx1 > n_ax - hi_t:

@@ -58,6 +58,16 @@ class DensePml:
     box: Box
     coeffs_h: Tuple[Any, Any, Any]
     coeffs_e: Tuple[Any, Any, Any]
+    # The LIVE (possibly non-identity) extent when ``box`` has been
+    # tile-padded (pad_dense_to_tiles); None means box itself. Padded
+    # cells carry the exact identity stretch (ik=1, b=c=0) — a no-op in
+    # every consumer — so boundary-slab-overlap checks test this extent,
+    # not the padded box.
+    live_box: Any = None
+
+    @property
+    def live(self) -> Box:
+        return self.live_box if self.live_box is not None else self.box
 
     @property
     def box_shape(self) -> Tuple[int, int, int]:
@@ -160,6 +170,7 @@ def pad_dense_to_tiles(dense: DensePml, shape) -> DensePml:
         box=((x0, x1), (ny0, ny1), (nz0, nz1)),
         coeffs_h=pad(dense.coeffs_h),
         coeffs_e=pad(dense.coeffs_e),
+        live_box=dense.live,
     )
 
 

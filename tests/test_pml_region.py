@@ -403,3 +403,43 @@ def test_dense_pml_single_pass_kernel_matches_engine():
             dvol[j, 1:], np.asarray(est.psi_d[j]), rtol=0, atol=2e-6,
             err_msg=f"psi_d[{j}]",
         )
+
+
+def test_padded_identity_overlap_with_slab_allowed():
+    """pad_dense_to_tiles can push a region's PADDED box into a boundary
+    slab (z pads to 128-lane alignment); padded cells are exact identity
+    no-ops, so only the LIVE box is checked for slab overlap — the engine
+    accepts the padded region, and kernel_dense keeps it kernel-eligible.
+    A region whose LIVE box overlaps a slab is still rejected."""
+    from fdtd_tpu.parallel.best import kernel_dense
+    from fdtd_tpu.solver.pml_region import pad_dense_to_tiles
+
+    shape = (32, 16, 256)
+    cpml = Cpml(thickness=((4, 4), (3, 3), (4, 4)))
+    ball = Ball(radius=4.0)
+    ctr = np.array([[16.0], [8.0], [128.0]])
+    box = ((11, 22), (3, 14), (123, 134))
+    d_h, d_e = depth_from_contains(
+        lambda p: ball.contains(p - ctr), box, 2, +1
+    )
+    dense = dense_pml_from_depth(2, box, d_h, d_e, spec=cpml.spec, dx=1.0,
+                                 dt=DT, constants=ft.REDUCED)
+    padded = pad_dense_to_tiles(dense, shape)
+    assert padded.box[2] == (0, 256)  # pad reaches into both z slabs
+    assert padded.live == dense.box
+    # engine build accepts the padded region (identity cells in slabs)
+    build_step(shape, inv_dx=INV_DX, dt=DT, constants=ft.REDUCED,
+               cpml=cpml, dense=padded)
+    assert kernel_dense(dense, shape, cpml) is not None
+    # but a LIVE overlap still rejects: ball box pushed into the z slab
+    box_bad = ((11, 22), (3, 14), (2, 13))
+    d_h2, d_e2 = depth_from_contains(
+        lambda p: ball.contains(p - np.array([[16.0], [8.0], [7.0]])),
+        box_bad, 2, +1,
+    )
+    bad = dense_pml_from_depth(2, box_bad, d_h2, d_e2, spec=cpml.spec,
+                               dx=1.0, dt=DT, constants=ft.REDUCED)
+    with pytest.raises(ValueError, match="overlaps"):
+        build_step(shape, inv_dx=INV_DX, dt=DT, constants=ft.REDUCED,
+                   cpml=cpml, dense=bad)
+    assert kernel_dense(bad, shape, cpml) is None

@@ -573,3 +573,80 @@ def test_sharded_cpml_inkernel_dft_matches_single_device():
         st._replace(psi=st.psi[:-len(planes)]), mesh, k, shape, cpml=cpml)
     _assert_state_equal(ref._replace(psi=ref.psi[:-len(planes)]),
                         got_state)
+
+
+def test_sharded_cpml_dense_region_matches_single_device():
+    """DensePml on the sharded kernel (per-shard identity-padded runtime
+    coefficient volumes + extended-layout region psi with an x halo
+    exchange): fields, boundary psi AND the reassembled region psi must
+    BIT-match the single-device dense kernel — 4 shards, the absorber
+    ball straddling a shard cut, chained passes."""
+    from fdtd_tpu.scene.shapes import Ball
+    from fdtd_tpu.solver.pml_region import (
+        dense_pml_from_depth,
+        depth_from_contains,
+        pad_dense_to_tiles,
+    )
+
+    shape, n_dev, k = (64, 16, 256), 4, 3
+    cpml = Cpml(thickness=((4, 4), (3, 3), (4, 4)))
+    mesh = make_mesh(n_dev, ("x",))
+    bc = BoundaryConditions()
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    ball = Ball(radius=5.0)
+    box = ((10, 22), (2, 14), (122, 134))  # straddles the x=16 cut
+    center = np.array([16.0, 8.0, 128.0])
+    d_h, d_e = depth_from_contains(
+        lambda p: ball.contains(p - center[:, None]), box, 0, +1
+    )
+    dense = pad_dense_to_tiles(
+        dense_pml_from_depth(0, box, d_h, d_e, spec=cpml.spec, dx=1.0,
+                             dt=dt, constants=ft.REDUCED),
+        shape,
+    )
+    assert supports_sharded_cpml(shape, n_dev, bc, cpml, k, jnp.float32,
+                                 dense=dense)
+    nl = shape[0] // n_dev
+
+    coeffs = ft.CellCoefficients.uniform(
+        ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)[0], jnp.float32)
+    src = ft.SourceSet.build(
+        [ft.PointSource((6, 8, 128), ft.GaussianPulse(4 * dt, 2 * dt),
+                        j=(0.2, -0.1, 1.0))]
+    )
+
+    ref_step = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, interpret=True, dense=dense)
+    ref = init_pml_kernel_state(shape, cpml=cpml, dense=dense)
+    for _ in range(4):
+        ref = ref_step(ref, coeffs, src)
+
+    sh_step = make_pallas_sharded_cpml_stepk(
+        mesh, shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+        constants=ft.REDUCED, cpml=cpml, max_sources=1, interpret=True,
+        dense=dense)
+    st = init_sharded_pml_state(shape, mesh, k, cpml=cpml, dense=dense)
+    for _ in range(4):
+        st = sh_step(st, coeffs, src)
+
+    # region psi: reassemble owned planes from the per-shard extended
+    # volumes (volume plane j <-> extended plane j-1 <-> global plane
+    # d*nl - k + j - 1) and compare against the single-device volume
+    (gx0, gx1), (gy0, gy1), (gz0, gz1) = dense.box
+    ref_dvol = np.asarray(ref.psi[-1])  # (4, bx+1, by, bz)
+    got_ext = np.asarray(st.psi[-1]).reshape(
+        n_dev, 4, nl + 2 * k + 1, gy1 - gy0, gz1 - gz0)
+    for gi in range(gx1 - gx0):
+        g = gx0 + gi
+        d = g // nl
+        j = g - (d * nl - k) + 1
+        np.testing.assert_array_equal(
+            got_ext[d, :, j], ref_dvol[:, gi + 1],
+            err_msg=f"region psi plane {gi}")
+    assert np.abs(ref_dvol).max() > 0  # the absorber actually engaged
+
+    got = collapse_pml_state(
+        st._replace(psi=st.psi[:-1]), mesh, k, shape, cpml=cpml)
+    _assert_state_equal(ref._replace(psi=ref.psi[:-1]), got)

@@ -129,3 +129,94 @@ def test_sharded_tfsf_box_z_sharding():
     tfsf = Tfsf(span=(8, 24), waveform=ft.GaussianPulse(10 * DT, 4 * DT),
                 span_y=(4, 11), span_z=(4, 11))
     _run_pair(None, tfsf, _sources(), ("x", None, "z"), ("x", "z"))
+
+
+def _dense_ball(axis, box, center, radius, straddle_note=""):
+    from fdtd_tpu.scene.shapes import Ball
+    from fdtd_tpu.solver.pml_region import (
+        dense_pml_from_depth,
+        depth_from_contains,
+    )
+
+    ball = Ball(radius=radius)
+    c = np.asarray(center, np.float64)
+    d_h, d_e = depth_from_contains(
+        lambda p: ball.contains(p - c[:, None]), box, axis, +1
+    )
+    return dense_pml_from_depth(
+        axis, box, d_h, d_e, spec=Cpml.uniform(1).spec, dx=1.0, dt=DT,
+        constants=ft.REDUCED,
+    )
+
+
+def _run_dense_pair(cpml, dense, dims, axes, steps=40):
+    """Sharded engine with a DensePml region vs the single-device engine
+    (full-domain merged coefficient volumes vs the subgrid psi_d path) —
+    the regions are disjoint from the slabs so the per-cell math must
+    agree to rounding."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    coeffs = ft.CellCoefficients.uniform((1.0, 0.25, 1.0, 0.25), jnp.float64)
+    sources = _sources()
+
+    ref_step = jax.jit(build_step(
+        SHAPE, inv_dx=INV_DX, dt=DT, constants=ft.REDUCED,
+        dtype=jnp.float64, cpml=cpml, dense=dense,
+    ))
+    ref = init_engine_state(SHAPE, jnp.float64, cpml=cpml, dense=dense)
+    for _ in range(steps):
+        ref = ref_step(ref, coeffs, sources)
+
+    mesh = make_mesh(8, axes)
+    sh_step = jax.jit(make_sharded_engine_step(
+        mesh, SHAPE, dims, inv_dx=INV_DX, dt=DT, constants=ft.REDUCED,
+        dtype=jnp.float64, cpml=cpml, dense=dense,
+    ))
+    st = init_sharded_engine_state(
+        SHAPE, mesh, dims, jnp.float64, cpml=cpml, dense=dense
+    )
+    for _ in range(steps):
+        st = sh_step(st, coeffs, sources)
+
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(st.e[c]), np.asarray(ref.e[c]), rtol=1e-12, atol=1e-13
+        )
+        np.testing.assert_allclose(
+            np.asarray(st.h[c]), np.asarray(ref.h[c]), rtol=1e-12, atol=1e-13
+        )
+    # the absorber actually did something (not a vacuous zero-zero match)
+    assert float(jnp.max(jnp.abs(st.ez))) > 1e-10
+    return st
+
+
+def test_sharded_engine_dense_region_x_mesh():
+    """Interior ball absorber (z-axis stretch) straddling the 8-way x
+    decomposition; boundary slabs on x only — the dense box overlaps NO
+    slab but several shard cuts."""
+    dense = _dense_ball(2, ((8, 24), (4, 14), (4, 14)), (16.0, 8.0, 8.0), 4.0)
+    cpml = Cpml(thickness=((5, 5), (0, 0), (0, 0)))
+    _run_dense_pair(cpml, dense, ("x", None, None), ("x",))
+
+
+def test_sharded_engine_dense_region_no_boundary_cpml():
+    """A DensePml with NO boundary absorber at all: the dense axis's psi
+    terms must still promote to full-domain arrays."""
+    dense = _dense_ball(0, ((8, 24), (4, 14), (4, 14)), (16.0, 8.0, 8.0), 4.0)
+    _run_dense_pair(None, dense, ("x", None, None), ("x",))
+
+
+def test_sharded_engine_dense_region_2d_mesh():
+    """Same region on a 4x2 (x, y) mesh — the box straddles cuts on both
+    decomposed axes, and the dense axis (z) is undecomposed."""
+    dense = _dense_ball(2, ((8, 24), (4, 14), (4, 14)), (16.0, 8.0, 8.0), 4.0)
+    cpml = Cpml(thickness=((5, 5), (4, 4), (0, 0)))
+    _run_dense_pair(cpml, dense, ("x", "y", None), ("x", "y"))
+
+
+def test_sharded_engine_dense_on_active_axis():
+    """Dense region whose axis ALSO carries boundary slabs (merged
+    full-domain profile: slab baseline + box scatter must coexist)."""
+    dense = _dense_ball(0, ((12, 22), (4, 14), (4, 14)), (17.0, 8.0, 8.0), 4.0)
+    cpml = Cpml(thickness=((5, 5), (0, 0), (4, 4)))
+    _run_dense_pair(cpml, dense, ("x", None, None), ("x",))

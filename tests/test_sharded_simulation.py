@@ -399,3 +399,181 @@ def test_lateral_dft_accumulators_ride_sharded_kernel():
     fa, fb = float(finals[2]), float(ref[2])
     assert np.isfinite(fa) and abs(fb) > 1e-10
     assert abs(fa - fb) <= 1e-4 * abs(fb), (fa, fb)
+
+
+def test_axis0_dft_and_boxdft_ride_sharded_kernel():
+    """DftProbe(axis=0) and BoxDft accumulators on a 1-D mesh keep the
+    sharded K-step kernel plan (runtime-coordinate in-kernel spectra +
+    row captures) and match the single-chip engine's per-tick
+    accumulation — the full multi-chip scattering-spectra workflow."""
+    from fdtd_tpu.probes import BoxDft, DftProbe, FieldComponent
+    from fdtd_tpu.solver.simulation import Simulation
+
+    shape = (32, 32, 256)
+    grid = _grid(shape)
+    cpml = Cpml(thickness=((6, 6), (4, 4), (4, 4)))
+    coeffs = _uniform_coeffs(grid)
+    src = _src(grid, (15, 16, 128))
+    probes = (
+        DftProbe(frequencies=(0.02, 0.05), axis=0, index=10,
+                 component=FieldComponent.E),
+        DftProbe(frequencies=(0.02, 0.05), axis=0, index=24,
+                 component=FieldComponent.H),
+        BoxDft(box=((9, 24), (9, 24), (100, 155)),
+               frequencies=(0.02, 0.05)),
+    )
+    ssim = ShardedSimulation(grid=grid, coeffs=coeffs, sources=src,
+                             cpml=cpml, mesh=make_mesh(2, ("x",)),
+                             interpret=True, max_k=2)
+    kk, kind = ssim.plan()
+    assert kind == "pallas_cpml_k" and kk == 2
+    n_steps = 16 * kk
+    st, pr, finals = ssim.run(ssim.init(), n_steps, accumulators=probes)
+    assert pr == ()
+    # the accumulator tail was stripped from the returned state
+    assert st.ex.shape[0] > shape[0]  # still the extended sharded layout
+
+    sim = Simulation(grid=grid, coeffs=coeffs, sources=src, cpml=cpml,
+                     backend="xla")
+    st1 = sim.init()
+    st1, _, ref = sim.run(st1, n_steps, accumulators=probes)
+
+    def cmp(a, b, msg):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape, msg
+        s = max(np.abs(b).max(), 1e-12)
+        np.testing.assert_allclose(a / s, b / s, atol=5e-6, err_msg=msg)
+
+    for i in (0, 1):  # axis-0 DftProbes: (re, im) pairs
+        for ri in range(2):
+            cmp(finals[i][ri], ref[i][ri], f"probe {i} part {ri}")
+            assert np.abs(np.asarray(ref[i][ri])).max() > 0, (i, ri)
+    # dft-ONLY accumulators (no flux/row mechanisms): the kernel step
+    # returns the bare state and the spectra still come off the psi tail
+    st_d, pr_d, only = ssim.run(ssim.init(), n_steps,
+                                accumulators=probes[:2])
+    assert pr_d == ()
+    for i in (0, 1):
+        for ri in range(2):
+            np.testing.assert_array_equal(
+                np.asarray(only[i][ri]), np.asarray(finals[i][ri]))
+
+    # BoxDft: compare the finalized per-face spectra (x-faces' normal E
+    # is left zero by design in the kernel reconstruction — same
+    # comparison as the single-chip gate, test_farfield.py)
+    got_box, ref_box = finals[2], ref[2]
+    assert len(got_box) == len(ref_box) == 6
+    for fi, (fk, fr) in enumerate(zip(got_box, ref_box)):
+        for qi, (ak, ar) in enumerate(zip(fk, fr)):
+            ak, ar = np.asarray(ak), np.asarray(ar)
+            assert ak.shape == ar.shape, (fi, qi)
+            if fi < 2 and qi < 2:
+                np.testing.assert_allclose(ak[:, 0], 0.0, atol=0)
+                cmp(ak[:, 1:], ar[:, 1:], f"BoxDft face {fi} q {qi}")
+            else:
+                cmp(ak, ar, f"BoxDft face {fi} q {qi}")
+            assert np.abs(ar).max() > 0, (fi, qi)
+
+
+def _dense_region(grid, cpml, axis=2):
+    from fdtd_tpu.scene.shapes import Ball
+    from fdtd_tpu.solver.pml_region import (
+        dense_pml_from_depth,
+        depth_from_contains,
+    )
+
+    ball = Ball(radius=5.0)
+    center = np.array([16.0, 16.0, 128.0])
+    box = ((10, 22), (10, 22), (122, 134))
+    d_h, d_e = depth_from_contains(
+        lambda p: ball.contains(p - center[:, None]), box, axis, +1
+    )
+    return dense_pml_from_depth(
+        axis, box, d_h, d_e, spec=cpml.spec, dx=1.0, dt=grid.dt,
+        constants=ft.REDUCED,
+    )
+
+
+def test_dense_pml_rides_sharded_kernel_and_matches_single_chip():
+    """A volumetric interior absorber dispatches to the sharded kernel
+    tier on a 1-D x mesh (auto tile-padded) and the gathered run matches
+    the single-chip dense kernel bit-for-bit; gather() also round-trips
+    the region psi (checkpoint layout parity)."""
+    shape = (32, 32, 256)
+    grid = _grid(shape)
+    cpml = Cpml(thickness=((6, 6), (4, 4), (4, 4)))
+    coeffs = _uniform_coeffs(grid)
+    # source one cell from the region's live z face so the region psi
+    # engages within the short interpret-mode run
+    src = _src(grid, (15, 16, 120))
+    mesh = make_mesh(2, ("x",))
+    dense = _dense_region(grid, cpml)
+
+    sim = ShardedSimulation(grid=grid, coeffs=coeffs, sources=src,
+                            cpml=cpml, dense_pml=dense, mesh=mesh,
+                            interpret=True, max_k=2)
+    k, kind = sim.plan()
+    assert kind == "pallas_cpml_k" and k == 2
+
+    st = sim.init()
+    st = sim.run(st, 6 * k)
+    g = sim.gather(st)
+
+    from fdtd_tpu.solver.pallas_cpml import init_pml_kernel_state
+    from fdtd_tpu.solver.pallas_cpml_k import pallas_cpml_stepk_fn
+    from fdtd_tpu.solver.pml_region import pad_dense_to_tiles
+
+    dense_k = pad_dense_to_tiles(dense, shape)
+    # jit to match ShardedSimulation's jitted step: on the CPU interpret
+    # path XLA's fusion (FMA contraction at the source add) differs
+    # between jitted and op-by-op execution by 1 ulp at the source cell
+    one = jax.jit(pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, interpret=True, dense=dense_k))
+    ref = init_pml_kernel_state(shape, cpml=cpml, dense=dense_k)
+    for _ in range(6):
+        ref = one(ref, coeffs, src)
+    scale = float(jnp.abs(ref.ez).max())
+    assert scale > 1e-6
+    for c in range(3):
+        np.testing.assert_allclose(np.asarray(g.e[c]), np.asarray(ref.e[c]),
+                                   rtol=0, atol=0, err_msg=f"e[{c}]")
+    # region psi (the dense tail entry) gathers to the single-chip layout
+    assert len(g.psi) == len(ref.psi)
+    dvol_g, dvol_r = np.asarray(g.psi[-1]), np.asarray(ref.psi[-1])
+    assert dvol_g.shape == dvol_r.shape
+    # trash plane is scratch on both sides; owned planes must bit-match
+    np.testing.assert_array_equal(dvol_g[:, 1:], dvol_r[:, 1:])
+    assert np.abs(dvol_r[:, 1:]).max() > 0  # region psi actually alive
+
+    # restore() re-extends the gathered state and the run continues
+    # identically to the uninterrupted sharded run
+    st2 = sim.run(st, 2 * k)
+    from fdtd_tpu.parallel.pallas_sharded_cpml import extend_pml_state
+
+    re_ext = extend_pml_state(g, mesh, k, cpml=cpml, axis="x",
+                              dense=sim._dense_kernel)
+    st3 = sim.run(re_ext, 2 * k)
+    for c in range(3):
+        np.testing.assert_array_equal(np.asarray(sim.gather(st2).e[c]),
+                                      np.asarray(sim.gather(st3).e[c]))
+
+
+def test_dense_pml_engine_fallback_on_2d_mesh():
+    """On a 2-D mesh the region rides the sharded engine (exact), not the
+    kernel tier."""
+    shape = (32, 32, 256)
+    grid = _grid(shape)
+    cpml = Cpml(thickness=((6, 6), (4, 4), (4, 4)))
+    mesh = make_mesh(4, ("x", "y"))
+    dense = _dense_region(grid, cpml)
+
+    sim = ShardedSimulation(grid=grid, coeffs=_uniform_coeffs(grid),
+                            sources=_src(grid, (15, 16, 100)), cpml=cpml,
+                            dense_pml=dense, mesh=mesh, interpret=True,
+                            max_k=2)
+    _, kind = sim.plan()
+    assert kind == "xla_engine"
+    st = sim.init()
+    st = sim.run(st, 4)
+    assert int(sim.gather(st).tick) == 4
