@@ -350,6 +350,96 @@ def _selfcheck(ft, jax, jnp, np) -> bool:
         file=sys.stderr,
     )
 
+    # box TF/SF under the 2-D layout (runtime_box_lat variant, round 3):
+    # the y-face coordinates come from SMEM cols 3-4 per shard — a
+    # distinct Mosaic surface from the static-mask 1-D box build; gated
+    # against the single-chip box kernel
+    from fdtd_tpu.solver.tfsf import Tfsf as _TfsfB
+
+    boxb = _TfsfB(span=(20, 44), span_y=(12, 23), span_z=(64, 191),
+                  waveform=ft.GaussianPulse(20 * dt, 6 * dt))
+    bref_step = jax.jit(pallas_cpml_stepk_fn(
+        shape, ck, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, tfsf=boxb, max_sources=1,
+    ))
+    bref = init_pml_kernel_state(shape, cpml=cpml, tfsf=boxb)
+    for _ in range(n_ticks // ck):
+        bref = bref_step(bref, coeffs, src)
+    jax.block_until_ready(bref)
+    b2_step = jax.jit(make_pallas_sharded_cpml_stepk(
+        mesh_xy, shape, ck, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+        constants=ft.REDUCED, cpml=cpml, tfsf=boxb, max_sources=1,
+        y_axis="y",
+    ))
+    b2t = init_sharded_pml_state(shape, mesh_xy, ck, cpml=cpml, tfsf=boxb,
+                                 y_axis="y")
+    for _ in range(n_ticks // ck):
+        b2t = b2_step(b2t, coeffs, src)
+    jax.block_until_ready(b2t)
+    gbt = collapse_pml_state(b2t, mesh_xy, ck, shape, cpml=cpml,
+                             y_axis="y")
+    err_b2 = max(
+        _rel_err(getattr(gbt, f), getattr(bref, f), np)
+        for f in ("ex", "ey", "ez", "hx", "hy", "hz")
+    )
+    good_b2 = err_b2 < tol
+    ok = ok and good_b2
+    print(
+        f"selfcheck sharded box-TF/SF 2-D-layout K={ck}: rel_err "
+        f"{err_b2:.2e} {'PASS' if good_b2 else 'FAIL'}",
+        file=sys.stderr,
+    )
+
+    # flux reductions + DFT row captures under the 2-D layout
+    # (runtime_lat variant, round 3): "y" descriptor coordinates come
+    # from SMEM per shard and every reduction carries the owned-window
+    # mask — a distinct Mosaic surface from the static-index 1-D build;
+    # gated against the single-chip flux/rows kernel
+    faces2 = (("x",), ("y", 8), ("z", 64))
+    rows2 = (("y", 24), ("z", 192))
+    fr_ref_step = jax.jit(pallas_cpml_stepk_fn(
+        shape, ck, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, flux_faces=faces2, dft_rows=rows2,
+    ))
+    frr = init_pml_kernel_state(shape, cpml=cpml)
+    r_rows = r_caps = None
+    for _ in range(n_ticks // ck):
+        frr, rws, cps = fr_ref_step(frr, coeffs, src)
+        r_rows = rws.sum(0) if r_rows is None else r_rows + rws.sum(0)
+        r_caps = ([c.sum(0) for c in cps] if r_caps is None
+                  else [a + c.sum(0) for a, c in zip(r_caps, cps)])
+    jax.block_until_ready(frr)
+    fr2_step = jax.jit(make_pallas_sharded_cpml_stepk(
+        mesh_xy, shape, ck, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+        constants=ft.REDUCED, cpml=cpml, max_sources=1, y_axis="y",
+        flux_faces=faces2, dft_rows=rows2,
+    ))
+    fr2 = init_sharded_pml_state(shape, mesh_xy, ck, cpml=cpml,
+                                 y_axis="y")
+    g_rows = g_caps = None
+    for _ in range(n_ticks // ck):
+        fr2, rws, cps = fr2_step(fr2, coeffs, src)
+        g_rows = rws.sum(0) if g_rows is None else g_rows + rws.sum(0)
+        g_caps = ([c.sum(0) for c in cps] if g_caps is None
+                  else [a + c.sum(0) for a, c in zip(g_caps, cps)])
+    jax.block_until_ready(fr2)
+    errs_fr = [_rel_err(g_rows, r_rows, np)]
+    errs_fr += [_rel_err(g, r, np) for g, r in zip(g_caps, r_caps)]
+    gfr = collapse_pml_state(fr2, mesh_xy, ck, shape, cpml=cpml,
+                             y_axis="y")
+    errs_fr += [
+        _rel_err(getattr(gfr, f), getattr(frr, f), np)
+        for f in ("ex", "ey", "ez", "hx", "hy", "hz")
+    ]
+    err_fr = max(errs_fr)
+    good_fr = err_fr < tol
+    ok = ok and good_fr
+    print(
+        f"selfcheck sharded flux+rows 2-D-layout K={ck}: rel_err "
+        f"{err_fr:.2e} {'PASS' if good_fr else 'FAIL'}",
+        file=sys.stderr,
+    )
+
     # in-kernel flux reductions (accumulator tier): per-tick per-plane
     # Poynting rows from the K kernel vs per-tick XLA reductions over the
     # single-pass CPML kernel's states
@@ -624,6 +714,45 @@ def _selfcheck(ft, jax, jnp, np) -> bool:
     print(
         f"selfcheck sharded DensePml K={ck}: rel_err {err_sd:.2e} "
         f"{'PASS' if good_sd else 'FAIL'}",
+        file=sys.stderr,
+    )
+
+    # EMPTY-HOST sharded kernel (round 3): TF/SF-only and dense-only runs
+    # ride the kernel with a zero-thickness absorber (best.py cpml_k) —
+    # zero-width runtime x profiles are a distinct Mosaic surface, so
+    # compile the combined empty+TF/SF+dense build on the chip and gate
+    # it against the single-chip empty-host kernel
+    empty_cpml = Cpml(thickness=((0, 0), (0, 0), (0, 0)))
+    eh_ref_step = jax.jit(pallas_cpml_stepk_fn(
+        shape, ck, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=empty_cpml, tfsf=tfsf, max_sources=1, dense=dense,
+    ))
+    eh_ref = init_pml_kernel_state(shape, cpml=empty_cpml, tfsf=tfsf,
+                                   dense=dense)
+    for _ in range(n_ticks // ck):
+        eh_ref = eh_ref_step(eh_ref, coeffs, src)
+    jax.block_until_ready(eh_ref)
+    eh_step = jax.jit(make_pallas_sharded_cpml_stepk(
+        mesh1, shape, ck, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+        constants=ft.REDUCED, cpml=empty_cpml, tfsf=tfsf, max_sources=1,
+        dense=dense,
+    ))
+    eht = init_sharded_pml_state(shape, mesh1, ck, cpml=empty_cpml,
+                                 tfsf=tfsf, dense=dense)
+    for _ in range(n_ticks // ck):
+        eht = eh_step(eht, coeffs, src)
+    jax.block_until_ready(eht)
+    ght = collapse_pml_state(eht, mesh1, ck, shape, cpml=empty_cpml,
+                             dense=dense)
+    err_eh = max(
+        _rel_err(getattr(ght, f), getattr(eh_ref, f), np)
+        for f in ("ex", "ey", "ez", "hx", "hy", "hz")
+    )
+    good_eh = err_eh < tol
+    ok = ok and good_eh
+    print(
+        f"selfcheck empty-host sharded TF/SF+DensePml K={ck}: rel_err "
+        f"{err_eh:.2e} {'PASS' if good_eh else 'FAIL'}",
         file=sys.stderr,
     )
 

@@ -4,13 +4,17 @@ The multi-chip analog of solver/best.py: absorbing (CPML) multi-chip runs
 prefer the sharded in-kernel CPML K-step (pallas_sharded_cpml.py, runs at
 Pallas-kernel speed per chip) — which covers TF/SF (slab AND closed box),
 M sources, compressed (matid) materials, bf16 storage, 2-D (x, y) meshes,
-per-tick flux reductions, DFT row captures, and in-kernel x-plane DFT
-spectra — and fall back to the composed XLA sharded engine
+per-tick flux reductions, DFT row captures, in-kernel x-plane DFT
+spectra, DensePml volumetric regions (1-D x meshes), and TF/SF-only /
+dense-only runs (hosted with a zero-thickness absorber) — and fall back
+to the composed XLA sharded engine
 (sharded_engine.py, exact but ~XLA speed) only for configurations the
 kernel path doesn't cover: dense per-cell coefficients, meshes that cut
 lattice z (or any non-(x, y) multi-axis shape), x-PML slabs too deep for
-the shard layout, box TF/SF or accumulator mechanisms under a 2-D mesh
-(their lateral coordinates are cut).
+the shard layout, DensePml regions under a 2-D mesh (their lateral
+extent is cut; box TF/SF, flux reductions, DFT row captures, and
+x-plane DFT spectra all DO ride 2-D meshes via runtime lateral/plane
+coordinates + owned-window reductions/extraction).
 """
 
 from __future__ import annotations
@@ -28,9 +32,11 @@ __all__ = ["best_sharded_absorbing_step", "kernel_dense",
 
 def kernel_dense(dense, shape, cpml):
     """The tile-padded DensePml the sharded kernel path would be built
-    with, or None when the region can't ride the kernel (no boundary
-    CPML to host the kernel, unpaddable box, or the LIVE box touching
-    a boundary slab on its axis — padded identity cells may overlap)."""
+    with, or None when the region can't ride the kernel (unpaddable box,
+    or the LIVE box touching a boundary slab on its axis — padded
+    identity cells may overlap). ``cpml`` is the kernel HOST absorber —
+    pass the zero-thickness empty when the run has no boundary CPML
+    (dense-only runs ride the kernel that way), never None."""
     if dense is None or cpml is None:
         return None
     from ..solver.pml_region import pad_dense_to_tiles
@@ -128,17 +134,26 @@ def best_sharded_absorbing_step(
     n_dy = mesh.shape[y_axis] if y_axis is not None else 1
     kernel_backend = interpret or jax.default_backend() == "tpu"
     m_ok = not with_m or max_sources > 0
-    # box TF/SF lateral faces are cut by a 2-D mesh: engine handles that;
-    # same for the static lateral indices of in-kernel flux reductions
-    tfsf_ok = tfsf is None or not (tfsf.is_box and y_axis is not None)
-    flux_ok = not (flux_faces or dft_rows or dft is not None) \
-        or y_axis is None
+    # box TF/SF, flux reductions, DFT row captures, AND in-kernel
+    # x-plane DFT spectra all ride 2-D meshes (runtime lateral/plane
+    # coordinates + owned-window reductions/extraction); only dense
+    # regions still need a 1-D mesh (their lateral extent is cut)
+    tfsf_ok = True
+    flux_ok = True
     dft_rt = (len(dft[0]), len(dft[1])) if dft is not None else None
-    dense_k = (kernel_dense(dense, shape, cpml)
+    # TF/SF-only and dense-only runs (no boundary CPML) ride the same
+    # kernel with an empty absorber — the multi-chip analog of
+    # solver.simulation.Simulation._cpml_or_empty
+    cpml_k = cpml
+    if cpml_k is None and (tfsf is not None or dense is not None):
+        from ..solver.cpml import Cpml
+
+        cpml_k = Cpml(thickness=((0, 0), (0, 0), (0, 0)))
+    dense_k = (kernel_dense(dense, shape, cpml_k)
                if y_axis is None else None)
     dense_ok = dense is None or dense_k is not None
     if (
-        cpml is not None
+        cpml_k is not None
         and flux_ok
         and dense_ok
         and kernel_mesh_ok
@@ -153,12 +168,12 @@ def best_sharded_absorbing_step(
                 else shape[1]
             if matid is not None and ny_ext % 32 != 0:
                 continue
-            if supports_sharded_cpml(shape, n_dev, bc, cpml, k, dtype,
+            if supports_sharded_cpml(shape, n_dev, bc, cpml_k, k, dtype,
                                      n_dev_y=n_dy, dft_rt=dft_rt,
                                      dense=dense_k):
                 step = jax.jit(make_pallas_sharded_cpml_stepk(
                     mesh, shape, k, inv_dx=inv_dx, dt=dt, bc=bc,
-                    constants=constants, cpml=cpml, tfsf=tfsf,
+                    constants=constants, cpml=cpml_k, tfsf=tfsf,
                     max_sources=max_sources, interpret=interpret,
                     axis=axis, with_m=with_m, matid=matid,
                     n_materials=n_materials, dtype=dtype, y_axis=y_axis,
@@ -168,7 +183,7 @@ def best_sharded_absorbing_step(
 
                 def init_state(k=k):
                     return init_sharded_pml_state(
-                        shape, mesh, k, cpml=cpml, axis=axis, dtype=dtype,
+                        shape, mesh, k, cpml=cpml_k, axis=axis, dtype=dtype,
                         tfsf=tfsf, y_axis=y_axis, dft=dft, dense=dense_k,
                     )
 

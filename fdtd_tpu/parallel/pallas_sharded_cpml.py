@@ -269,17 +269,19 @@ def init_sharded_pml_state(
             (n_dev * 4, nle + 1, gy1 - gy0, gz1 - gz0),
             NamedSharding(mesh, P(axis, None, None, None)),
         ),)
-    if dft is not None and y_axis is not None:
-        raise ValueError("in-kernel x-plane DFT needs a 1-D x mesh")
     if dft is not None:
         # runtime-coordinate DFT accumulator tail: one per-shard
-        # (6F, ny, nz) resident block per plane, stored (n_dev*6F, ny,
-        # nz) sharded over the leading dim (make_pallas_sharded_cpml_stepk
-        # dft=; 1-D x meshes only)
+        # (6F, ny[_ext], nz) resident block per plane, stored
+        # (n_dev*6F, n_dy*ny_ext, nz) sharded like the fields
+        # (make_pallas_sharded_cpml_stepk dft=). Under a 2-D mesh the
+        # block spans the extended lateral plane; halo columns
+        # accumulate stale values that extraction never reads
+        # (extract_sharded_dft_acc slices owned columns only).
         planes_rt, freqs_rt = dft
         n_f = len(tuple(freqs_rt))
         psi = psi + tuple(
-            z((n_dev * 6 * n_f, ny, nz), fs) for _ in tuple(planes_rt)
+            z((n_dev * 6 * n_f, n_dy * ny_ext, nz), fs)
+            for _ in tuple(planes_rt)
         )
     if tfsf is not None:
         ae, ah = tfsf.init_aux(nx, jnp.float32)
@@ -550,10 +552,13 @@ def make_pallas_sharded_cpml_stepk(
     edges). Slab mode pre-gathers the four plane-adjacent aux scalars per
     level into a (2K, 2) SMEM row; closed-box mode ships the full
     (2K, aux_len) rows plus the extended->global offset, because the
-    lateral faces (uncut by the x decomposition, so still static masks)
-    gather aux at every plane inside the box x-span. Box mode is x-only:
-    under a 2-D mesh the lateral faces WOULD be cut, so box TF/SF raises
-    (the dispatcher falls back to the sharded XLA engine).
+    lateral faces gather aux at every plane inside the box x-span. On
+    1-D x meshes the box's y/z faces stay static masks (lateral dims
+    uncut); under a 2-D (x, y) mesh the y-face coordinates become
+    per-shard RUNTIME values in the extended y frame (SMEM row cols
+    3-4) — the uniform global->extended shift keeps halo columns
+    injecting exactly what their owners compute, and out-of-range
+    values on non-owning shards make the masks empty.
 
     2-D mechanics on top of the 1-D recipe (module docstring):
     every tensor whose lateral dim is lattice-aligned (fields, x-slab psi,
@@ -567,22 +572,27 @@ def make_pallas_sharded_cpml_stepk(
     and the kernel's strip segments sit y_halo=k columns inside the plane.
     Lateral Neumann edge masks ride the same runtime edges row as x.
 
-    ``flux_faces`` (1-D x meshes only; see solver/pallas_cpml_k.py for
-    the descriptor forms) makes the step return ``(state, flux_rows)``
-    with GLOBAL (K, nx, n_q) per-tick per-plane Poynting reductions:
-    each shard emits its owned planes' rows in-kernel, which are then
-    scattered into global plane positions and psum-combined over the
-    mesh — per-tick accumulators (scattering box flux) thus ride the
-    sharded kernel without dropping to single-stepping.
+    ``flux_faces`` (see solver/pallas_cpml_k.py for the descriptor
+    forms) makes the step return ``(state, flux_rows)`` with GLOBAL
+    (K, nx, n_q) per-tick per-plane Poynting reductions: each shard
+    emits its owned planes' rows in-kernel, which are then scattered
+    into global plane positions and psum-combined over the mesh —
+    per-tick accumulators (scattering box flux) thus ride the sharded
+    kernel without dropping to single-stepping. Under a 2-D (x, y) mesh
+    every in-kernel reduction is restricted to the shard's OWNED
+    lateral window and the "y" descriptor coordinates become per-shard
+    RUNTIME extended-frame values (kernel runtime_lat), so the
+    per-shard partials psum to the global value over both axes.
 
-    ``dft_rows`` (1-D x meshes only, same reason as flux: the y0/z0 line
-    coordinates are static in-kernel masks, valid on every shard only
-    while the lateral dims are uncut) appends a tuple of GLOBAL
-    (K, nx, 6, lat) raw E+H row-capture blocks to the return, assembled
-    like flux_rows (owned extended planes -> global scatter -> psum) —
-    lateral-plane spectra (DftProbe axis 1/2) then fold outside the
-    kernel at full kernel-tier speed on multi-chip runs. Return order
-    matches the single-chip kernel: state [, flux_rows][, captures].
+    ``dft_rows`` appends a tuple of GLOBAL (K, nx, 6, lat) raw E+H
+    row-capture blocks to the return, assembled like flux_rows (owned
+    extended planes -> global scatter -> psum) — lateral-plane spectra
+    (DftProbe axis 1/2) then fold outside the kernel at full
+    kernel-tier speed on multi-chip runs. 2-D meshes ride the same
+    runtime_lat mechanism: "y" captures fire only on the owning
+    y-shard; "z" captures drop their lateral halo columns and scatter
+    the owned window into its global y position. Return order matches
+    the single-chip kernel: state [, flux_rows][, captures].
 
     ``dft`` = (planes, freqs) with GLOBAL (x0, which) planes (bare int =
     E): in-kernel x-plane DFT spectra on the sharded path, via the
@@ -590,13 +600,15 @@ def make_pallas_sharded_cpml_stepk(
     dft_runtime) — the x decomposition cuts the plane coordinate, so
     each shard receives its extended-layout coordinate (owner) or an
     off-grid sentinel (everyone else; their accumulators stay zero). The
-    per-shard (6F, ny, nz) accumulators ride the psi TAIL as
-    (n_dev*6F, ny, nz) sharded entries (init_sharded_pml_state dft=);
-    the global spectrum is the sum of the per-shard chunks (exactly one
-    nonzero). 1-D x meshes only (the accumulator's lateral dims must be
-    uncut). Owned planes are exact at EVERY stage of the extended-halo
-    sweep (the flux-rows argument), so per-tick accumulation commutes
-    with the K-blocking.
+    per-shard (6F, ny[_ext], nz) accumulators ride the psi TAIL as
+    (n_dev*6F, n_dy*ny_ext, nz) sharded entries (init_sharded_pml_state
+    dft=); the global spectrum sums the per-shard chunks over x (exactly
+    one x-owner nonzero) and, under a 2-D mesh, concatenates the OWNED
+    lateral windows over the y-shards (extract_sharded_dft_acc — halo
+    columns accumulate stale values and are never read). Owned
+    planes/columns are exact at EVERY stage of the extended-halo sweep
+    (the flux-rows argument), so per-tick accumulation commutes with
+    the K-blocking.
 
     ``dense`` (a solver.pml_region.DensePml in GLOBAL coordinates, 1-D x
     meshes only): volumetric per-cell absorbers at the sharded kernel
@@ -626,27 +638,23 @@ def make_pallas_sharded_cpml_stepk(
         )
     if with_m and max_sources == 0:
         raise ValueError("with_m requires in-kernel sources (max_sources > 0)")
-    if two_d and tfsf is not None and tfsf.is_box:
-        raise ValueError(
-            "box TF/SF lateral faces are cut by a 2-D decomposition; "
-            "use the sharded XLA engine for this configuration"
-        )
-    if two_d and flux_faces:
-        raise ValueError(
-            "in-kernel flux reductions use static lateral indices; a 2-D "
-            "decomposition cuts them — use a 1-D x mesh (or the engine)"
-        )
-    if two_d and dft_rows:
-        raise ValueError(
-            "DFT row captures use static lateral indices; a 2-D "
-            "decomposition cuts them — use a 1-D x mesh (or the engine)"
-        )
-    if two_d and dft is not None:
-        raise ValueError(
-            "in-kernel x-plane DFT accumulators span the full lateral "
-            "plane; a 2-D decomposition cuts it — use a 1-D x mesh (or "
-            "the engine)"
-        )
+    # box TF/SF rides 2-D (x, y) meshes: the y-face coordinates become
+    # per-shard RUNTIME values in the extended y frame (SMEM row cols
+    # 3-4 — the same mechanism slab mode uses for the x planes)
+    runtime_box_lat = bool(two_d and tfsf is not None and tfsf.is_box)
+    # flux reductions and DFT row captures ride 2-D meshes too: "y"
+    # descriptor coordinates become per-shard RUNTIME extended-frame
+    # values (kernel runtime_lat) and every reduction is restricted to
+    # the shard's OWNED lateral window, so the per-shard partials psum
+    # to the global value over BOTH mesh axes
+    n_lat_rt = (sum(1 for d in flux_faces if d[0] == "y")
+                + sum(1 for d in dft_rows if d[0] == "y"))
+    runtime_lat = bool(two_d and (flux_faces or dft_rows) and n_lat_rt > 0)
+    # in-kernel x-plane DFT rides 2-D meshes unchanged: the per-shard
+    # resident accumulator block simply spans the EXTENDED lateral
+    # plane; owned columns are exact at every stage (the flux-rows
+    # argument), halo columns accumulate stale values that
+    # extract_sharded_dft_acc never reads
     if two_d and dense is not None:
         raise ValueError(
             "sharded DensePml regions span uncut lateral extents; a 2-D "
@@ -769,6 +777,7 @@ def make_pallas_sharded_cpml_stepk(
         dense_spec=dense_spec,
         dft_rt=((tuple(w for _, w in dft_planes_g), n_freq_rt)
                 if n_rt else None),
+        runtime_box_lat=runtime_box_lat, runtime_lat=runtime_lat,
     )
     assert not x_inputs  # runtime_xprof: profiles come in as an operand
     n_psi = len(layout)
@@ -851,6 +860,17 @@ def make_pallas_sharded_cpml_stepk(
             ).reshape(1, 4)
 
         args = [row, edges]
+        if runtime_lat:
+            # extended-frame "y" coordinates: flux descriptors first,
+            # then row captures — the kernel's lat_ref slot order. On
+            # non-owning y-shards the shifted value lands outside the
+            # owned window and the kernel's masks stay empty.
+            off_y = k - idx_y * nly
+            lvals = [fd[1] + off_y for fd in flux_faces if fd[0] == "y"]
+            lvals += [v + off_y for a, v in dft_rows if a == "y"]
+            args.append(
+                jnp.stack(lvals).astype(jnp.int32).reshape(1, len(lvals))
+            )
         if has_x:
             args.append(xprof_l.reshape(2, 5, nle))
         if tfsf is not None:
@@ -861,6 +881,13 @@ def make_pallas_sharded_cpml_stepk(
             vals = [tf_lo + off, tf_hi + off]
             if tfsf_box is not None:
                 vals.append(off)  # extended -> global coordinate offset
+                if runtime_box_lat:
+                    # per-shard y-face coordinates in the EXTENDED y
+                    # frame; out-of-range values on non-owning shards
+                    # simply make the kernel's masks empty
+                    off_y = k - idx_y * nly
+                    (sy0, sy1) = tfsf_box[0]
+                    vals += [sy0 + off_y, sy1 + off_y]
             args.append(
                 jnp.stack(vals).astype(jnp.int32).reshape(1, len(vals))
             )
@@ -944,9 +971,13 @@ def make_pallas_sharded_cpml_stepk(
         res = [new]
         zero32 = jnp.zeros((), jnp.int32)
         x0_32 = (idx * nl).astype(jnp.int32)
+        # reductions/captures psum over BOTH mesh axes under a 2-D
+        # decomposition (each y-shard contributes its owned lateral
+        # partials; non-owning shards contribute zeros)
+        red_axes = (axis, y_axis) if two_d else axis
         if flux_faces:
             # shard-local extended rows -> GLOBAL (K, nx, n_q): keep the
-            # owned planes, scatter to global positions, psum over x
+            # owned planes, scatter to global positions, psum
             n_q = len(flux_faces)
             rows_ext = jnp.stack(
                 outs[n_out: n_out + k])[:, 1: nle + 1, 0, :n_q]
@@ -956,18 +987,26 @@ def make_pallas_sharded_cpml_stepk(
                 jnp.zeros((k, nx, n_q), jnp.float32), owned,
                 (zero32, x0_32, zero32),
             )
-            res.append(lax.psum(glob, axis))
+            res.append(lax.psum(glob, red_axes))
         if dft_rows:
             # capture sets in kernel order (one per "y" desc, one shared
             # "z" set): owned extended planes -> global scatter -> psum,
             # re-emitted in the caller's dft_rows order (single-chip
             # contract, (K, nx, 6, lat) per descriptor)
-            def to_global(owned4):
+            def to_global(owned4, lat_n=None, y_off=None):
+                # lat_n/y_off: global lateral extent + this shard's
+                # offset when the capture's lateral dim is cut (z
+                # captures under 2-D meshes); default = uncut last dim
                 glob = lax.dynamic_update_slice(
-                    jnp.zeros((k, nx) + owned4.shape[2:], jnp.float32),
-                    owned4, (zero32, x0_32, zero32, zero32),
+                    jnp.zeros(
+                        (k, nx) + owned4.shape[2:-1]
+                        + (owned4.shape[-1] if lat_n is None else lat_n,),
+                        jnp.float32),
+                    owned4,
+                    (zero32, x0_32, zero32,
+                     zero32 if y_off is None else y_off),
                 )
-                return lax.psum(glob, axis)
+                return lax.psum(glob, red_axes)
 
             y_caps = []
             for _ in range(sum(1 for d in dft_rows if d[0] == "y")):
@@ -980,6 +1019,10 @@ def make_pallas_sharded_cpml_stepk(
                 z_block = jnp.stack(
                     outs[n_out: n_out + k])[:, 1 + k: 1 + k + nl]
                 n_out += k
+                if two_d:
+                    # drop the lateral halo columns; scatter the owned
+                    # window into its global y position
+                    z_block = z_block[:, :, k: k + nly]
             caps, yi, zi = [], 0, 0
             for a, _v in dft_rows:
                 if a == "y":
@@ -988,7 +1031,11 @@ def make_pallas_sharded_cpml_stepk(
                     blk = jnp.transpose(
                         z_block[:, :, :, 6 * zi: 6 * zi + 6], (0, 1, 3, 2)
                     )
-                    caps.append(to_global(blk))
+                    if two_d:
+                        caps.append(to_global(
+                            blk, ny, (idx_y * nly).astype(jnp.int32)))
+                    else:
+                        caps.append(to_global(blk))
                     zi += 1
             res.append(tuple(caps))
         return res[0] if len(res) == 1 else tuple(res)

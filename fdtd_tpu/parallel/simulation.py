@@ -7,9 +7,12 @@ distributed layer at all). Construction mirrors Simulation; `plan()`
 reports which path the configuration rides:
 
   - "pallas_cpml_k": sharded in-kernel CPML K-step (absorbing; supports
-    J/M sources, compressed materials, bf16 storage, slab TF/SF)
-  - "xla_engine":    composed sharded engine (box TF/SF, dense
-    coefficients, multi-axis meshes — exact, slower)
+    J/M sources, compressed materials, bf16 storage, slab AND box
+    TF/SF, flux/DFT-row/x-plane-DFT accumulators on 1-D and 2-D
+    meshes, DensePml regions and TF/SF-/dense-only empty-host runs)
+  - "xla_engine":    composed sharded engine (dense coefficients,
+    meshes that cut lattice z, DensePml regions under 2-D meshes —
+    exact, slower)
   - "pallas_k":      sharded free-space K-step kernel
   - "xla":           plain sharded XLA step (free space fallback)
 
@@ -92,7 +95,9 @@ class ShardedSimulation:
             return None
         from .best import kernel_dense
 
-        return kernel_dense(self.dense_pml, self.grid.shape, self.cpml)
+        # _cpml_pad, not self.cpml: dense-only runs host the kernel with
+        # an empty absorber (mirrors best_sharded_absorbing_step)
+        return kernel_dense(self.dense_pml, self.grid.shape, self._cpml_pad)
 
     def _has_m_sources(self) -> bool:
         if self.sources is None or self.sources.num_sources == 0:
@@ -227,16 +232,17 @@ class ShardedSimulation:
 
             (faces, flux_items, dft_items, dft_arg, row_items,
              rows_arg) = kernel_accumulator_spec(tuple(accumulators))
-            # the sharded kernel covers flux reductions, lateral DFT row
-            # captures, AND in-kernel x-plane spectra (axis-0 DftProbes,
-            # BoxDft x-faces — via the kernel's runtime plane
-            # coordinates); all of them 1-D x meshes only
+            # the sharded kernel covers flux reductions and lateral DFT
+            # row captures (1-D AND 2-D meshes, via runtime lateral
+            # coordinates) plus in-kernel x-plane spectra (axis-0
+            # DftProbes, BoxDft x-faces — runtime plane coordinates;
+            # per-shard accumulators span the extended lateral plane)
             kernel_ok = (
-                faces is not None
-                and k > 1 and kind == "pallas_cpml_k"
-                and self._y_axis is None
+                faces is not None and k > 1 and kind == "pallas_cpml_k"
             )
             n_dev = self._mesh.shape[self.axis]
+            n_dy = (self._mesh.shape[self._y_axis]
+                    if self._y_axis is not None else 1)
             if kernel_ok and dft_arg is not None:
                 # the accumulator VMEM budget can reject the plan's k —
                 # fall back to the per-tick error below rather than
@@ -244,8 +250,8 @@ class ShardedSimulation:
                 from .pallas_sharded_cpml import supports_sharded_cpml
 
                 kernel_ok = supports_sharded_cpml(
-                    self.grid.shape, n_dev, self.bc, self.cpml, k,
-                    self.dtype,
+                    self.grid.shape, n_dev, self.bc, self._cpml_pad, k,
+                    self.dtype, n_dev_y=n_dy,
                     dft_rt=(len(dft_arg[0]), len(dft_arg[1])),
                     dense=self._dense_kernel,
                 )
@@ -253,19 +259,21 @@ class ShardedSimulation:
                 fstep = self._flux_step(faces, rows_arg, dft_arg)
                 if dft_arg is not None:
                     # per-run accumulators ride the psi tail (the sharded
-                    # (n_dev*6F, ny, nz) layout); stripped before return
+                    # (n_dev*6F, n_dy*ny_ext, nz) layout); stripped
+                    # before return
                     from jax.sharding import NamedSharding
                     from jax.sharding import PartitionSpec as P
 
                     planes_d, freqs_d = dft_arg
                     n_f = len(freqs_d)
                     ny, nz = self.grid.shape[1], self.grid.shape[2]
+                    ny_ext = ny // n_dy + (2 * k if n_dy > 1 else 0)
                     fs = NamedSharding(
-                        self._mesh, P(self.axis, None, None))
+                        self._mesh, P(self.axis, self._y_axis, None))
                     state = state._replace(psi=state.psi + tuple(
                         jax.device_put(
-                            jnp.zeros((n_dev * 6 * n_f, ny, nz),
-                                      jnp.float32), fs)
+                            jnp.zeros((n_dev * 6 * n_f, n_dy * ny_ext,
+                                       nz), jnp.float32), fs)
                         for _ in planes_d
                     ))
                 if probes and (
@@ -335,7 +343,7 @@ class ShardedSimulation:
                         pos, a, _dr, (p0, p1) = it
                         finals[pos] = a.finalize_from_kernel(
                             [_extract_sharded_dft_acc(
-                                state, dft_arg, s, n_dev)
+                                state, dft_arg, s, n_dev, n_dy, k)
                              for s in range(p0, p1)],
                             racc,
                         )
@@ -343,7 +351,7 @@ class ShardedSimulation:
                         finals[it[0]] = racc
                 for pos, _p, slot in dft_items:
                     finals[pos] = _extract_sharded_dft_acc(
-                        state, dft_arg, slot, n_dev)
+                        state, dft_arg, slot, n_dev, n_dy, k)
                 if dft_arg is not None:
                     state = state._replace(
                         psi=state.psi[: len(state.psi) - len(dft_arg[0])])
@@ -354,10 +362,10 @@ class ShardedSimulation:
                     "accumulators need every tick; this configuration "
                     f"dispatched to a K={k} kernel path and the "
                     "accumulators don't all map to the sharded kernel "
-                    "mechanisms (flux faces / DFT row captures / "
-                    "in-kernel x-plane spectra, all on a 1-D mesh) — "
-                    "use those, a 1-D mesh, or force the engine path "
-                    "(e.g. via dense coefficients)"
+                    "mechanisms (flux faces / DFT row captures on any "
+                    "kernel mesh; in-kernel x-plane spectra on a 1-D "
+                    "mesh) — use those, a 1-D mesh, or force the engine "
+                    "path (e.g. via dense coefficients)"
                 )
             accs = tuple(a.init(state, self.grid.dt) for a in accumulators)
             outs = [[] for _ in probes]
@@ -557,15 +565,25 @@ class ShardedSimulation:
         return Cpml(thickness=((0, 0), (0, 0), (0, 0)))
 
 
-def _extract_sharded_dft_acc(state, dft_arg, plane_slot, n_dev):
+def _extract_sharded_dft_acc(state, dft_arg, plane_slot, n_dev,
+                             n_dy=1, k=0):
     """(re, im) DftProbe-layout accumulators from a SHARDED kernel
-    state's psi tail: the last len(planes) entries are (n_dev*6F, ny,
-    nz) per-shard accumulator stacks (exactly one shard — the plane's
-    owner — is nonzero), so the global spectrum is the dev-sum. Mirrors
+    state's psi tail: the last len(planes) entries are
+    (n_dev*6F, n_dy*ny_ext, nz) per-shard accumulator stacks (exactly
+    one x-shard — the plane's owner — is nonzero), so the global
+    spectrum is the x-dev sum; under a 2-D mesh (n_dy > 1) each
+    y-shard's OWNED lateral window is then concatenated (halo columns
+    hold stale accumulations and are dropped). Mirrors
     solver.simulation.extract_dft_acc for the extended layout."""
     planes, freqs = dft_arg
     vol = state.psi[-(len(planes) - plane_slot)]
     n_f = len(freqs)
+    if n_dy > 1:
+        ny_ext = vol.shape[1] // n_dy
+        nly = ny_ext - 2 * k
+        r = vol.reshape(vol.shape[0], n_dy, ny_ext, vol.shape[2])
+        vol = r[:, :, k: k + nly].reshape(
+            vol.shape[0], n_dy * nly, vol.shape[2])
     v = vol.reshape(n_dev, 6 * n_f, *vol.shape[1:]).sum(0)
     live = v.reshape(n_f, 2, 3, *vol.shape[1:])
     return live[:, 0], live[:, 1]

@@ -115,7 +115,8 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                  tfsf_box, n_src, n_materials, runtime_edges=False,
                  with_m=False, runtime_tfsf=False, y_halo=0,
                  flux_faces=(), dense_spec=None, dft_spec=None,
-                 dft_rows=(), dft_rt=None):
+                 dft_rows=(), dft_rt=None, runtime_box_lat=False,
+                 runtime_lat=False):
     inv_x, inv_y, inv_z = inv_dx
     n_psi = len(layout)
     # dft_spec = (planes tuple, n_freq): running per-tick DFT of the E
@@ -150,6 +151,12 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
         edge_ref = None
         if runtime_edges:
             edge_ref = refs[k]; k += 1
+        lat_ref = None
+        if runtime_lat:
+            # per-shard EXTENDED-frame lateral coordinates for the "y"
+            # flux descriptors then the "y" row-capture descriptors (2-D
+            # sharding cuts lattice y, so the static values are invalid)
+            lat_ref = refs[k]; k += 1
         xprof_ref = None
         if x_terms:
             xprof_ref = refs[k]; k += 1
@@ -455,6 +462,15 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                 tf_off = 0
             if tfsf_box is not None:
                 (ty0, ty1), (tz0, tz1) = tfsf_box
+                if runtime_box_lat:
+                    # 2-D (x, y) sharding cuts the box's y span: the y
+                    # face coordinates arrive per shard in the EXTENDED
+                    # y frame (SMEM row cols 3-4; out-of-range values
+                    # make the masks empty, and halo columns receive the
+                    # same injection their owners compute — the uniform
+                    # global->extended shift preserves halo exactness)
+                    ty0 = tfp_ref[0, 3]
+                    ty1 = tfp_ref[0, 4]
                 lat_mask = jnp.logical_and(
                     jnp.logical_and(iy >= ty0, iy <= ty1),
                     jnp.logical_and(iz >= tz0, iz <= tz1),
@@ -689,6 +705,14 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
             #   ("z", z0): y-row sum of the z-normal flux at lane z0
             # Sampled AFTER the tick's source injection, matching the
             # engine's step-then-update accumulator order.
+            if flux_faces or row_y:
+                # lateral (y) sharding: plane reductions must cover OWNED
+                # columns only — halo-column outputs are garbage at late
+                # stages, and the wrapper psums the per-shard partial sums
+                # over the y mesh axis. The owned window in the extended
+                # frame is static ([y_halo, ny - y_halo) on every shard).
+                own_m = (jnp.logical_and(iy >= y_halo, iy < ny - y_halo)
+                         if y_halo > 0 else None)
             if flux_faces:
                 # full-plane products shared across same-axis descriptors;
                 # lateral rows are selected with iota MASKS (slicing a
@@ -701,13 +725,27 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                 if any(fd[0] == "z" for fd in flux_faces):
                     s_z = ek[0] * hk[1] - ek[1] * hk[0]
                 vals = []
+                li = 0  # runtime lateral-coordinate slot counter
                 for fd in flux_faces:
                     if fd[0] == "x":
-                        s = jnp.sum(s_x)
+                        s = jnp.sum(s_x if own_m is None
+                                    else jnp.where(own_m, s_x, 0.0))
                     elif fd[0] == "y":
-                        s = jnp.sum(jnp.where(iy == fd[1], s_y, 0.0))
+                        # 2-D sharding: the column coordinate arrives in
+                        # the shard's extended frame; only the OWNER shard
+                        # has it inside the owned window, so exactly one
+                        # shard contributes to the psum
+                        y0f = lat_ref[0, li] if runtime_lat else fd[1]
+                        li += 1
+                        cond = iy == y0f
+                        if own_m is not None:
+                            cond = jnp.logical_and(cond, own_m)
+                        s = jnp.sum(jnp.where(cond, s_y, 0.0))
                     else:
-                        s = jnp.sum(jnp.where(iz == fd[1], s_z, 0.0))
+                        cond = iz == fd[1]
+                        if own_m is not None:
+                            cond = jnp.logical_and(cond, own_m)
+                        s = jnp.sum(jnp.where(cond, s_z, 0.0))
                     vals.append(s)
                 # one full (8, 128) tile per plane row (Mosaic wants the
                 # last two block dims tile-complete); values in row 0,
@@ -732,12 +770,21 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
             if row_y or row_z:
                 fld6 = (ek[0], ek[1], ek[2], hk[0], hk[1], hk[2])
             if row_y:
+                n_flux_y = sum(1 for fd in flux_faces if fd[0] == "y")
                 t8y = jax.lax.broadcasted_iota(jnp.int32, (8, nz), 0)
                 for di, y0 in enumerate(row_y):
+                    # 2-D sharding: runtime extended-frame row coordinate
+                    # + owned-window mask (same argument as the flux "y"
+                    # descriptors above)
+                    y0r = (lat_ref[0, n_flux_y + di] if runtime_lat
+                           else y0)
+                    cond = iy == y0r
+                    if own_m is not None:
+                        cond = jnp.logical_and(cond, own_m)
                     tile = jnp.zeros((8, nz), f32)
                     for c6 in range(6):
                         row = jnp.sum(
-                            jnp.where(iy == y0, fld6[c6], 0.0), axis=0
+                            jnp.where(cond, fld6[c6], 0.0), axis=0
                         )
                         tile = jnp.where(t8y == c6, row[None, :], tile)
                     rowy_out[di][st - 1][0] = tile
@@ -795,7 +842,8 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
                 x_extra=0, runtime_edges=False, runtime_xprof=False,
                 with_m=False, dtype_name="float32", runtime_tfsf=False,
                 y_halo=0, runtime_ystrips=False, flux_faces=(),
-                dense_spec=None, dft_spec=None, dft_rows=(), dft_rt=None):
+                dense_spec=None, dft_spec=None, dft_rows=(), dft_rt=None,
+                runtime_box_lat=False, runtime_lat=False):
     from ..constants import REDUCED
 
     constants = SI if constants_key == "si" else REDUCED
@@ -862,6 +910,10 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]  # coef row (1, 4)
     if runtime_edges:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # (1, 2) i32
+    if runtime_lat:
+        # (1, n_lat) i32 extended-frame lateral coordinates ("y" flux
+        # descriptors, then "y" row captures) — 2-D sharded builds only
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     static_inputs = []
     if any(axis == 0 for _, axis, *_ in layout):
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # (2, 5, nx)
@@ -1039,6 +1091,7 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
         shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes, tfsf_box,
         n_src, n_materials, runtime_edges, with_m, runtime_tfsf, y_halo,
         flux_faces, dense_spec, dft_spec, dft_rows, dft_rt,
+        runtime_box_lat=runtime_box_lat, runtime_lat=runtime_lat,
     )
 
     # scratch per level: 6 field planes + per-term psi slots

@@ -129,12 +129,15 @@ class Simulation:
         (solver/pallas_cpml.py, ~3.5x the XLA engine) when the config fits:
         TPU, f32/bf16 storage, uniform scalar coefficients, Neumann(0)
         edges, slab (not box) TF/SF. J and M sources both inject
-        in-kernel."""
+        in-kernel. TF/SF-only and dense-region-only runs (no boundary
+        CPML) ride the same kernel with an empty absorber
+        (_cpml_or_empty)."""
         import jax
 
         from .pallas_cpml import supports_cpml
 
-        if (self.cpml is None and self.tfsf is None) or self.backend == "xla":
+        if (self.cpml is None and self.tfsf is None
+                and self.dense_pml is None) or self.backend == "xla":
             return False
         if self.dense_pml is not None:
             # volumetric per-cell regions ride the kernels when the box

@@ -443,3 +443,34 @@ def test_padded_identity_overlap_with_slab_allowed():
         build_step(shape, inv_dx=INV_DX, dt=DT, constants=ft.REDUCED,
                    cpml=cpml, dense=bad)
     assert kernel_dense(bad, shape, cpml) is None
+
+
+def test_dense_only_kernel_eligibility(monkeypatch):
+    """Simulation(dense_pml=...) with NO boundary CPML/TFSF is kernel-
+    eligible on TPU when the region tile-aligns: the kernel hosts it with
+    an empty absorber (_cpml_or_empty). Backend is monkeypatched — the
+    suite runs on CPU; the kernel build itself is covered by
+    tests/test_sharded_simulation.py::test_dense_only_rides_sharded_kernel."""
+    import jax
+
+    from fdtd_tpu.solver.simulation import Simulation
+
+    shape = (32, 32, 256)
+    res = ft.Resolution(spatial=(1.0, 1.0, 1.0), temporal=DT)
+    grid = ft.Grid(shape=shape, resolution=res, constants=ft.REDUCED)
+    ball = Ball(radius=5.0)
+    ctr = np.array([[16.0], [16.0], [128.0]])
+    box = ((10, 22), (10, 22), (122, 134))
+    d_h, d_e = depth_from_contains(
+        lambda p: ball.contains(p - ctr), box, 2, +1
+    )
+    dense = dense_pml_from_depth(2, box, d_h, d_e, spec=GradedPmlSpec(),
+                                 dx=1.0, dt=DT, constants=ft.REDUCED)
+    coeffs = ft.CellCoefficients.uniform((1.0, 0.25, 1.0, 0.25), jnp.float32)
+    sim = Simulation(grid=grid, coeffs=coeffs, dense_pml=dense)
+    assert not sim._cpml_kernel_eligible()  # CPU backend
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert sim._cpml_kernel_eligible()
+    # empty host: no active boundary axes, region still tile-padded
+    assert sim._cpml_or_empty.active_axes() == ()
+    assert sim._dense_kernel is not None

@@ -650,3 +650,120 @@ def test_sharded_cpml_dense_region_matches_single_device():
     got = collapse_pml_state(
         st._replace(psi=st.psi[:-1]), mesh, k, shape, cpml=cpml)
     _assert_state_equal(ref._replace(psi=ref.psi[:-1]), got)
+
+
+def test_sharded_cpml_tfsf_box_2d_mesh():
+    """Closed-box TF/SF under the 2-D (x, y) decomposition: the box's
+    y-face coordinates become per-shard RUNTIME values in the extended y
+    frame (SMEM row cols 3-4), firing on owned AND halo copies of the
+    face rows. The box straddles BOTH the x cut and the y cut; must
+    match the single-device box kernel bit-for-bit."""
+    from fdtd_tpu.solver.tfsf import Tfsf
+
+    shape, k = (32, 64, 256), 4
+    cpml = Cpml(thickness=((6, 6), (4, 4), (4, 4)))
+    mesh = make_mesh(4, ("x", "y"))
+    n_dx, n_dy = mesh.shape["x"], mesh.shape["y"]
+    assert (n_dx, n_dy) == (2, 2)
+    bc = BoundaryConditions()
+    assert supports_sharded_cpml(shape, n_dx, bc, cpml, k, n_dev_y=n_dy)
+
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    # x-span (12, 22) straddles the x=16 cut; y-span (20, 43) straddles
+    # the y=32 cut, so the y faces at 20 and 43 live on DIFFERENT
+    # y-shards and their halo columns hold copies of rows near the cut
+    tfsf = Tfsf(span=(12, 22), span_y=(20, 43), span_z=(64, 191),
+                waveform=ft.GaussianPulse(6 * dt, 2 * dt))
+    coeffs = ft.CellCoefficients.uniform(
+        ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)[0], jnp.float32)
+    # source one column from the y cut: exercises the lateral exchange
+    # alongside the box injections
+    src = ft.SourceSet.build([ft.PointSource(
+        (15, 31, 128), ft.GaussianPulse(4 * dt, 2 * dt), j=(0, 0, 0.4))])
+
+    ref_step = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, tfsf=tfsf, max_sources=1, interpret=True,
+    )
+    ref = init_pml_kernel_state(shape, cpml=cpml, tfsf=tfsf)
+    sh_step = make_pallas_sharded_cpml_stepk(
+        mesh, shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+        constants=ft.REDUCED, cpml=cpml, tfsf=tfsf, max_sources=1,
+        interpret=True, y_axis="y",
+    )
+    st = init_sharded_pml_state(shape, mesh, k, cpml=cpml, tfsf=tfsf,
+                                y_axis="y")
+    for _ in range(3):
+        ref = ref_step(ref, coeffs, src)
+        st = sh_step(st, coeffs, src)
+    got = collapse_pml_state(st, mesh, k, shape, cpml=cpml, y_axis="y")
+    assert float(jnp.abs(ref.ez).max()) > 1e-5
+    np.testing.assert_allclose(
+        np.asarray(got.aux_e), np.asarray(ref.aux_e), atol=1e-7,
+    )
+    _assert_state_equal(ref, got)
+
+
+def test_sharded_cpml_flux_and_rows_2d_mesh():
+    """Flux reductions + DFT row captures under the 2-D (x, y)
+    decomposition: the "y" descriptor coordinates become per-shard
+    RUNTIME extended-frame values (kernel runtime_lat) and every
+    reduction is restricted to the shard's owned lateral window, so the
+    psum over BOTH mesh axes reproduces the single-device kernel's
+    blocks bit-for-bit. Descriptors target BOTH y-shards; the source
+    sits one column from the y cut."""
+    shape, k = (32, 64, 256), 4
+    cpml = Cpml(thickness=((6, 6), (4, 4), (4, 4)))
+    mesh = make_mesh(4, ("x", "y"))
+    n_dx, n_dy = mesh.shape["x"], mesh.shape["y"]
+    assert (n_dx, n_dy) == (2, 2)
+    bc = BoundaryConditions()
+    assert supports_sharded_cpml(shape, n_dx, bc, cpml, k, n_dev_y=n_dy)
+
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    coeffs = ft.CellCoefficients.uniform(
+        ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)[0], jnp.float32)
+    src = ft.SourceSet.build([ft.PointSource(
+        (15, 31, 128), ft.GaussianPulse(4 * dt, 2 * dt),
+        j=(0.3, -0.2, 1.0))])
+    # y=20 owned by y-shard 0, y=43 by y-shard 1; z uncut
+    faces = (("x",), ("y", 20), ("y", 43), ("z", 120))
+    descs = (("y", 20), ("z", 120), ("y", 43))
+
+    kw = dict(max_sources=1, interpret=True, flux_faces=faces,
+              dft_rows=descs)
+    ref_step = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, **kw)
+    ref = init_pml_kernel_state(shape, cpml=cpml)
+    ref_rows, ref_caps = [], []
+    for _ in range(3):
+        ref, rows, caps = ref_step(ref, coeffs, src)
+        ref_rows.append(np.asarray(rows))
+        ref_caps.append([np.asarray(c) for c in caps])
+
+    sh_step = make_pallas_sharded_cpml_stepk(
+        mesh, shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+        constants=ft.REDUCED, cpml=cpml, y_axis="y", **kw)
+    st = init_sharded_pml_state(shape, mesh, k, cpml=cpml, y_axis="y")
+    got_rows, got_caps = [], []
+    for _ in range(3):
+        st, rows, caps = sh_step(st, coeffs, src)
+        got_rows.append(np.asarray(rows))
+        got_caps.append([np.asarray(c) for c in caps])
+    got = collapse_pml_state(st, mesh, k, shape, cpml=cpml, y_axis="y")
+    _assert_state_equal(ref, got)
+
+    for p in range(3):
+        np.testing.assert_allclose(
+            got_rows[p], ref_rows[p], rtol=0, atol=1e-6,
+            err_msg=f"flux pass {p}")
+        for di in range(len(descs)):
+            assert got_caps[p][di].shape == ref_caps[p][di].shape
+            np.testing.assert_allclose(
+                got_caps[p][di], ref_caps[p][di], rtol=0, atol=1e-6,
+                err_msg=f"pass {p} desc {di}")
+    assert max(np.abs(r).max() for r in ref_rows) > 0
+    assert max(np.abs(c).max() for cs in ref_caps for c in cs) > 0

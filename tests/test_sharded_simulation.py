@@ -121,7 +121,9 @@ def test_box_tfsf_routing():
     box = Tfsf(span=(8, 23), span_y=(4, 11), span_z=(16, 47),
                waveform=ft.GaussianPulse(4 * grid.dt, 2 * grid.dt))
     mesh = make_mesh(2, ("x",))
-    # without CPML there is no absorbing kernel to ride: engine path
+    # nz=64 is not kernel-tileable (needs nz % 128 == 0): engine path
+    # (TF/SF-only runs DO ride the kernel when the shape allows — see
+    # test_tfsf_only_rides_sharded_kernel)
     sim = ShardedSimulation(grid=grid, coeffs=coeffs, tfsf=box, mesh=mesh,
                             interpret=True)
     k, kind = sim.plan()
@@ -148,6 +150,23 @@ def test_box_tfsf_routing():
     g2 = sim2.gather(st2)
     assert int(g2.tick) == 2 * k2
     assert float(jnp.abs(g2.ez).max()) > 0
+
+    # box TF/SF also rides the kernel tier under a 2-D (x, y) mesh
+    # (runtime y-face coordinates — round 3); equality vs the single-
+    # chip kernel is pinned by
+    # test_sharded_cpml.py::test_sharded_cpml_tfsf_box_2d_mesh
+    grid3 = _grid((32, 64, 256))
+    box3 = Tfsf(span=(8, 23), span_y=(20, 43), span_z=(64, 191),
+                waveform=ft.GaussianPulse(4 * grid3.dt, 2 * grid3.dt))
+    # k=4, not 2: the extended lateral width nly + 2k must stay
+    # 8-divisible (32/2 + 8 = 24 works; +4 = 20 does too, but the
+    # dispatcher also needs the x slabs k planes inside the edge shards)
+    sim3 = ShardedSimulation(grid=grid3, coeffs=_uniform_coeffs(grid3),
+                             tfsf=box3, cpml=cpml,
+                             mesh=make_mesh(4, ("x", "y")),
+                             interpret=True, max_k=4)
+    k3, kind3 = sim3.plan()
+    assert kind3 == "pallas_cpml_k" and k3 == 4
 
 
 def test_probes_on_kernel_and_engine_paths():
@@ -577,3 +596,207 @@ def test_dense_pml_engine_fallback_on_2d_mesh():
     st = sim.init()
     st = sim.run(st, 4)
     assert int(sim.gather(st).tick) == 4
+
+
+def test_dense_only_rides_sharded_kernel():
+    """An interior absorber WITHOUT boundary CPML rides the sharded
+    kernel tier: the dispatcher hosts the region in the CPML kernel with
+    an empty absorber (best.py cpml_k — the multi-chip analog of
+    solver.Simulation._cpml_or_empty), bit-equal to the single-chip
+    empty-host kernel."""
+    shape = (32, 32, 256)
+    grid = _grid(shape)
+    spec_donor = Cpml(thickness=((6, 6), (4, 4), (4, 4)))  # spec only
+    coeffs = _uniform_coeffs(grid)
+    src = _src(grid, (15, 16, 120))
+    mesh = make_mesh(2, ("x",))
+    dense = _dense_region(grid, spec_donor)
+
+    sim = ShardedSimulation(grid=grid, coeffs=coeffs, sources=src,
+                            dense_pml=dense, mesh=mesh,
+                            interpret=True, max_k=2)
+    k, kind = sim.plan()
+    assert kind == "pallas_cpml_k" and k == 2
+
+    st = sim.init()
+    st = sim.run(st, 4 * k)
+    g = sim.gather(st)
+
+    from fdtd_tpu.solver.pallas_cpml import init_pml_kernel_state
+    from fdtd_tpu.solver.pallas_cpml_k import pallas_cpml_stepk_fn
+    from fdtd_tpu.solver.pml_region import pad_dense_to_tiles
+
+    empty = Cpml(thickness=((0, 0), (0, 0), (0, 0)))
+    dense_k = pad_dense_to_tiles(dense, shape)
+    one = jax.jit(pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt, constants=ft.REDUCED,
+        cpml=empty, max_sources=1, interpret=True, dense=dense_k))
+    ref = init_pml_kernel_state(shape, cpml=empty, dense=dense_k)
+    for _ in range(4):
+        ref = one(ref, coeffs, src)
+    assert float(jnp.abs(ref.ez).max()) > 1e-6
+    for c in range(3):
+        np.testing.assert_array_equal(np.asarray(g.e[c]),
+                                      np.asarray(ref.e[c]))
+        np.testing.assert_array_equal(np.asarray(g.h[c]),
+                                      np.asarray(ref.h[c]))
+    # the region psi is alive (the absorber engaged, not a free-space run)
+    assert np.abs(np.asarray(g.psi[-1][:, 1:])).max() > 0
+
+
+def test_tfsf_only_rides_sharded_kernel():
+    """Slab TF/SF without boundary CPML rides the sharded kernel tier
+    via the same empty-absorber host, bit-equal to the single-chip
+    kernel."""
+    shape = (32, 32, 256)
+    grid = _grid(shape)
+    coeffs = _uniform_coeffs(grid)
+    src = _src(grid, (15, 16, 120))
+    mesh = make_mesh(2, ("x",))
+    tfsf = Tfsf(span=(10, 25),
+                waveform=ft.GaussianPulse(6 * grid.dt, 2 * grid.dt))
+
+    sim = ShardedSimulation(grid=grid, coeffs=coeffs, sources=src,
+                            tfsf=tfsf, mesh=mesh, interpret=True, max_k=2)
+    k, kind = sim.plan()
+    assert kind == "pallas_cpml_k" and k == 2
+
+    st = sim.init()
+    st = sim.run(st, 4 * k)
+    g = sim.gather(st)
+
+    from fdtd_tpu.solver.pallas_cpml import init_pml_kernel_state
+    from fdtd_tpu.solver.pallas_cpml_k import pallas_cpml_stepk_fn
+
+    empty = Cpml(thickness=((0, 0), (0, 0), (0, 0)))
+    one = jax.jit(pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt, constants=ft.REDUCED,
+        cpml=empty, tfsf=tfsf, max_sources=1, interpret=True))
+    ref = init_pml_kernel_state(shape, cpml=empty, tfsf=tfsf)
+    for _ in range(4):
+        ref = one(ref, coeffs, src)
+    assert float(jnp.abs(ref.ez).max()) > 1e-6
+    for c in range(3):
+        np.testing.assert_array_equal(np.asarray(g.e[c]),
+                                      np.asarray(ref.e[c]))
+        np.testing.assert_array_equal(np.asarray(g.h[c]),
+                                      np.asarray(ref.h[c]))
+
+
+def test_accumulators_ride_sharded_kernel_2d_mesh():
+    """Flux + lateral DftProbe accumulators on a 2-D (x, y) mesh keep
+    the sharded K-step kernel plan (runtime lateral coordinates +
+    owned-window reductions, round 3) and match the single-chip engine's
+    per-tick accumulation — probes on BOTH y-shards, source one column
+    from the y cut."""
+    from fdtd_tpu.models.scattering import _BoxFluxAccumulator
+    from fdtd_tpu.probes import DftProbe, FieldComponent
+    from fdtd_tpu.solver.simulation import Simulation
+
+    shape = (32, 48, 256)
+    grid = _grid(shape)
+    cpml = Cpml(thickness=((6, 6), (4, 4), (4, 4)))
+    coeffs = _uniform_coeffs(grid)
+    src = _src(grid, (15, 23, 128))
+    probes = (
+        DftProbe(frequencies=(0.02, 0.05), axis=1, index=14,
+                 component=FieldComponent.E),   # owned by y-shard 0
+        DftProbe(frequencies=(0.02, 0.05), axis=1, index=30,
+                 component=FieldComponent.H),   # owned by y-shard 1
+        DftProbe(frequencies=(0.02, 0.05), axis=2, index=120,
+                 component=FieldComponent.E),   # spans the cut y dim
+        _BoxFluxAccumulator(((8, 25), (8, 39), (64, 191)),
+                            (1.0, 1.0, 1.0), grid.dt),
+    )
+    ssim = ShardedSimulation(grid=grid, coeffs=coeffs, sources=src,
+                             cpml=cpml, mesh=make_mesh(4, ("x", "y")),
+                             interpret=True, max_k=4)
+    kk, kind = ssim.plan()
+    assert kind == "pallas_cpml_k" and kk == 4
+    n_steps = 8 * kk
+    st, pr, finals = ssim.run(ssim.init(), n_steps, accumulators=probes)
+    assert pr == ()
+
+    sim = Simulation(grid=grid, coeffs=coeffs, sources=src, cpml=cpml,
+                     backend="xla")
+    st1 = sim.init()
+    st1, _, ref = sim.run(st1, n_steps, accumulators=probes)
+
+    for i in (0, 1, 2):
+        for ri in range(2):
+            a, b = np.asarray(finals[i][ri]), np.asarray(ref[i][ri])
+            assert a.shape == b.shape
+            s = max(np.abs(b).max(), 1e-12)
+            np.testing.assert_allclose(a / s, b / s, atol=5e-6,
+                                       err_msg=f"probe {i} part {ri}")
+            assert np.abs(b).max() > 0, (i, ri)
+    fa, fb = float(finals[3]), float(ref[3])
+    assert np.isfinite(fa) and abs(fb) > 1e-10
+    assert abs(fa - fb) <= 1e-4 * abs(fb), (fa, fb)
+
+    # in-kernel x-plane spectra ride 2-D meshes too: the per-shard
+    # accumulator block spans the extended lateral plane and extraction
+    # concatenates the owned windows over the y-shards
+    ax0 = (DftProbe(frequencies=(0.02, 0.05), axis=0, index=10,
+                    component=FieldComponent.E),)
+    _, _, (got0,) = ssim.run(ssim.init(), n_steps, accumulators=ax0)
+    st0 = sim.init()
+    _, _, (ref0,) = sim.run(st0, n_steps, accumulators=ax0)
+    for ri in range(2):
+        a, b = np.asarray(got0[ri]), np.asarray(ref0[ri])
+        assert a.shape == b.shape
+        s = max(np.abs(b).max(), 1e-12)
+        np.testing.assert_allclose(a / s, b / s, atol=5e-6,
+                                   err_msg=f"axis-0 2-D part {ri}")
+        assert np.abs(b).max() > 0, ri
+
+
+def test_boxdft_rides_sharded_kernel_2d_mesh():
+    """BoxDft (NTFF scattering surface spectra: x-plane accumulator
+    volumes + lateral row captures in one kernel build) keeps the
+    sharded kernel plan on a 2-D (x, y) mesh and matches the
+    single-chip engine — BASELINE config-3 x config-5 composition."""
+    from fdtd_tpu.probes import BoxDft
+    from fdtd_tpu.solver.simulation import Simulation
+
+    shape = (32, 48, 256)
+    grid = _grid(shape)
+    cpml = Cpml(thickness=((6, 6), (4, 4), (4, 4)))
+    coeffs = _uniform_coeffs(grid)
+    src = _src(grid, (15, 23, 128))
+    probes = (BoxDft(box=((9, 24), (9, 40), (100, 155)),
+                     frequencies=(0.02, 0.05)),)
+    ssim = ShardedSimulation(grid=grid, coeffs=coeffs, sources=src,
+                             cpml=cpml, mesh=make_mesh(4, ("x", "y")),
+                             interpret=True, max_k=4)
+    kk, kind = ssim.plan()
+    assert kind == "pallas_cpml_k" and kk == 4
+    n_steps = 8 * kk
+    st, pr, (got_box,) = ssim.run(ssim.init(), n_steps,
+                                  accumulators=probes)
+    assert pr == ()
+
+    sim = Simulation(grid=grid, coeffs=coeffs, sources=src, cpml=cpml,
+                     backend="xla")
+    st1 = sim.init()
+    st1, _, (ref_box,) = sim.run(st1, n_steps, accumulators=probes)
+
+    def cmp(a, b, msg):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape, msg
+        s = max(np.abs(b).max(), 1e-12)
+        np.testing.assert_allclose(a / s, b / s, atol=5e-6, err_msg=msg)
+
+    assert len(got_box) == len(ref_box) == 6
+    for fi, (fk, fr) in enumerate(zip(got_box, ref_box)):
+        for qi, (ak, ar) in enumerate(zip(fk, fr)):
+            ak, ar = np.asarray(ak), np.asarray(ar)
+            assert ak.shape == ar.shape, (fi, qi)
+            if fi < 2 and qi < 2:
+                # x-faces' normal E is left zero by design in the
+                # kernel reconstruction (same as the single-chip gate)
+                np.testing.assert_allclose(ak[:, 0], 0.0, atol=0)
+                cmp(ak[:, 1:], ar[:, 1:], f"BoxDft face {fi} q {qi}")
+            else:
+                cmp(ak, ar, f"BoxDft face {fi} q {qi}")
+            assert np.abs(ar).max() > 0, (fi, qi)
