@@ -538,6 +538,35 @@ def _selfcheck(ft, jax, jnp, np) -> bool:
         file=sys.stderr,
     )
 
+    # DensePml under the 2-D layout (round 3): the region widens to the
+    # FULL extended lateral span with identity coefficients outside the
+    # real box and the psi volume carries lateral halo columns — a
+    # bigger-block Mosaic build than the tight-box 1-D variant; gated
+    # against the single-chip dense kernel above
+    d2_step = jax.jit(make_pallas_sharded_cpml_stepk(
+        mesh_xy, shape, ck, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+        constants=ft.REDUCED, cpml=cpml, max_sources=1, y_axis="y",
+        dense=dense,
+    ))
+    d2t = init_sharded_pml_state(shape, mesh_xy, ck, cpml=cpml,
+                                 y_axis="y", dense=dense)
+    for _ in range(n_ticks // ck):
+        d2t = d2_step(d2t, coeffs, src)
+    jax.block_until_ready(d2t)
+    gd2 = collapse_pml_state(d2t, mesh_xy, ck, shape, cpml=cpml,
+                             y_axis="y", dense=dense)
+    err_d2 = max(
+        _rel_err(getattr(gd2, f), getattr(dst, f), np)
+        for f in ("ex", "ey", "ez", "hx", "hy", "hz")
+    )
+    good_d2 = err_d2 < tol
+    ok = ok and good_d2
+    print(
+        f"selfcheck sharded DensePml 2-D-layout K={ck}: rel_err "
+        f"{err_d2:.2e} {'PASS' if good_d2 else 'FAIL'}",
+        file=sys.stderr,
+    )
+
     # in-kernel DFT accumulation tier vs per-tick DftProbe updates over
     # the single-pass CPML kernel's states
     from fdtd_tpu.probes import DftProbe, FieldComponent

@@ -10,11 +10,12 @@ dense-only runs (hosted with a zero-thickness absorber) — and fall back
 to the composed XLA sharded engine
 (sharded_engine.py, exact but ~XLA speed) only for configurations the
 kernel path doesn't cover: dense per-cell coefficients, meshes that cut
-lattice z (or any non-(x, y) multi-axis shape), x-PML slabs too deep for
-the shard layout, DensePml regions under a 2-D mesh (their lateral
-extent is cut; box TF/SF, flux reductions, DFT row captures, and
-x-plane DFT spectra all DO ride 2-D meshes via runtime lateral/plane
-coordinates + owned-window reductions/extraction).
+lattice z (or any non-(x, y) multi-axis shape), x-PML slabs too deep
+for the shard layout, and unpaddable/slab-overlapping DensePml boxes.
+Box TF/SF, flux reductions, DFT row captures, x-plane DFT spectra, AND
+DensePml regions all ride 2-D meshes (runtime lateral/plane
+coordinates, owned-window reductions/extraction, identity-padded
+full-lateral region volumes).
 """
 
 from __future__ import annotations
@@ -110,10 +111,10 @@ def best_sharded_absorbing_step(
 
     ``dense`` is an optional solver.pml_region.DensePml (volumetric
     interior absorber, GLOBAL coordinates, UNPADDED): the kernel attempt
-    tile-pads it (pml_region.pad_dense_to_tiles) and requires a 1-D x
-    mesh plus clearance from the boundary slabs on its axis; otherwise
-    the run rides the engine, which takes the region under any
-    decomposition (sharded_engine.py dense path)."""
+    tile-pads it (pml_region.pad_dense_to_tiles) and requires clearance
+    from the boundary slabs on its axis; otherwise the run rides the
+    engine, which takes the region under any decomposition
+    (sharded_engine.py dense path)."""
     from .pallas_sharded_cpml import (
         init_sharded_pml_state,
         make_pallas_sharded_cpml_stepk,
@@ -149,8 +150,7 @@ def best_sharded_absorbing_step(
         from ..solver.cpml import Cpml
 
         cpml_k = Cpml(thickness=((0, 0), (0, 0), (0, 0)))
-    dense_k = (kernel_dense(dense, shape, cpml_k)
-               if y_axis is None else None)
+    dense_k = kernel_dense(dense, shape, cpml_k)
     dense_ok = dense is None or dense_k is not None
     if (
         cpml_k is not None

@@ -98,17 +98,18 @@ def supports_sharded_cpml(
         return False
     dense_shim = None
     if dense is not None:
-        if n_dev_y > 1:
-            return False  # region lateral extent is cut by 2-D meshes
         # the per-shard kernel sees the region at FULL extended x span
-        # (identity coefficients outside the real box); only the lateral
-        # extents matter for the tile/VMEM checks
+        # (identity coefficients outside the real box); under a 2-D
+        # mesh the lateral span widens to the FULL extended plane too
+        # (the y cut severs the box, so identity-padding covers every
+        # column). Only the spans matter for the tile/VMEM checks.
         import types
 
         (gy0, gy1), (gz0, gz1) = dense.box[1], dense.box[2]
+        lat = (0, ny_ext) if n_dev_y > 1 else (gy0, gy1)
         dense_shim = types.SimpleNamespace(
-            box_shape=(nle, gy1 - gy0, gz1 - gz0),
-            box=((0, nle), (gy0, gy1), (gz0, gz1)),
+            box_shape=(nle, lat[1] - lat[0], gz1 - gz0),
+            box=((0, nle), lat, (gz0, gz1)),
         )
     if not supports_cpml_k((nle, ny_ext, nz), bc, cpml, k, dtype,
                            dft_rt=dft_rt, dense=dense_shim):
@@ -259,15 +260,16 @@ def init_sharded_pml_state(
         for *_, ts, _ in layout
     )
     if dense is not None:
-        if y_axis is not None:
-            raise ValueError("sharded DensePml needs a 1-D x mesh")
         # volumetric-region psi in the per-shard FULL-x-span layout
         # (make_pallas_sharded_cpml_stepk dense=): (4, nle+1, by, bz) per
-        # shard with a trash plane, stored (n_dev*4, ...) sharded
+        # shard with a trash plane, stored (n_dev*4, ...) sharded. Under
+        # a 2-D mesh the lateral dim is the FULL extended plane width
+        # (n_dy*ny_ext stacked), exchanged like the fields.
         (gy0, gy1), (gz0, gz1) = dense.box[1], dense.box[2]
+        by_k = n_dy * ny_ext if y_axis is not None else gy1 - gy0
         psi = psi + (z(
-            (n_dev * 4, nle + 1, gy1 - gy0, gz1 - gz0),
-            NamedSharding(mesh, P(axis, None, None, None)),
+            (n_dev * 4, nle + 1, by_k, gz1 - gz0),
+            NamedSharding(mesh, P(axis, None, y_axis, None)),
         ),)
     if dft is not None:
         # runtime-coordinate DFT accumulator tail: one per-shard
@@ -414,13 +416,26 @@ def extend_pml_state(
     if dense is not None:
         gvol = np.asarray(state.psi[len(elayout)])  # (4, bx+1, by, bz)
         (gx0, gx1) = dense.box[0]
-        out = np.zeros((n_dev * 4, nle + 1) + gvol.shape[2:], np.float32)
+        (gy0, gy1) = dense.box[1]
+        by_k = n_dy * ny_ext if y_axis is not None else gvol.shape[2]
+        out = np.zeros((n_dev * 4, nle + 1, by_k) + gvol.shape[3:],
+                       np.float32)
         for g in range(gx0, gx1):
             d = g // nl
             j = g - d * nl + k + 1  # owned volume plane (trash at 0)
-            out[d * 4: (d + 1) * 4, j] = gvol[:, g - gx0 + 1]
+            if y_axis is None:
+                out[d * 4: (d + 1) * 4, j] = gvol[:, g - gx0 + 1]
+                continue
+            # 2-D layouts: the volume spans the full extended lateral
+            # plane; scatter the box's owned columns (halo columns stay
+            # zero — the first pass refreshes them before any read)
+            for gy in range(gy0, gy1):
+                dy = gy // nly
+                j1 = gy - dy * nly + k
+                out[d * 4: (d + 1) * 4, j, dy * ny_ext + j1] = \
+                    gvol[:, g - gx0 + 1, gy - gy0]
         psi.append(jnp.asarray(out))
-        specs.append(NamedSharding(mesh, P(axis, None, None, None)))
+        specs.append(NamedSharding(mesh, P(axis, None, y_axis, None)))
 
     new = PmlKernelState(
         **{name: ext_field(getattr(state, name)) for name in _FIELDS},
@@ -495,11 +510,22 @@ def collapse_pml_state(
     if dense is not None:
         evol = np.asarray(state_ext.psi[len(elayout)])
         (gx0, gx1) = dense.box[0]
-        out = np.zeros((4, gx1 - gx0 + 1) + evol.shape[2:], np.float32)
+        (gy0, gy1) = dense.box[1]
+        out = np.zeros(
+            (4, gx1 - gx0 + 1)
+            + ((gy1 - gy0,) if y_axis is not None else ())
+            + evol.shape[(2 if y_axis is None else 3):], np.float32)
         for g in range(gx0, gx1):
             d = g // nl
             j = g - d * nl + k + 1
-            out[:, g - gx0 + 1] = evol[d * 4: (d + 1) * 4, j]
+            if y_axis is None:
+                out[:, g - gx0 + 1] = evol[d * 4: (d + 1) * 4, j]
+                continue
+            for gy in range(gy0, gy1):
+                dy = gy // nly
+                j1 = gy - dy * nly + k
+                out[:, g - gx0 + 1, gy - gy0] = \
+                    evol[d * 4: (d + 1) * 4, j, dy * ny_ext + j1]
         psi.append(jnp.asarray(out))
 
     return PmlKernelState(
@@ -610,19 +636,22 @@ def make_pallas_sharded_cpml_stepk(
     (the flux-rows argument), so per-tick accumulation commutes with
     the K-blocking.
 
-    ``dense`` (a solver.pml_region.DensePml in GLOBAL coordinates, 1-D x
-    meshes only): volumetric per-cell absorbers at the sharded kernel
-    tier. The x decomposition cuts the region box, so the per-shard
-    kernel is built with the region at FULL extended x span and each
-    shard receives a runtime coefficient volume holding the real
-    per-cell (inv_kappa, b, c) on its extended planes inside the global
-    box and the IDENTITY stretch (1, 0, 0) everywhere else — identity
-    coefficients freeze psi at zero and pass derivatives through, so
-    uniform SPMD shapes cost only HBM streaming, not correctness. The
-    region psi volume rides the psi tail in per-shard extended layout
-    ((n_dev*4, nle+1, by, bz), trash plane per shard) with an x halo
-    exchange per pass — its recurrence is plane-local in x, the same
-    exactness argument as the z-strip psi (module docstring)."""
+    ``dense`` (a solver.pml_region.DensePml in GLOBAL coordinates):
+    volumetric per-cell absorbers at the sharded kernel tier. The x
+    decomposition cuts the region box, so the per-shard kernel is built
+    with the region at FULL extended x span and each shard receives a
+    runtime coefficient volume holding the real per-cell (inv_kappa, b,
+    c) on its extended planes inside the global box and the IDENTITY
+    stretch (1, 0, 0) everywhere else — identity coefficients freeze
+    psi at zero and pass derivatives through, so uniform SPMD shapes
+    cost only HBM streaming, not correctness. Under a 2-D (x, y) mesh
+    the same trick applies laterally: the region spans the full
+    extended lateral plane and the psi volume carries lateral halo
+    columns, exchanged in the fields' two-phase order. The region psi
+    rides the psi tail in per-shard extended layout ((n_dev*4, nle+1,
+    [n_dy*]by, bz), trash plane per shard) with halo exchanges per
+    pass — its recurrence is per-cell local, the same exactness
+    argument as the z-strip psi (module docstring)."""
     n_dev = mesh.shape[axis]
     two_d = y_axis is not None
     n_dy = mesh.shape[y_axis] if two_d else 1
@@ -654,12 +683,10 @@ def make_pallas_sharded_cpml_stepk(
     # resident accumulator block simply spans the EXTENDED lateral
     # plane; owned columns are exact at every stage (the flux-rows
     # argument), halo columns accumulate stale values that
-    # extract_sharded_dft_acc never reads
-    if two_d and dense is not None:
-        raise ValueError(
-            "sharded DensePml regions span uncut lateral extents; a 2-D "
-            "decomposition cuts them — use a 1-D x mesh (or the engine)"
-        )
+    # extract_sharded_dft_acc never reads. DensePml rides 2-D meshes
+    # by widening the kernel region to the FULL extended lateral span
+    # (identity coefficients outside the real box, the x-span trick
+    # applied to y as well).
     dft_rows = tuple((str(a), int(v)) for a, v in dft_rows)
     if dft is not None:
         dft_planes_g = tuple(
@@ -729,23 +756,37 @@ def make_pallas_sharded_cpml_stepk(
         n_dense = 1
         (gx0, gx1) = dense.box[0]
         (gy0, gy1), (gz0, gz1) = dense.box[1], dense.box[2]
-        by_d, bz_d = gy1 - gy0, gz1 - gz0
-        # kernel region = full extended x span; per-shard runtime
-        # coefficient volumes carry the real box planes at their local
-        # extended positions, identity (1, 0, 0) elsewhere
-        dense_spec = (dense.axis, (0, nle), (gy0, gy1), (gz0, gz1))
+        bz_d = gz1 - gz0
+        # kernel region = full extended x span (and under a 2-D mesh,
+        # full extended LATERAL span too); per-shard runtime coefficient
+        # volumes carry the real box cells at their local extended
+        # positions, identity (1, 0, 0) elsewhere — identity cells
+        # freeze psi at zero and pass derivatives through, so uniform
+        # SPMD shapes cost only HBM streaming
+        lat_d = (0, ny_ext) if two_d else (gy0, gy1)
+        by_d = lat_d[1] - lat_d[0]
+        dense_spec = (dense.axis, (0, nle), lat_d, (gz0, gz1))
         dco_g = np.stack([np.asarray(c, np.float32)
                           for c in (*dense.coeffs_h, *dense.coeffs_e)])
         ident = np.array([1.0, 0.0, 0.0, 1.0, 0.0, 0.0], np.float32)
         dco_host = np.broadcast_to(
-            ident[None, :, None, None, None],
-            (n_dev, 6, nle, by_d, bz_d),
+            ident[None, None, :, None, None, None],
+            (n_dev, n_dy, 6, nle, by_d, bz_d),
         ).copy()
         for d in range(n_dev):
             for j in range(nle):
                 g = d * nl - k + j
-                if gx0 <= g < gx1:
-                    dco_host[d, :, j] = dco_g[:, g - gx0]
+                if not gx0 <= g < gx1:
+                    continue
+                if not two_d:
+                    dco_host[d, 0, :, j] = dco_g[:, g - gx0]
+                    continue
+                for dy in range(n_dy):
+                    for gy in range(gy0, gy1):
+                        j1 = gy - dy * nly + k
+                        if 0 <= j1 < ny_ext:
+                            dco_host[d, dy, :, j, j1] = \
+                                dco_g[:, g - gx0, gy - gy0]
         dco_ext = jnp.asarray(dco_host)
 
     aux_coeffs = None
@@ -925,10 +966,19 @@ def make_pallas_sharded_cpml_stepk(
             # per-shard coefficient volume (identity outside the global
             # box) + the region psi in per-shard extended layout, its x
             # halo planes refreshed like the z-strip psi (volume plane
-            # j <-> extended plane j-1; plane 0 is the trash plane)
-            dco_vol = dco_l.reshape(dco_l.shape[1:])
+            # j <-> extended plane j-1; plane 0 is the trash plane).
+            # Under a 2-D mesh the volume spans the full extended
+            # lateral plane: lateral halo columns refresh FIRST (owned
+            # columns), then the x phase ships full-lateral-width
+            # planes — the same two-phase order as the fields.
+            dco_vol = dco_l.reshape(dco_l.shape[2:])
             args += [dco_vol] * k
             dp = state.psi[n_psi]
+            if two_d:
+                rl_y = lax.ppermute(dp[:, :, nly: nly + k], y_axis, up_y)
+                rh_y = lax.ppermute(dp[:, :, k: 2 * k], y_axis, down_y)
+                dp = dp.at[:, :, 0:k].set(rl_y) \
+                       .at[:, :, nly + k:].set(rh_y)
             recv_lo = lax.ppermute(dp[:, 1 + nl: 1 + nl + k], axis, up)
             recv_hi = lax.ppermute(dp[:, 1 + k: 1 + 2 * k], axis, down)
             dp = dp.at[:, 1: 1 + k].set(recv_lo) \
@@ -1043,12 +1093,13 @@ def make_pallas_sharded_cpml_stepk(
     fspec = P(axis, y_axis, None)
     state_spec = PmlKernelState(
         **{n: fspec for n in _FIELDS}, tick=P(),
-        # psi tail (1-D meshes only, y_axis None): the DensePml region
-        # psi as (n_dev*4, nle+1, by, bz) sharded over the leading dim,
-        # then the rt DFT accumulators as (n_dev*6F, ny, nz) — each
-        # shard's local block is exactly the kernel's operand shape
+        # psi tail: the DensePml region psi as (n_dev*4, nle+1,
+        # [n_dy*]by, bz) sharded over dims 0 (x) and 2 (lateral, 2-D
+        # meshes), then the rt DFT accumulators as (n_dev*6F,
+        # [n_dy*]ny[_ext], nz) — each shard's local block is exactly
+        # the kernel's operand shape
         psi=tuple(fspec for _ in layout)
-        + (P(axis, None, None, None),) * n_dense
+        + (P(axis, None, y_axis, None),) * n_dense
         + (fspec,) * n_rt,
         aux_e=P(), aux_h=P(),
     )
@@ -1108,7 +1159,7 @@ def make_pallas_sharded_cpml_stepk(
                 )
         if n_dense:
             operands.append(dco_ext)
-            specs.append(P(axis, None, None, None, None))
+            specs.append(P(axis, y_axis, None, None, None, None))
         if n_rt:
             import math as _math
 

@@ -11,8 +11,7 @@ reports which path the configuration rides:
     TF/SF, flux/DFT-row/x-plane-DFT accumulators on 1-D and 2-D
     meshes, DensePml regions and TF/SF-/dense-only empty-host runs)
   - "xla_engine":    composed sharded engine (dense coefficients,
-    meshes that cut lattice z, DensePml regions under 2-D meshes —
-    exact, slower)
+    meshes that cut lattice z — exact, slower)
   - "pallas_k":      sharded free-space K-step kernel
   - "xla":           plain sharded XLA step (free space fallback)
 
@@ -52,8 +51,9 @@ class ShardedSimulation:
     cpml: Any = None
     tfsf: Any = None
     # Optional volumetric per-cell PML region (solver/pml_region.py,
-    # GLOBAL coordinates): rides the sharded kernel tier on 1-D x meshes
-    # (tile-padded automatically) and the sharded engine elsewhere.
+    # GLOBAL coordinates): rides the sharded kernel tier on 1-D and 2-D
+    # kernel meshes (tile-padded automatically) and the sharded engine
+    # elsewhere.
     dense_pml: Any = None
     # compressed materials: GLOBAL (nx, ny, nz) index + (K, 4) table
     matid: Any = None
@@ -91,7 +91,7 @@ class ShardedSimulation:
     def _dense_kernel(self):
         """The tile-padded DensePml the kernel plan was built with, or
         None (no region, or the region rides the engine)."""
-        if self.dense_pml is None or self._y_axis is not None:
+        if self.dense_pml is None:
             return None
         from .best import kernel_dense
 

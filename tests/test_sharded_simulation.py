@@ -578,24 +578,61 @@ def test_dense_pml_rides_sharded_kernel_and_matches_single_chip():
                                       np.asarray(sim.gather(st3).e[c]))
 
 
-def test_dense_pml_engine_fallback_on_2d_mesh():
-    """On a 2-D mesh the region rides the sharded engine (exact), not the
-    kernel tier."""
+def test_dense_pml_rides_sharded_kernel_2d_mesh():
+    """DensePml on a 2-D (x, y) mesh rides the kernel tier (round 3):
+    the region widens to the full extended lateral span per shard with
+    identity coefficients outside the real box, the region psi carries
+    lateral halo columns (two-phase exchange), and the gathered run is
+    bit-equal to the single-chip dense kernel. The region box straddles
+    BOTH cuts and the source sits near the x cut."""
     shape = (32, 32, 256)
     grid = _grid(shape)
     cpml = Cpml(thickness=((6, 6), (4, 4), (4, 4)))
+    coeffs = _uniform_coeffs(grid)
+    src = _src(grid, (15, 16, 120))
     mesh = make_mesh(4, ("x", "y"))
-    dense = _dense_region(grid, cpml)
+    dense = _dense_region(grid, cpml)  # box (10,22)x(10,22): both cuts
 
-    sim = ShardedSimulation(grid=grid, coeffs=_uniform_coeffs(grid),
-                            sources=_src(grid, (15, 16, 100)), cpml=cpml,
-                            dense_pml=dense, mesh=mesh, interpret=True,
-                            max_k=2)
-    _, kind = sim.plan()
-    assert kind == "xla_engine"
+    sim = ShardedSimulation(grid=grid, coeffs=coeffs, sources=src,
+                            cpml=cpml, dense_pml=dense, mesh=mesh,
+                            interpret=True, max_k=4)
+    k, kind = sim.plan()
+    assert kind == "pallas_cpml_k" and k == 4
     st = sim.init()
-    st = sim.run(st, 4)
-    assert int(sim.gather(st).tick) == 4
+    st = sim.run(st, 3 * k)
+    g = sim.gather(st)
+
+    from fdtd_tpu.solver.pallas_cpml import init_pml_kernel_state
+    from fdtd_tpu.solver.pallas_cpml_k import pallas_cpml_stepk_fn
+    from fdtd_tpu.solver.pml_region import pad_dense_to_tiles
+
+    dense_k = pad_dense_to_tiles(dense, shape)
+    one = jax.jit(pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, interpret=True, dense=dense_k))
+    ref = init_pml_kernel_state(shape, cpml=cpml, dense=dense_k)
+    for _ in range(3):
+        ref = one(ref, coeffs, src)
+    assert float(jnp.abs(ref.ez).max()) > 1e-6
+    # the 2-D build is a structurally different program from the
+    # single-chip kernel (y_halo segments, runtime strip profiles), so
+    # XLA's FMA contraction can differ by ~1 ulp near the source —
+    # tolerance-equality like the other 2-D gates (a halo bug would
+    # show O(field) errors at the cuts, not 1e-7-relative noise)
+    for c in range(3):
+        np.testing.assert_allclose(np.asarray(g.e[c]),
+                                   np.asarray(ref.e[c]),
+                                   rtol=0, atol=1e-6, err_msg=f"e[{c}]")
+        np.testing.assert_allclose(np.asarray(g.h[c]),
+                                   np.asarray(ref.h[c]),
+                                   rtol=0, atol=1e-6, err_msg=f"h[{c}]")
+    # region psi gathers to the single-chip layout and is alive
+    dvol_g, dvol_r = np.asarray(g.psi[-1]), np.asarray(ref.psi[-1])
+    assert dvol_g.shape == dvol_r.shape
+    s = np.abs(dvol_r[:, 1:]).max()
+    assert s > 0
+    np.testing.assert_allclose(dvol_g[:, 1:] / s, dvol_r[:, 1:] / s,
+                               rtol=0, atol=5e-6)
 
 
 def test_dense_only_rides_sharded_kernel():
