@@ -837,3 +837,63 @@ def test_boxdft_rides_sharded_kernel_2d_mesh():
             else:
                 cmp(ak, ar, f"BoxDft face {fi} q {qi}")
             assert np.abs(ar).max() > 0, (fi, qi)
+
+
+def test_probes_and_checkpoint_on_2d_mesh(tmp_path):
+    """Device-side probe sampling and checkpoint/resume across a mesh
+    CHANGE (2-D 2x2 with DensePml -> 1-D 2-shard) — exercises the 2-D
+    owned-window global view and the 2-D dense extend/collapse round
+    trips."""
+    from fdtd_tpu.probes import FieldComponent, PointProbe, SliceProbe
+
+    shape = (32, 32, 256)
+    grid = _grid(shape)
+    cpml = Cpml(thickness=((6, 6), (4, 4), (4, 4)))
+    coeffs = _uniform_coeffs(grid)
+    src = _src(grid, (15, 16, 120))
+    dense = _dense_region(grid, cpml)
+    probes = (PointProbe(points=((15, 16, 120), (20, 8, 64))),
+              SliceProbe(axis=1, index=17, component=FieldComponent.E))
+
+    sim = ShardedSimulation(grid=grid, coeffs=coeffs, sources=src,
+                            cpml=cpml, dense_pml=dense,
+                            mesh=make_mesh(4, ("x", "y")),
+                            interpret=True, max_k=4)
+    k, kind = sim.plan()
+    assert kind == "pallas_cpml_k" and k == 4
+    st, stacks = sim.run(sim.init(), 2 * k, probes=probes, probe_every=k)
+    assert stacks[0].shape == (2, 2, 3)
+    assert stacks[1].shape == (2, 3, 32, 256)
+    g = sim.gather(st)
+    np.testing.assert_allclose(
+        np.asarray(stacks[0][-1]),
+        np.asarray(probes[0].sample(g, grid.dt)), atol=0)
+    np.testing.assert_allclose(
+        np.asarray(stacks[1][-1]),
+        np.asarray(probes[1].sample(g, grid.dt)), atol=0)
+
+    # checkpoint on the 2-D mesh, resume on a 1-D mesh (different K)
+    path = tmp_path / "ck2d.npz"
+    sim.save(path, st)
+    sim1 = ShardedSimulation(grid=grid, coeffs=coeffs, sources=src,
+                             cpml=cpml, dense_pml=dense,
+                             mesh=make_mesh(2, ("x",)),
+                             interpret=True, max_k=2)
+    k1, kind1 = sim1.plan()
+    assert kind1 == "pallas_cpml_k" and k1 == 2
+    st1 = sim1.restore(path)
+    st1 = sim1.run(st1, 2 * k1)
+    got = sim1.gather(st1)
+    # uninterrupted 2-D run to the same tick
+    st2 = sim.run(st, 2 * k1)
+    ref = sim.gather(st2)
+    assert int(got.tick) == int(ref.tick) == 2 * k + 2 * k1
+    for name in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)), np.asarray(getattr(ref, name)),
+            rtol=0, atol=1e-6, err_msg=name)
+    s = np.abs(np.asarray(ref.psi[-1])[:, 1:]).max()
+    assert s > 0
+    np.testing.assert_allclose(
+        np.asarray(got.psi[-1])[:, 1:] / s,
+        np.asarray(ref.psi[-1])[:, 1:] / s, rtol=0, atol=5e-6)
