@@ -210,7 +210,7 @@ def cmd_nec_info(args) -> int:
 
 
 def cmd_preview(args) -> int:
-    """Render a 3D scene preview PNG."""
+    """Render a 3D scene preview PNG (matplotlib, or ray-traced PBR)."""
     from fdtd_tpu.io import load_scene_file
     from fdtd_tpu.viz import render_scene_preview
 
@@ -220,7 +220,21 @@ def cmd_preview(args) -> int:
         from fdtd_tpu.models.example import example_scene
 
         scene = example_scene()
-    out = render_scene_preview(scene, args.out, title=args.scene or "example scene")
+    if args.pbr:
+        from fdtd_tpu.viz import Camera, render_pbr_png
+
+        cam = Camera(aspect=args.width / args.height)
+        cam = cam.fit_to_scene_looking_along_axis(
+            scene, (-1.0, -0.6, -0.8), margin=(0.2, 0.2)
+        )
+        out = render_pbr_png(
+            scene, cam, args.out, width=args.width, height=args.height,
+            background=(1.0, 1.0, 1.0, 1.0),
+        )
+    else:
+        out = render_scene_preview(
+            scene, args.out, title=args.scene or "example scene"
+        )
     print(out)
     return 0
 
@@ -274,6 +288,10 @@ def main(argv=None) -> int:
     pv = sub.add_parser("preview", help="render a 3D scene preview PNG")
     pv.add_argument("scene", nargs="?", help=".json/.fdtd/.nec scene file")
     pv.add_argument("--out", default="scene_preview.png")
+    pv.add_argument("--pbr", action="store_true",
+                    help="ray-traced PBR render instead of matplotlib")
+    pv.add_argument("--width", type=int, default=640)
+    pv.add_argument("--height", type=int, default=480)
     pv.set_defaults(fn=cmd_preview)
 
     args = p.parse_args(argv)

@@ -84,6 +84,11 @@ class Entity:
     pml: Optional[GradedPmlComponent] = None
     observer: Optional[Observer] = None
     parent: Optional["Entity"] = None
+    # Visual (render) material, distinct from the EM `material` above —
+    # the counterpart of attaching cem-render's Material component to an
+    # entity (cem-render/src/material.rs:99-130). Typed loosely to keep
+    # scene free of viz imports; viz.pbr.PbrMaterial is the expected type.
+    visual: Optional[object] = None
 
     def global_pose(self) -> Isometry:
         """World pose with parent chains composed (GlobalTransform analog)."""

@@ -5,12 +5,26 @@ from .projection import (
     project,
 )
 from .camera import Camera, PickResult
+from .pbr import (
+    MATERIAL_PRESETS,
+    AmbientLight,
+    PbrMaterial,
+    PointLight,
+    render_pbr,
+    render_pbr_png,
+)
 from .preview import render_scene_preview
 from .targets import FrameBuffer, GifTarget, PngTarget
 
 __all__ = [
+    "AmbientLight",
     "Camera",
+    "MATERIAL_PRESETS",
+    "PbrMaterial",
     "PickResult",
+    "PointLight",
+    "render_pbr",
+    "render_pbr_png",
     "ProjectionParameters",
     "axis_plane_projection",
     "default_z_colormap",
