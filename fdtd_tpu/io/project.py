@@ -6,8 +6,8 @@ timestamp, scene} of reflect-serializable components
 (cem-app/src/composer/mod.rs:650-694, file_formats/project_file.rs:23-47),
 and LOADING IS NOT IMPLEMENTED (open only handles .nec,
 composer/mod.rs:254-286). Here both directions work, over JSON: every
-entity's shape, pose, material, source, observer, and pml component
-round-trips.
+entity's shape, pose, material, source, observer, pml, and visual (PBR)
+component round-trips.
 """
 
 from __future__ import annotations
@@ -87,6 +87,9 @@ def _dump_entity(e: Entity) -> Dict[str, Any]:
             "spec": dataclasses.asdict(e.pml.spec),
             "normal": list(e.pml.normal),
         }
+    visual = getattr(e, "visual", None)
+    if visual is not None and dataclasses.is_dataclass(visual):
+        out["visual"] = dataclasses.asdict(visual)
     return out
 
 
@@ -118,6 +121,15 @@ def _load_entity(d: Dict[str, Any]) -> Entity:
             spec=GradedPmlSpec(**d["pml"]["spec"]),
             normal=tuple(d["pml"]["normal"]),
         )
+    visual = None
+    if "visual" in d:
+        from ..viz.pbr import PbrMaterial
+
+        vd = {
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in d["visual"].items()
+        }
+        visual = PbrMaterial(**vd)
     return Entity(
         name=d.get("name", ""),
         shape=shape,
@@ -126,6 +138,7 @@ def _load_entity(d: Dict[str, Any]) -> Entity:
         source=source,
         observer=observer,
         pml=pml,
+        visual=visual,
     )
 
 

@@ -1,4 +1,5 @@
 from .compile import CompiledScene, ResolvedObserver, Volume, compile_scene
+from .composer import Composer, ComposerSession
 from .scene import Entity, GradedPmlComponent, Observer, Plugin, Scene, SourceSpec
 from .shapes import Ball, Cuboid, Cylinder, HalfSpace, Quad, Shape
 from .transform import CoordinateTransforms, Isometry
@@ -9,6 +10,8 @@ __all__ = [
     "ResolvedObserver",
     "Volume",
     "compile_scene",
+    "Composer",
+    "ComposerSession",
     "Entity",
     "Plugin",
     "GradedPmlComponent",
