@@ -440,6 +440,57 @@ def _selfcheck(ft, jax, jnp, np) -> bool:
         file=sys.stderr,
     )
 
+    # lateral-BLOCKED CPML K-step (round 3, solver/pallas_cpml_blocked):
+    # y-blocking with halo columns past the VMEM K-cap. A distinct Mosaic
+    # build (y_halo + runtime y-strips with STATIC x profiles, x_extra=0)
+    # with zero other hardware coverage; gated against the XLA engine at
+    # a shape whose y-PML strips actually live in the edge blocks.
+    from fdtd_tpu.solver.pallas_cpml_blocked import (
+        blocked_plan,
+        collapse_blocked_pml_state,
+        extend_blocked_pml_state,
+        make_pallas_cpml_blocked_stepk,
+    )
+
+    shape_b = (64, 64, 256)
+    bplan = blocked_plan(shape_b, bc, cpml, ck)
+    if bplan is not None:
+        n_b, h_b = bplan
+        eng_b = jax.jit(
+            build_step(shape_b, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+                       constants=ft.REDUCED, cpml=cpml)
+        )
+        est_b = init_engine_state(shape_b, cpml=cpml)
+        for _ in range(n_ticks):
+            est_b = eng_b(est_b, coeffs, src)
+        jax.block_until_ready(est_b)
+        blk_step = jax.jit(make_pallas_cpml_blocked_stepk(
+            shape_b, ck, n_b, h_b, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+            constants=ft.REDUCED, cpml=cpml, max_sources=1,
+        ))
+        bst = extend_blocked_pml_state(
+            init_pml_kernel_state(shape_b, cpml=cpml), n_b, h_b, cpml=cpml
+        )
+        for _ in range(n_ticks // ck):
+            bst = blk_step(bst, coeffs, src)
+        jax.block_until_ready(bst)
+        gbk = collapse_blocked_pml_state(bst, shape_b, n_b, h_b, cpml=cpml)
+        err_bk = max(
+            _rel_err(getattr(gbk, f), getattr(est_b, f), np)
+            for f in ("ex", "ey", "ez", "hx", "hy", "hz")
+        )
+        good_bk = err_bk < tol
+        ok = ok and good_bk
+        print(
+            f"selfcheck blocked CPML K={ck} n_b={n_b}: rel_err "
+            f"{err_bk:.2e} {'PASS' if good_bk else 'FAIL'}",
+            file=sys.stderr,
+        )
+    else:
+        ok = False
+        print("selfcheck blocked CPML: no plan at the check shape FAIL",
+              file=sys.stderr)
+
     # in-kernel flux reductions (accumulator tier): per-tick per-plane
     # Poynting rows from the K kernel vs per-tick XLA reductions over the
     # single-pass CPML kernel's states
@@ -1087,6 +1138,66 @@ def _section_cpml512(n_steps: int) -> None:
             print(
                 f"{n}^3 CPML {jnp.dtype(cdt).name} K={ck} "
                 f"failed: {e!r}", file=sys.stderr,
+            )
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
+
+    # lateral-BLOCKED CPML K-step: y-blocking lifts the VMEM K-cap
+    # (f32 K=3 -> K=8 via n_b=4 blocks of 128+2h columns) — the
+    # single-chip fix for BASELINE config 5's absorbing throughput
+    from fdtd_tpu.solver.pallas_cpml_blocked import (
+        blocked_plan,
+        extend_blocked_pml_state,
+        make_pallas_cpml_blocked_stepk,
+    )
+
+    for cdt in (jnp.float32, jnp.bfloat16):
+        try:
+            plan_b = None
+            for bk_c in (8, 6, 5, 4):
+                plan_b = blocked_plan(shape, _BC(), Cpml.uniform(10),
+                                      bk_c, dtype=cdt)
+                if plan_b is not None:
+                    break
+            if plan_b is None:
+                raise RuntimeError("no blocked plan supports 512^3")
+            n_b, h_b = plan_b
+            bkstep = make_pallas_cpml_blocked_stepk(
+                shape, bk_c, n_b, h_b, inv_dx=(1.0, 1.0, 1.0),
+                dt=grid.dt, constants=ft.REDUCED, cpml=Cpml.uniform(10),
+                max_sources=1, dtype=cdt,
+            )
+            bstate = extend_blocked_pml_state(
+                init_pml_kernel_state(shape, cdt, cpml=Cpml.uniform(10)),
+                n_b, h_b, cpml=Cpml.uniform(10),
+            )
+
+            def run_bk(state, k: int, _s=bkstep):
+                def body(s, _):
+                    return _s(s, coeffs, src), None
+
+                return jax.lax.scan(body, state, None, length=k)[0]
+
+            runbk_j = jax.jit(run_bk, static_argnums=1)
+            b_calls = max(n_steps // bk_c, 1)
+            bstate = runbk_j(bstate, b_calls)
+            _sync(bstate)
+            dt_wall, spread, bstate = _timed_min(
+                lambda s, _r=runbk_j: _r(s, b_calls), bstate, _sync)
+            print(
+                f"{n}^3 CPML all axes ({jnp.dtype(cdt).name}, BLOCKED "
+                f"in-kernel K={bk_c} n_b={n_b}): "
+                f"{grid.num_cells*b_calls*bk_c/dt_wall/1e9:.3f} Gcell/s "
+                f"[spread {spread:.0f}%]",
+                file=sys.stderr,
+            )
+            del bstate, bkstep
+        except Exception as e:
+            print(
+                f"{n}^3 blocked CPML {jnp.dtype(cdt).name} failed: {e!r}",
+                file=sys.stderr,
             )
         import gc
 

@@ -407,6 +407,71 @@ class Simulation:
                     k = cand
                     flux_mode = bool(accumulators)
                     break
+        blocked = None
+        if (
+            self.backend == "auto"
+            and not accumulators
+            and self._cpml_kernel_eligible()
+            and self.dense_pml is None
+        ):
+            # lateral-blocked CPML K-step (pallas_cpml_blocked): when big
+            # lateral planes VMEM-cap the plain kernel's K (512^3 f32
+            # stops at K=3), y-blocking with halo columns restores deep K
+            # for ~6-13% redundant lateral compute — only engaged when it
+            # BEATS the plain ladder's K
+            from .pallas_cpml_blocked import (
+                blocked_plan,
+                make_pallas_cpml_blocked_stepk,
+            )
+
+            for cand in (8, 6, 5, 4, 3, 2):
+                if cand <= k:
+                    break
+                cadence = probe_every if probes else n_steps
+                if n_steps % cand != 0 or cadence % cand != 0:
+                    continue
+                plan_b = blocked_plan(
+                    self.grid.shape, self.bc, self._cpml_or_empty, cand,
+                    dtype=self.dtype, matid=self.matid is not None,
+                )
+                if plan_b is None:
+                    continue
+                n_b, h = plan_b
+                key = ("cpmlblk", cand, n_b, h)
+                if key in self._multi_step_cache:
+                    step = self._multi_step_cache[key]
+                else:
+                    n_src = (
+                        self.sources.num_sources
+                        if self.sources is not None else 0
+                    )
+                    kw = dict(
+                        inv_dx=tuple(1.0 / d for d in self.grid.dx),
+                        dt=self.grid.dt, bc=self.bc,
+                        constants=self.grid.constants,
+                        cpml=self._cpml_or_empty, tfsf=self.tfsf,
+                        max_sources=n_src, with_m=self._has_m_sources(),
+                        dtype=self.dtype,
+                    )
+                    if self.matid is not None:
+                        kernel = make_pallas_cpml_blocked_stepk(
+                            self.grid.shape, cand, n_b, h,
+                            matid=jnp.asarray(self.matid),
+                            n_materials=self._n_materials, **kw,
+                        )
+                        table = jnp.asarray(self.table, jnp.float32)
+
+                        def step(state, coeffs, sources, _k=kernel,
+                                 _t=table):
+                            return _k(state, _t, sources)
+                    else:
+                        step = make_pallas_cpml_blocked_stepk(
+                            self.grid.shape, cand, n_b, h, **kw
+                        )
+                    self._multi_step_cache[key] = step
+                k = cand
+                blocked = (n_b, h)
+                break
         if (
             k == 1
             and self.backend == "auto"
@@ -501,6 +566,29 @@ class Simulation:
                 state = state._replace(
                     psi=state.psi[: len(state.psi) - len(planes)])
             return state, probe_out, tuple(finals)
+        if blocked is not None:
+            # state at rest stays plain global: extend into the blocked
+            # layout around the compiled scan (halo columns refresh
+            # inside the step), collapse back after; probes sample the
+            # owned-columns view device-side
+            from .pallas_cpml_blocked import (
+                collapse_blocked_pml_state,
+                extend_blocked_pml_state,
+            )
+
+            n_b, h = blocked
+            state = extend_blocked_pml_state(
+                state, n_b, h, cpml=self._cpml_or_empty
+            )
+            bp = tuple(_BlockedProbe(p, n_b, h) for p in probes)
+            fn = _compiled(step, bp, (),
+                           max(probe_every // k, 1) if probes else 1,
+                           n_steps // k, self.grid.dt, donate=False)
+            state, probe_out, _ = fn(state, self.coeffs, self.sources)
+            state = collapse_blocked_pml_state(
+                state, self.grid.shape, n_b, h, cpml=self._cpml_or_empty
+            )
+            return state, probe_out, ()
         fn = _compiled(step, tuple(probes), tuple(accumulators),
                        max(probe_every // k, 1) if probes else 1,
                        n_steps // k, self.grid.dt,
@@ -524,6 +612,24 @@ class Simulation:
                 f"Courant number {s:.4f} > 1: dt={self.grid.dt} too large for "
                 f"dx={self.grid.dx} (reduce dt or coarsen the lattice)"
             )
+
+
+@dataclasses.dataclass(frozen=True)
+class _BlockedProbe:
+    """Probe adapter for the blocked CPML scan: samples the plain-global
+    owned-columns view of the blocked state (hashable — it keys the
+    compiled-scan cache like the probe it wraps)."""
+
+    probe: Any
+    n_b: int
+    h: int
+
+    def sample(self, state, dt):
+        from .pallas_cpml_blocked import blocked_owned_view
+
+        return self.probe.sample(
+            blocked_owned_view(state, self.n_b, self.h), dt
+        )
 
 
 def kernel_flux_spec(accumulators):
