@@ -491,6 +491,86 @@ def _selfcheck(ft, jax, jnp, np) -> bool:
         print("selfcheck blocked CPML: no plan at the check shape FAIL",
               file=sys.stderr)
 
+    # blocked CPML + dense + accumulators (round 3): the composed
+    # blocked build — DensePml widened to the full extended lateral
+    # span, per-block RUNTIME lateral flux/capture coordinates
+    # (runtime_lat), x-plane DFT accumulators on the psi tail — is a
+    # distinct Mosaic program from the plain blocked kernel above;
+    # gated against the UNBLOCKED kernel with the identical feature
+    # set (itself gated vs the engine in the dense/flux/DFT tiers).
+    from fdtd_tpu.scene.shapes import Ball as _BBall
+    from fdtd_tpu.solver.pml_region import (
+        dense_pml_from_depth as _bdpd,
+        depth_from_contains as _bdfc,
+        pad_dense_to_tiles as _bpdt,
+    )
+
+    _bball = _BBall(radius=5.0)
+    _bctr = np.array([32.0, 32.0, 128.0])
+    _bbox = ((26, 38), (26, 38), (122, 134))  # straddles the y cut
+    _bd_h, _bd_e = _bdfc(
+        lambda p: _bball.contains(p - _bctr[:, None]), _bbox, 0, +1
+    )
+    dense_b = _bpdt(
+        _bdpd(0, _bbox, _bd_h, _bd_e, spec=cpml.spec, dx=1.0, dt=dt,
+              constants=ft.REDUCED),
+        shape_b,
+    )
+    faces_b = (("x",), ("y", 20), ("y", 44), ("z", 60), ("z", 200))
+    dft_b = ((20, (24, 1)), (0.11, 0.23))
+    rows_b = (("y", 24), ("z", 100))
+    bplan2 = blocked_plan(
+        shape_b, bc, cpml, ck, dense=dense_b,
+        dft=(dft_b[0], len(dft_b[1])), dft_rows=rows_b,
+    )
+    if bplan2 is not None:
+        n_b2, h_b2 = bplan2
+        kw_b = dict(
+            inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+            cpml=cpml, max_sources=1, dense=dense_b,
+            flux_faces=faces_b, dft=dft_b, dft_rows=rows_b,
+        )
+        ref_bd = jax.jit(pallas_cpml_stepk_fn(shape_b, ck, **kw_b))
+        blk_bd = jax.jit(make_pallas_cpml_blocked_stepk(
+            shape_b, ck, n_b2, h_b2, **kw_b))
+        rst = init_pml_kernel_state(shape_b, cpml=cpml, dense=dense_b,
+                                    dft=dft_b)
+        bst2 = extend_blocked_pml_state(
+            rst, n_b2, h_b2, cpml=cpml, dense=dense_b, dft=dft_b)
+        rfx = bfx = None
+        for _ in range(n_ticks // ck):
+            rst, rf, rcp = ref_bd(rst, coeffs, src)
+            bst2, bf, bcp = blk_bd(bst2, coeffs, src)
+            rfx = rf.sum(0) if rfx is None else rfx + rf.sum(0)
+            bfx = bf.sum(0) if bfx is None else bfx + bf.sum(0)
+        jax.block_until_ready(bst2)
+        gbd = collapse_blocked_pml_state(
+            bst2, shape_b, n_b2, h_b2, cpml=cpml, dense=dense_b,
+            dft=dft_b)
+        err_bd = max(
+            _rel_err(getattr(gbd, f), getattr(rst, f), np)
+            for f in ("ex", "ey", "ez", "hx", "hy", "hz")
+        )
+        err_bd = max(err_bd, max(
+            _rel_err(a, b, np) for a, b in zip(gbd.psi, rst.psi)
+        ))
+        scale_b = float(jnp.abs(rfx).max()) or 1.0
+        err_bd = max(err_bd, float(jnp.abs(bfx - rfx).max()) / scale_b)
+        for rc, bcap in zip(rcp, bcp):
+            s_c = float(jnp.abs(rc).max()) or 1.0
+            err_bd = max(err_bd, float(jnp.abs(bcap - rc).max()) / s_c)
+        good_bd = err_bd < tol
+        ok = ok and good_bd
+        print(
+            f"selfcheck blocked dense+flux+DFT K={ck} n_b={n_b2}: "
+            f"rel_err {err_bd:.2e} {'PASS' if good_bd else 'FAIL'}",
+            file=sys.stderr,
+        )
+    else:
+        ok = False
+        print("selfcheck blocked dense+flux+DFT: no plan FAIL",
+              file=sys.stderr)
+
     # in-kernel flux reductions (accumulator tier): per-tick per-plane
     # Poynting rows from the K kernel vs per-tick XLA reductions over the
     # single-pass CPML kernel's states

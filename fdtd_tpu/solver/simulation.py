@@ -410,20 +410,23 @@ class Simulation:
         blocked = None
         if (
             self.backend == "auto"
-            and not accumulators
+            and (not accumulators or flux_faces_spec is not None)
             and self._cpml_kernel_eligible()
-            and self.dense_pml is None
         ):
             # lateral-blocked CPML K-step (pallas_cpml_blocked): when big
             # lateral planes VMEM-cap the plain kernel's K (512^3 f32
             # stops at K=3), y-blocking with halo columns restores deep K
             # for ~6-13% redundant lateral compute — only engaged when it
-            # BEATS the plain ladder's K
+            # BEATS the plain ladder's K. DensePml regions and every
+            # in-kernel accumulator mechanism ride too.
             from .pallas_cpml_blocked import (
                 blocked_plan,
                 make_pallas_cpml_blocked_stepk,
             )
 
+            faces = flux_faces_spec if accumulators else ()
+            dft_kw = dft_arg if accumulators else None
+            rows_kw = (rows_arg or ()) if accumulators else ()
             for cand in (8, 6, 5, 4, 3, 2):
                 if cand <= k:
                     break
@@ -433,11 +436,15 @@ class Simulation:
                 plan_b = blocked_plan(
                     self.grid.shape, self.bc, self._cpml_or_empty, cand,
                     dtype=self.dtype, matid=self.matid is not None,
+                    dense=self._dense_kernel,
+                    dft=((dft_kw[0], len(dft_kw[1]))
+                         if dft_kw is not None else None),
+                    dft_rows=rows_kw,
                 )
                 if plan_b is None:
                     continue
                 n_b, h = plan_b
-                key = ("cpmlblk", cand, n_b, h)
+                key = ("cpmlblk", cand, n_b, h, faces, dft_kw, rows_kw)
                 if key in self._multi_step_cache:
                     step = self._multi_step_cache[key]
                 else:
@@ -451,7 +458,9 @@ class Simulation:
                         constants=self.grid.constants,
                         cpml=self._cpml_or_empty, tfsf=self.tfsf,
                         max_sources=n_src, with_m=self._has_m_sources(),
-                        dtype=self.dtype,
+                        dtype=self.dtype, flux_faces=faces,
+                        dense=self._dense_kernel, dft=dft_kw,
+                        dft_rows=rows_kw,
                     )
                     if self.matid is not None:
                         kernel = make_pallas_cpml_blocked_stepk(
@@ -471,6 +480,7 @@ class Simulation:
                     self._multi_step_cache[key] = step
                 k = cand
                 blocked = (n_b, h)
+                flux_mode = bool(accumulators)
                 break
         if (
             k == 1
@@ -537,16 +547,46 @@ class Simulation:
                     jnp.zeros((6 * len(freqs), 2, ny, nz), jnp.float32)
                     for _ in planes
                 ))
+            probes_t = tuple(probes)
             owners = tuple((a, cr) for _, a, cr in flux_items)
             row_owners = tuple((it[1], it[2]) for it in row_items)
+            if blocked is not None:
+                # blocked tier with accumulators: the scan runs on the
+                # blocked layout; accumulator inits size off the
+                # owned-columns view, the per-pass flux rows / captures
+                # arrive already GLOBAL (the step sums/concatenates the
+                # per-block partials)
+                from .pallas_cpml_blocked import (
+                    collapse_blocked_pml_state,
+                    extend_blocked_pml_state,
+                )
+
+                n_b, h = blocked
+                state = extend_blocked_pml_state(
+                    state, n_b, h, cpml=self._cpml_or_empty,
+                    dense=self._dense_kernel, dft=dft_arg,
+                )
+                probes_t = tuple(_BlockedProbe(p, n_b, h) for p in probes)
+                owners = tuple(
+                    (_BlockedAcc(a, n_b, h), cr) for a, cr in owners
+                )
+                row_owners = tuple(
+                    (_BlockedAcc(a, n_b, h), dr) for a, dr in row_owners
+                )
             fn = _compiled_flux(
-                step, tuple(probes), tuple(accumulators), owners,
+                step, probes_t, tuple(accumulators), owners,
                 row_owners,
                 max(probe_every // k, 1) if probes else 1,
                 n_steps // k, self.grid.dt,
             )
             state, probe_out, flux_accs, row_accs = fn(
                 state, self.coeffs, self.sources)
+            if blocked is not None:
+                state = collapse_blocked_pml_state(
+                    state, self.grid.shape, n_b, h,
+                    cpml=self._cpml_or_empty,
+                    dense=self._dense_kernel, dft=dft_arg,
+                )
             finals = [None] * len(accumulators)
             for (pos, _a, _cr), acc in zip(flux_items, flux_accs):
                 finals[pos] = acc
@@ -578,7 +618,8 @@ class Simulation:
 
             n_b, h = blocked
             state = extend_blocked_pml_state(
-                state, n_b, h, cpml=self._cpml_or_empty
+                state, n_b, h, cpml=self._cpml_or_empty,
+                dense=self._dense_kernel,
             )
             bp = tuple(_BlockedProbe(p, n_b, h) for p in probes)
             fn = _compiled(step, bp, (),
@@ -586,7 +627,8 @@ class Simulation:
                            n_steps // k, self.grid.dt, donate=False)
             state, probe_out, _ = fn(state, self.coeffs, self.sources)
             state = collapse_blocked_pml_state(
-                state, self.grid.shape, n_b, h, cpml=self._cpml_or_empty
+                state, self.grid.shape, n_b, h, cpml=self._cpml_or_empty,
+                dense=self._dense_kernel,
             )
             return state, probe_out, ()
         fn = _compiled(step, tuple(probes), tuple(accumulators),
@@ -630,6 +672,36 @@ class _BlockedProbe:
         return self.probe.sample(
             blocked_owned_view(state, self.n_b, self.h), dt
         )
+
+
+@dataclasses.dataclass(frozen=True)
+class _BlockedAcc:
+    """Accumulator adapter for the blocked CPML scan: inits size off the
+    plain-global owned-columns view (accumulator inits read field shapes
+    — e.g. DftProbe.init_rows_acc), while the per-pass updates consume
+    the step's already-GLOBAL flux rows / captures unchanged. Hashable —
+    it keys the compiled-scan cache like the accumulator it wraps."""
+
+    acc: Any
+    n_b: int
+    h: int
+
+    def _view(self, state):
+        from .pallas_cpml_blocked import blocked_owned_view
+
+        return blocked_owned_view(state, self.n_b, self.h)
+
+    def init(self, state, dt):
+        return self.acc.init(self._view(state), dt)
+
+    def init_rows_acc(self, state, dt):
+        return self.acc.init_rows_acc(self._view(state), dt)
+
+    def update_from_flux_rows(self, acc, rows, dt):
+        return self.acc.update_from_flux_rows(acc, rows, dt)
+
+    def update_from_dft_rows(self, acc, caps, tick0, dt):
+        return self.acc.update_from_dft_rows(acc, caps, tick0, dt)
 
 
 def kernel_flux_spec(accumulators):
