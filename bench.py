@@ -27,41 +27,96 @@ import json
 import os
 import sys
 import time
+import traceback as _tb
 
 
-def _timed(run1, state, sync):
+def _trace():
+    if os.environ.get('BENCH_TRACE'):
+        _tb.print_exc()
+
+
+_SETTLE_S = float(os.environ.get("BENCH_SETTLE_S", "2.0"))
+
+
+def _step_holder(holder, fn):
+    """Advance the single-element state ``holder`` through ``fn`` with NO
+    stale reference left behind. This is load-bearing for HBM, not
+    style: a plain ``state = fn(state)`` in a HELPER means the CALLER's
+    frame still pins the old state for the whole call — at 512^3 CPML a
+    state is 4.5 GB (psi z-strips pad to 128 lanes), so two helper
+    frames plus the live input/output put FOUR states (18 GB) in
+    flight on the 16 GB chip. pop-then-append keeps exactly
+    input+output alive (9 GB). Diagnosed empirically: byte-identical
+    call sequences pass at module level (one rebound variable) and
+    RESOURCE_EXHAUST inside helper frames."""
+    holder.append(fn(holder.pop()))
+    return holder[0]
+
+
+def _timed(run1, holder, sync, run2=None):
     """Wall time of ONE `run1` application with the sync-readback cost
     CANCELLED: times a (1x work + readback) region and a (2x work +
     readback) region back to back and returns their difference. Immune to
     tunnel-latency drift within a run (a fixed pre-measured readback
-    constant can exceed short regions entirely and go negative)."""
+    constant can exceed short regions entirely and go negative).
+
+    ``holder`` is a single-element list owning the state
+    (see _step_holder). ``run2`` (2x the work of run1 in ONE call —
+    e.g. the same jitted scan at double length) caps in-flight device
+    state at input+output arenas; without it the 2x region chains run1
+    twice, putting a third state in flight. The run2 path also SETTLES
+    (sleep) between regions so the remote tunnel's deref backlog
+    drains, re-taking the region-B start mark after the sleep (the
+    readback cancellation is unaffected: region A = work + readback,
+    region B = 2x work + readback). As a bonus the dispatch cost
+    cancels exactly (one call per region). Callers must warm up run2's
+    compile too — _timed_min does."""
     t0 = time.perf_counter()
-    state = run1(state)
-    sync(state)
+    sync(_step_holder(holder, run1))
     t1 = time.perf_counter()
-    state = run1(state)
-    state = run1(state)
-    sync(state)
+    if run2 is not None:
+        time.sleep(_SETTLE_S)
+        t1b = time.perf_counter()
+        sync(_step_holder(holder, run2))
+        t2 = time.perf_counter()
+        return max((t2 - t1b) - (t1 - t0), 1e-9)
+    _step_holder(holder, run1)
+    sync(_step_holder(holder, run1))
     t2 = time.perf_counter()
-    return max((t2 - t1) - (t1 - t0), 1e-9), state
+    return max((t2 - t1) - (t1 - t0), 1e-9)
 
 
-def _timed_min(run1, state, sync, repeats=None):
+def _timed_min(run1, state, sync, repeats=None, run2=None):
     """MEDIAN-of-N of `_timed` regions (BENCH_REPEATS, default 3) plus
     the max/min spread in percent. One-shot timings behind a drifting
     remote tunnel cannot distinguish a perf regression from noise — and
     paired-region DIFFERENCES can be spuriously SMALL too (async queue
     overlap can nearly cancel the 2x-vs-1x regions), so the median, not
-    the minimum, is the robust pick."""
+    the minimum, is the robust pick.
+
+    NOTE for big states: the CALLER's variable still pins its state for
+    the duration of this call. Callers timing multi-GB states must pass
+    ownership: ``holder = [st]; del st;
+    _timed_min(run1, holder, ...)`` — a LIST argument is treated as an
+    owning holder (see _step_holder); a bare state is wrapped and the
+    caller's pin tolerated (fine for small shapes)."""
     if repeats is None:
         repeats = max(int(os.environ.get("BENCH_REPEATS", "3")), 1)
+    holder = state if isinstance(state, list) else [state]
+    del state
+    if run2 is not None:
+        # compile the 2x program OUTSIDE the timed regions (a cold
+        # Mosaic compile inside region B would land in the difference)
+        sync(_step_holder(holder, run2))
+        time.sleep(_SETTLE_S)
     times = []
     for _ in range(repeats):
-        dt_wall, state = _timed(run1, state, sync)
-        times.append(dt_wall)
+        times.append(_timed(run1, holder, sync, run2=run2))
+        if run2 is not None:
+            time.sleep(_SETTLE_S)
     mid = sorted(times)[len(times) // 2]
     spread = (max(times) - min(times)) / mid * 100.0
-    return mid, spread, state
+    return mid, spread, holder[0]
 
 
 def _measure_readback(jnp, n: int = 8) -> float:
@@ -1184,140 +1239,164 @@ def _section_cpml512(n_steps: int) -> None:
                         j=(0.0, 0.0, 1.0))]
     )
 
-    for cdt, ck in ((jnp.float32, 3), (jnp.bfloat16, 4)):
-        try:
-            ckstep = pallas_cpml_stepk_fn(
-                shape, ck, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
-                constants=ft.REDUCED, cpml=Cpml.uniform(10),
-                max_sources=1, dtype=cdt,
-            )
-            cstate = init_pml_kernel_state(shape, cdt,
-                                           cpml=Cpml.uniform(10))
-
-            def run_c5(state, k: int, _s=ckstep):
-                def body(s, _):
-                    return _s(s, coeffs, src), None
-
-                return jax.lax.scan(body, state, None, length=k)[0]
-
-            runc_j = jax.jit(run_c5, static_argnums=1)
-            c_calls = max(n_steps // ck, 1)
-            cstate = runc_j(cstate, c_calls)
-            _sync(cstate)
-            dt_wall, spread, cstate = _timed_min(
-                lambda s, _r=runc_j: _r(s, c_calls), cstate, _sync)
-            print(
-                f"{n}^3 CPML all axes ({jnp.dtype(cdt).name}, "
-                f"in-kernel K={ck}): "
-                f"{grid.num_cells*c_calls*ck/dt_wall/1e9:.3f} Gcell/s "
-                f"[spread {spread:.0f}%]",
-                file=sys.stderr,
-            )
-            del cstate, ckstep
-        except Exception as e:  # transient HBM pressure: report
-            print(
-                f"{n}^3 CPML {jnp.dtype(cdt).name} K={ck} "
-                f"failed: {e!r}", file=sys.stderr,
-            )
-        import gc
-
-        jax.clear_caches()
-        gc.collect()
-
-    # lateral-BLOCKED CPML K-step: y-blocking lifts the VMEM K-cap
-    # (f32 K=3 -> K=8 via n_b=4 blocks of 128+2h columns) — the
-    # single-chip fix for BASELINE config 5's absorbing throughput
     from fdtd_tpu.solver.pallas_cpml_blocked import (
         blocked_plan,
         extend_blocked_pml_state,
         make_pallas_cpml_blocked_stepk,
     )
 
-    for cdt in (jnp.float32, jnp.bfloat16):
-        try:
-            plan_b = None
-            for bk_c in (8, 6, 5, 4):
-                plan_b = blocked_plan(shape, _BC(), Cpml.uniform(10),
-                                      bk_c, dtype=cdt)
-                if plan_b is not None:
-                    break
-            if plan_b is None:
-                raise RuntimeError("no blocked plan supports 512^3")
-            n_b, h_b = plan_b
-            bkstep = make_pallas_cpml_blocked_stepk(
-                shape, bk_c, n_b, h_b, inv_dx=(1.0, 1.0, 1.0),
-                dt=grid.dt, constants=ft.REDUCED, cpml=Cpml.uniform(10),
-                max_sources=1, dtype=cdt,
-            )
-            bstate = extend_blocked_pml_state(
-                init_pml_kernel_state(shape, cdt, cpml=Cpml.uniform(10)),
-                n_b, h_b, cpml=Cpml.uniform(10),
-            )
+    # Every 512^3 absorbing tier holds TWO 4.5 GB states in flight while
+    # timing (input + output; psi z-strips pad to 128 lanes) — ~9 GB live
+    # plus a deref backlog that lags behind enqueued work on the remote
+    # tunnel. That is MARGINAL on the 16 GB chip: whether a run fits
+    # depends on how fast the server processes frees. So each tier runs
+    # as a self-contained closure (its references die with the frame,
+    # so one tier's OOM cannot pin 9 GB while later tiers run) with one
+    # retry after a long settle.
+    def _tier_plain(cdt, ck):
+        ckstep = pallas_cpml_stepk_fn(
+            shape, ck, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
+            constants=ft.REDUCED, cpml=Cpml.uniform(10),
+            max_sources=1, dtype=cdt,
+        )
+        cstate = init_pml_kernel_state(shape, cdt, cpml=Cpml.uniform(10))
 
-            def run_bk(state, k: int, _s=bkstep):
-                def body(s, _):
-                    return _s(s, coeffs, src), None
+        def run_c5(state, k: int, _s=ckstep):
+            def body(s, _):
+                return _s(s, coeffs, src), None
 
-                return jax.lax.scan(body, state, None, length=k)[0]
+            return jax.lax.scan(body, state, None, length=k)[0]
 
-            runbk_j = jax.jit(run_bk, static_argnums=1)
-            b_calls = max(n_steps // bk_c, 1)
-            bstate = runbk_j(bstate, b_calls)
-            _sync(bstate)
-            dt_wall, spread, bstate = _timed_min(
-                lambda s, _r=runbk_j: _r(s, b_calls), bstate, _sync)
-            print(
-                f"{n}^3 CPML all axes ({jnp.dtype(cdt).name}, BLOCKED "
-                f"in-kernel K={bk_c} n_b={n_b}): "
-                f"{grid.num_cells*b_calls*bk_c/dt_wall/1e9:.3f} Gcell/s "
-                f"[spread {spread:.0f}%]",
-                file=sys.stderr,
-            )
-            del bstate, bkstep
-        except Exception as e:
-            print(
-                f"{n}^3 blocked CPML {jnp.dtype(cdt).name} failed: {e!r}",
-                file=sys.stderr,
-            )
-        import gc
+        runc_j = jax.jit(run_c5, static_argnums=1)
+        c_calls = max(n_steps // ck, 1)
+        cstate = runc_j(cstate, c_calls)
+        _sync(cstate)
+        holder = [cstate]
+        del cstate  # ownership -> _timed_min (frame pins cost 4.5 GB)
+        dt_wall, spread, _ = _timed_min(
+            lambda s, _r=runc_j: _r(s, c_calls), holder, _sync,
+            run2=lambda s, _r=runc_j: _r(s, 2 * c_calls))
+        print(
+            f"{n}^3 CPML all axes ({jnp.dtype(cdt).name}, "
+            f"in-kernel K={ck}): "
+            f"{grid.num_cells*c_calls*ck/dt_wall/1e9:.3f} Gcell/s "
+            f"[spread {spread:.0f}%]",
+            file=sys.stderr,
+        )
 
+    # lateral-BLOCKED CPML K-step: y-blocking lifts the VMEM K-cap
+    # (f32 K=3 -> K=8 via n_b blocks of halo-extended columns) — the
+    # single-chip fix for BASELINE config 5's absorbing throughput
+    def _tier_blocked(cdt):
+        plan_b = bk_c = None
+        for bk_c in (8, 6, 5, 4):
+            plan_b = blocked_plan(shape, _BC(), Cpml.uniform(10),
+                                  bk_c, dtype=cdt)
+            if plan_b is not None:
+                break
+        if plan_b is None:
+            raise RuntimeError("no blocked plan supports 512^3")
+        n_b, h_b = plan_b
+        bkstep = make_pallas_cpml_blocked_stepk(
+            shape, bk_c, n_b, h_b, inv_dx=(1.0, 1.0, 1.0),
+            dt=grid.dt, constants=ft.REDUCED, cpml=Cpml.uniform(10),
+            max_sources=1, dtype=cdt,
+        )
+        bstate = extend_blocked_pml_state(
+            init_pml_kernel_state(shape, cdt, cpml=Cpml.uniform(10)),
+            n_b, h_b, cpml=Cpml.uniform(10),
+        )
+
+        def run_bk(state, k: int, _s=bkstep):
+            def body(s, _):
+                return _s(s, coeffs, src), None
+
+            return jax.lax.scan(body, state, None, length=k)[0]
+
+        runbk_j = jax.jit(run_bk, static_argnums=1)
+        b_calls = max(n_steps // bk_c, 1)
+        bstate = runbk_j(bstate, b_calls)
+        _sync(bstate)
+        holder = [bstate]
+        del bstate  # ownership -> _timed_min (frame pins cost 4.5 GB)
+        dt_wall, spread, _ = _timed_min(
+            lambda s, _r=runbk_j: _r(s, b_calls), holder, _sync,
+            run2=lambda s, _r=runbk_j: _r(s, 2 * b_calls))
+        print(
+            f"{n}^3 CPML all axes ({jnp.dtype(cdt).name}, BLOCKED "
+            f"in-kernel K={bk_c} n_b={n_b}): "
+            f"{grid.num_cells*b_calls*bk_c/dt_wall/1e9:.3f} Gcell/s "
+            f"[spread {spread:.0f}%]",
+            file=sys.stderr,
+        )
+
+    def _tier_sharded():
+        sk = 3
+        if not supports_sharded_cpml(shape, 1, _BC(), Cpml.uniform(10),
+                                     sk):
+            return
+        mesh1 = make_mesh(1, ("x",))
+        sstep = jax.jit(make_pallas_sharded_cpml_stepk(
+            mesh1, shape, sk, inv_dx=(1.0, 1.0, 1.0),
+            dt=grid.dt, constants=ft.REDUCED,
+            cpml=Cpml.uniform(10), max_sources=1,
+        ))
+        sstate = init_sharded_pml_state(
+            shape, mesh1, sk, cpml=Cpml.uniform(10))
+
+        def run_s(state, kk, _s=sstep):
+            def body(s, _):
+                return _s(s, coeffs, src), None
+
+            return jax.lax.scan(body, state, None, length=kk)[0]
+
+        runs_j = jax.jit(run_s, static_argnums=1)
+        s_calls = max(n_steps // sk, 1)
+        sstate = runs_j(sstate, s_calls)
+        _sync(sstate)
+        holder = [sstate]
+        del sstate  # ownership -> _timed_min (frame pins cost 4.5 GB)
+        dt_wall, spread, _ = _timed_min(
+            lambda s: runs_j(s, s_calls), holder, _sync,
+            run2=lambda s: runs_j(s, 2 * s_calls))
+        print(
+            f"{n}^3 CPML sharded-kernel tier (1-dev mesh, "
+            f"f32 K={sk}): "
+            f"{grid.num_cells*s_calls*sk/dt_wall/1e9:.3f} "
+            f"Gcell/s [spread {spread:.0f}%]",
+            file=sys.stderr,
+        )
+
+    import gc
+
+    tiers = [
+        (f"{n}^3 CPML float32 K=3", lambda: _tier_plain(jnp.float32, 3)),
+        (f"{n}^3 CPML bfloat16 K=4",
+         lambda: _tier_plain(jnp.bfloat16, 4)),
+        (f"{n}^3 blocked CPML float32",
+         lambda: _tier_blocked(jnp.float32)),
+        (f"{n}^3 blocked CPML bfloat16",
+         lambda: _tier_blocked(jnp.bfloat16)),
+        (f"{n}^3 sharded tier", _tier_sharded),
+    ]
+    for label, tier in tiers:
+        for attempt in (0, 1):
+            try:
+                tier()
+                break
+            except Exception as e:
+                _trace()
+                jax.clear_caches()
+                gc.collect()
+                if attempt == 0:
+                    print(f"{label} attempt 1 failed ({e!r}); "
+                          "settling and retrying", file=sys.stderr)
+                    time.sleep(15.0)
+                else:
+                    print(f"{label} failed: {e!r}", file=sys.stderr)
         jax.clear_caches()
         gc.collect()
-
-    sk = 3
-    try:
-        if supports_sharded_cpml(shape, 1, _BC(), Cpml.uniform(10), sk):
-            mesh1 = make_mesh(1, ("x",))
-            sstep = jax.jit(make_pallas_sharded_cpml_stepk(
-                mesh1, shape, sk, inv_dx=(1.0, 1.0, 1.0),
-                dt=grid.dt, constants=ft.REDUCED,
-                cpml=Cpml.uniform(10), max_sources=1,
-            ))
-            sstate = init_sharded_pml_state(
-                shape, mesh1, sk, cpml=Cpml.uniform(10))
-
-            def run_s(state, kk, _s=sstep):
-                def body(s, _):
-                    return _s(s, coeffs, src), None
-
-                return jax.lax.scan(body, state, None, length=kk)[0]
-
-            runs_j = jax.jit(run_s, static_argnums=1)
-            s_calls = max(n_steps // sk, 1)
-            sstate = runs_j(sstate, s_calls)
-            _sync(sstate)
-            dt_wall, spread, sstate = _timed_min(
-                lambda s: runs_j(s, s_calls), sstate, _sync)
-            print(
-                f"{n}^3 CPML sharded-kernel tier (1-dev mesh, "
-                f"f32 K={sk}): "
-                f"{grid.num_cells*s_calls*sk/dt_wall/1e9:.3f} "
-                f"Gcell/s [spread {spread:.0f}%]",
-                file=sys.stderr,
-            )
-            del sstate, sstep
-    except Exception as e:
-        print(f"{n}^3 sharded tier failed: {e!r}", file=sys.stderr)
+        time.sleep(_SETTLE_S)
 
 
 def _section_1024() -> None:
@@ -1368,6 +1447,7 @@ def _section_1024() -> None:
         )
         del state
     except Exception as e:  # HBM or compile limits: report, don't fail
+        _trace()
         print(f"1024^3 bf16 attempt failed: {e!r}", file=sys.stderr)
     import gc
 
@@ -1405,6 +1485,7 @@ def _section_1024() -> None:
         )
         del state
     except Exception as e:
+        _trace()
         print(
             f"1024^3 K=2 blocked attempt failed (expected: carry "
             f"planes at 1024^2 exceed VMEM): {e!r}", file=sys.stderr,
@@ -1658,7 +1739,8 @@ def main() -> None:
                 cstate = runc_j(cstate, c_calls)
                 _sync(cstate)
                 dt_wall, spread, cstate = _timed_min(
-                    lambda s: runc_j(s, c_calls), cstate, _sync)
+                    lambda s: runc_j(s, c_calls), cstate, _sync,
+                    run2=lambda s: runc_j(s, 2 * c_calls))
                 print(
                     f"{n}^3 CPML all axes (in-kernel, K={ck}): "
                     f"{grid.num_cells*c_calls*ck/dt_wall/1e9:.3f} Gcell/s "
@@ -1667,6 +1749,7 @@ def main() -> None:
                 )
                 del cstate
             except Exception as e:
+                _trace()
                 print(f"{n}^3 CPML K={ck} failed: {e!r}", file=sys.stderr)
 
         # interior absorber (DensePml ball) at kernel tier: before round 3
@@ -1716,7 +1799,8 @@ def main() -> None:
                 dstate = rund_j(dstate, d_calls)
                 _sync(dstate)
                 dt_wall, spread, dstate = _timed_min(
-                    lambda s: rund_j(s, d_calls), dstate, _sync)
+                    lambda s: rund_j(s, d_calls), dstate, _sync,
+                    run2=lambda s: rund_j(s, 2 * d_calls))
                 print(
                     f"{n}^3 CPML + interior ball absorber (in-kernel, "
                     f"K={dk}): "
@@ -1726,6 +1810,7 @@ def main() -> None:
                 )
                 del dstate, dkstep
             except Exception as e:
+                _trace()
                 print(f"{n}^3 interior-absorber tier failed: {e!r}",
                       file=sys.stderr)
 

@@ -410,15 +410,21 @@ class Simulation:
         blocked = None
         if (
             self.backend == "auto"
+            and k == 1
             and (not accumulators or flux_faces_spec is not None)
             and self._cpml_kernel_eligible()
         ):
             # lateral-blocked CPML K-step (pallas_cpml_blocked): when big
-            # lateral planes VMEM-cap the plain kernel's K (512^3 f32
-            # stops at K=3), y-blocking with halo columns restores deep K
-            # for ~6-13% redundant lateral compute — only engaged when it
-            # BEATS the plain ladder's K. DensePml regions and every
-            # in-kernel accumulator mechanism ride too.
+            # lateral planes VMEM-cap the plain kernel ladder to K=1
+            # (the single-pass kernel, ~5 Gcell/s at 512^3), y-blocking
+            # with halo columns restores deep K (~13 Gcell/s measured at
+            # 512^3 f32 K=8). Engaged ONLY at k == 1: the per-pass halo
+            # refresh + per-block output reassembly each materialize a
+            # full extended state, so whenever the plain ladder reaches
+            # even K=3 it is FASTER than blocked K=8 (hardware-measured,
+            # bench.py cpml512 section: plain K=3 18.7 vs blocked K=8
+            # 13.1 Gcell/s f32; bf16 K=4 27.9 vs K=8 16.5). DensePml
+            # regions and every in-kernel accumulator mechanism ride.
             from .pallas_cpml_blocked import (
                 blocked_plan,
                 make_pallas_cpml_blocked_stepk,
