@@ -1861,11 +1861,12 @@ def main() -> None:
     if dev.platform == "tpu" and os.environ.get("BENCH_1024", "1") != "0":
         _run_isolated("b1024", n_steps)
 
-    headline = results.get(512, results[max(results)])
+    headline_n = 512 if 512 in results else max(results)
+    headline = results[headline_n]
     print(
         json.dumps(
             {
-                "metric": "yee_cell_updates_per_sec_per_chip_512^3_f32",
+                "metric": f"yee_cell_updates_per_sec_per_chip_{headline_n}^3_f32",
                 "value": headline,
                 "unit": "cells/s",
                 "vs_baseline": headline / target,
