@@ -87,12 +87,16 @@ def _timed(run1, holder, sync, run2=None):
 
 
 def _timed_min(run1, state, sync, repeats=None, run2=None):
-    """MEDIAN-of-N of `_timed` regions (BENCH_REPEATS, default 3) plus
-    the max/min spread in percent. One-shot timings behind a drifting
-    remote tunnel cannot distinguish a perf regression from noise — and
-    paired-region DIFFERENCES can be spuriously SMALL too (async queue
-    overlap can nearly cancel the 2x-vs-1x regions), so the median, not
-    the minimum, is the robust pick.
+    """MEDIAN-of-N and MIN-of-N of `_timed` regions (BENCH_REPEATS,
+    default 3) plus the max/min spread in percent. One-shot timings
+    behind a drifting remote tunnel cannot distinguish a perf regression
+    from noise — and paired-region DIFFERENCES can be spuriously SMALL
+    too (async queue overlap can nearly cancel the 2x-vs-1x regions), so
+    the MEDIAN is the robust headline pick; the MIN (the statistic
+    rounds 1-2 reported) is returned alongside so rounds stay comparable
+    (VERDICT r03 weak #1).
+
+    Returns ``(median_s, min_s, spread_pct, state)``.
 
     NOTE for big states: the CALLER's variable still pins its state for
     the duration of this call. Callers timing multi-GB states must pass
@@ -116,7 +120,80 @@ def _timed_min(run1, state, sync, repeats=None, run2=None):
             time.sleep(_SETTLE_S)
     mid = sorted(times)[len(times) // 2]
     spread = (max(times) - min(times)) / mid * 100.0
-    return mid, spread, holder[0]
+    return mid, min(times), spread, holder[0]
+
+
+# Per-section records for the end-of-run terse summary. The driver keeps
+# only a bounded (~2000 char) stderr tail, so every section's numbers are
+# re-printed as one compact JSON line each, immediately before the
+# headline JSON (VERDICT r03 weak #2). Subprocess sections pass their
+# records back through BENCH_RESULT_FILE ("sections" key).
+_SECTIONS: list = []
+
+
+def _hbm_peak() -> float:
+    """Best-effort HBM peak bandwidth of the attached chip (B/s); 0 if
+    unknown. v5e (v5 lite) = 819 GB/s per public TPU specs."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, bw in (("v5 lite", 819e9), ("v5e", 819e9), ("v5p", 2765e9),
+                    ("v6", 1640e9), ("v4", 1228e9), ("v3", 900e9)):
+        if key in kind:
+            return bw
+    return 0.0
+
+
+def _state_bytes(state) -> int:
+    import jax
+
+    return sum(x.nbytes for x in jax.tree_util.tree_leaves(state)
+               if hasattr(x, "nbytes"))
+
+
+def _report(label, med_cps, min_cps=None, spread=None, bpc=None) -> None:
+    """Record one section result and print its detailed stderr line.
+
+    ``bpc`` = HBM bytes touched per cell per step (2x the state bytes —
+    read + write — divided by K steps per pass and cell count), from
+    which achieved bandwidth and %-of-HBM-peak derive: FDTD is
+    bandwidth-bound, so these make throughput drops attributable."""
+    rec = {"s": label, "g": round(med_cps / 1e9, 2)}
+    msg = f"{label}: {med_cps / 1e9:.3f} Gcell/s"
+    if min_cps is not None:
+        rec["gm"] = round(min_cps / 1e9, 2)
+        msg += f" (min-stat {min_cps / 1e9:.3f})"
+    if spread is not None:
+        rec["sp"] = round(spread)
+        msg += f" [spread {spread:.0f}%]"
+    if bpc is not None:
+        bw = med_cps * bpc
+        rec["bw"] = round(bw / 1e9)
+        msg += f", {bpc:.1f} B/cell/step = {bw / 1e9:.0f} GB/s"
+        peak = _hbm_peak()
+        if peak:
+            rec["hb"] = round(100 * bw / peak)
+            msg += f" ({100 * bw / peak:.0f}% of HBM peak)"
+    print(msg, file=sys.stderr)
+    _SECTIONS.append(rec)
+
+
+def _print_summary() -> None:
+    print("== bench sections (g=median Gcell/s, gm=min-stat, sp=spread%, "
+          "bw=GB/s, hb=%HBM-peak) ==", file=sys.stderr)
+    for rec in _SECTIONS:
+        print(json.dumps(rec, separators=(",", ":")), file=sys.stderr)
+
+
+def _err(label, e) -> None:
+    """Compact failure report: XLA runtime errors carry multi-KB
+    allocation dumps that flood the driver's bounded stderr tail
+    (VERDICT r03 weak #2) — truncate to head+tail."""
+    _trace()
+    msg = " ".join(repr(e).split())
+    if len(msg) > 300:
+        msg = msg[:180] + " ...[truncated]... " + msg[-90:]
+    print(f"{label} failed: {msg}", file=sys.stderr)
 
 
 def _measure_readback(jnp, n: int = 8) -> float:
@@ -1058,6 +1135,8 @@ def _run_isolated(section: str, n_steps: int, extra_env=None):
                 result = json.loads(txt)
         except Exception:
             pass
+    if result:
+        _SECTIONS.extend(result.get("sections", []))
     return result
 
 
@@ -1073,6 +1152,18 @@ def _run_section(section: str, n_steps: int) -> None:
         )
     else:
         raise SystemExit(f"unknown BENCH_SECTION {section!r}")
+    # pass the per-section records back to the parent process (the
+    # section may have written headline fields to the file already)
+    rf = os.environ.get("BENCH_RESULT_FILE")
+    if rf:
+        try:
+            txt = open(rf).read().strip()
+            data = json.loads(txt) if txt else {}
+        except Exception:
+            data = {}
+        data["sections"] = _SECTIONS
+        with open(rf, "w") as f:
+            json.dump(data, f)
 
 
 def _section_free(n: int, n_steps: int, with_bf16: bool) -> None:
@@ -1111,21 +1202,24 @@ def _section_free(n: int, n_steps: int, with_bf16: bool) -> None:
     run_j = jax.jit(run, static_argnums=1, donate_argnums=0)
     state = run_j(state, n_calls)
     _sync(state)
-    dt_wall, spread, state = _timed_min(
+    bpc = 2 * _state_bytes(state) / (k_per_call * grid.num_cells)
+    dt_wall, dt_min, spread, state = _timed_min(
         lambda s: run_j(s, n_calls), state, _sync)
     steps_done = n_calls * k_per_call
     cells_per_s = grid.num_cells * steps_done / dt_wall
+    _report(f"free{n} f32 K={k_per_call}", cells_per_s,
+            grid.num_cells * steps_done / dt_min, spread, bpc)
     print(
-        f"{n}^3 free-space (K={k_per_call} temporal blocking): "
-        f"{cells_per_s/1e9:.3f} Gcell/s [spread {spread:.0f}%] "
-        f"({steps_done/dt_wall:.1f} steps/s, "
+        f"  ({steps_done/dt_wall:.1f} steps/s, "
         f"{dt_wall*1e3/steps_done:.2f} ms/step)",
         file=sys.stderr,
     )
     rf = os.environ.get("BENCH_RESULT_FILE")
     if rf:
         with open(rf, "w") as f:
-            json.dump({"n": n, "cells_per_s": cells_per_s}, f)
+            json.dump({"n": n, "cells_per_s": cells_per_s,
+                       "cells_per_s_min": grid.num_cells * steps_done / dt_min,
+                       "spread_pct": spread}, f)
 
     probe = PointProbe(points=(((n // 2) + 8, n // 2, n // 2),))
 
@@ -1146,12 +1240,8 @@ def _section_free(n: int, n_steps: int, with_bf16: bool) -> None:
         _ = np.asarray(trace)
     dt_wall = time.perf_counter() - t0
     ticks = n_chunks * k_per_call
-    print(
-        f"{n}^3 with per-{k_per_call}-step probe readback: "
-        f"{ticks/dt_wall:.1f} steps/s "
-        f"({grid.num_cells*ticks/dt_wall/1e9:.3f} Gcell/s)",
-        file=sys.stderr,
-    )
+    _report(f"probe/{k_per_call}step {n}", grid.num_cells * ticks / dt_wall)
+    print(f"  ({ticks/dt_wall:.1f} steps/s incl. readback)", file=sys.stderr)
     step_1 = best_step_fn(shape, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt)
 
     def tick_probe(state):
@@ -1167,12 +1257,8 @@ def _section_free(n: int, n_steps: int, with_bf16: bool) -> None:
         state, trace = tickp_j(state)
         _ = np.asarray(trace)
     dt_wall = time.perf_counter() - t0
-    print(
-        f"{n}^3 with per-1-step probe readback: "
-        f"{n1/dt_wall:.1f} steps/s "
-        f"({grid.num_cells*n1/dt_wall/1e9:.3f} Gcell/s)",
-        file=sys.stderr,
-    )
+    _report(f"probe/1step {n}", grid.num_cells * n1 / dt_wall)
+    print(f"  ({n1/dt_wall:.1f} steps/s incl. readback)", file=sys.stderr)
     del state
 
     # bf16 storage only dispatches to a dtype-preserving kernel on TPU;
@@ -1199,14 +1285,12 @@ def _section_free(n: int, n_steps: int, with_bf16: bool) -> None:
         bcalls = max(n_steps // bk, 1)
         state = runb_j(state, bcalls)
         _sync(state)
-        dt_wall, spread, state = _timed_min(
+        bpc_b = 2 * _state_bytes(state) / (bk * grid.num_cells)
+        dt_wall, dt_min, spread, state = _timed_min(
             lambda s: runb_j(s, bcalls), state, _sync)
-        print(
-            f"{n}^3 bf16 storage (K={bk}): "
-            f"{grid.num_cells*bcalls*bk/dt_wall/1e9:.3f} Gcell/s "
-            f"[spread {spread:.0f}%]",
-            file=sys.stderr,
-        )
+        _report(f"free{n} bf16 K={bk}",
+                grid.num_cells * bcalls * bk / dt_wall,
+                grid.num_cells * bcalls * bk / dt_min, spread, bpc_b)
 
 
 def _section_cpml512(n_steps: int) -> None:
@@ -1271,18 +1355,15 @@ def _section_cpml512(n_steps: int) -> None:
         c_calls = max(n_steps // ck, 1)
         cstate = runc_j(cstate, c_calls)
         _sync(cstate)
+        bpc = 2 * _state_bytes(cstate) / (ck * grid.num_cells)
         holder = [cstate]
         del cstate  # ownership -> _timed_min (frame pins cost 4.5 GB)
-        dt_wall, spread, _ = _timed_min(
+        dt_wall, dt_min, spread, _ = _timed_min(
             lambda s, _r=runc_j: _r(s, c_calls), holder, _sync,
             run2=lambda s, _r=runc_j: _r(s, 2 * c_calls))
-        print(
-            f"{n}^3 CPML all axes ({jnp.dtype(cdt).name}, "
-            f"in-kernel K={ck}): "
-            f"{grid.num_cells*c_calls*ck/dt_wall/1e9:.3f} Gcell/s "
-            f"[spread {spread:.0f}%]",
-            file=sys.stderr,
-        )
+        _report(f"cpml{n} {jnp.dtype(cdt).name} K={ck}",
+                grid.num_cells * c_calls * ck / dt_wall,
+                grid.num_cells * c_calls * ck / dt_min, spread, bpc)
 
     # lateral-BLOCKED CPML K-step: y-blocking lifts the VMEM K-cap
     # (f32 K=3 -> K=8 via n_b blocks of halo-extended columns) — the
@@ -1317,18 +1398,15 @@ def _section_cpml512(n_steps: int) -> None:
         b_calls = max(n_steps // bk_c, 1)
         bstate = runbk_j(bstate, b_calls)
         _sync(bstate)
+        bpc = 2 * _state_bytes(bstate) / (bk_c * grid.num_cells)
         holder = [bstate]
         del bstate  # ownership -> _timed_min (frame pins cost 4.5 GB)
-        dt_wall, spread, _ = _timed_min(
+        dt_wall, dt_min, spread, _ = _timed_min(
             lambda s, _r=runbk_j: _r(s, b_calls), holder, _sync,
             run2=lambda s, _r=runbk_j: _r(s, 2 * b_calls))
-        print(
-            f"{n}^3 CPML all axes ({jnp.dtype(cdt).name}, BLOCKED "
-            f"in-kernel K={bk_c} n_b={n_b}): "
-            f"{grid.num_cells*b_calls*bk_c/dt_wall/1e9:.3f} Gcell/s "
-            f"[spread {spread:.0f}%]",
-            file=sys.stderr,
-        )
+        _report(f"blk-cpml{n} {jnp.dtype(cdt).name} K={bk_c} nb={n_b}",
+                grid.num_cells * b_calls * bk_c / dt_wall,
+                grid.num_cells * b_calls * bk_c / dt_min, spread, bpc)
 
     def _tier_sharded():
         sk = 3
@@ -1354,18 +1432,15 @@ def _section_cpml512(n_steps: int) -> None:
         s_calls = max(n_steps // sk, 1)
         sstate = runs_j(sstate, s_calls)
         _sync(sstate)
+        bpc = 2 * _state_bytes(sstate) / (sk * grid.num_cells)
         holder = [sstate]
         del sstate  # ownership -> _timed_min (frame pins cost 4.5 GB)
-        dt_wall, spread, _ = _timed_min(
+        dt_wall, dt_min, spread, _ = _timed_min(
             lambda s: runs_j(s, s_calls), holder, _sync,
             run2=lambda s: runs_j(s, 2 * s_calls))
-        print(
-            f"{n}^3 CPML sharded-kernel tier (1-dev mesh, "
-            f"f32 K={sk}): "
-            f"{grid.num_cells*s_calls*sk/dt_wall/1e9:.3f} "
-            f"Gcell/s [spread {spread:.0f}%]",
-            file=sys.stderr,
-        )
+        _report(f"shard-cpml{n} 1dev f32 K={sk}",
+                grid.num_cells * s_calls * sk / dt_wall,
+                grid.num_cells * s_calls * sk / dt_min, spread, bpc)
 
     import gc
 
@@ -1385,15 +1460,13 @@ def _section_cpml512(n_steps: int) -> None:
                 tier()
                 break
             except Exception as e:
-                _trace()
                 jax.clear_caches()
                 gc.collect()
                 if attempt == 0:
-                    print(f"{label} attempt 1 failed ({e!r}); "
-                          "settling and retrying", file=sys.stderr)
+                    _err(f"{label} attempt 1 (retrying)", e)
                     time.sleep(15.0)
                 else:
-                    print(f"{label} failed: {e!r}", file=sys.stderr)
+                    _err(label, e)
         jax.clear_caches()
         gc.collect()
         time.sleep(_SETTLE_S)
@@ -1438,17 +1511,14 @@ def _section_1024() -> None:
                 s = bstep(s, coeffs, src)
             return s
 
-        dt_wall, spread, state = _timed_min(_run1024, state, _sync)
-        print(
-            f"1024^3 bf16 in-place (single-step, pass-by-pass): "
-            f"{grid.num_cells*ticks/dt_wall/1e9:.3f} Gcell/s "
-            f"[spread {spread:.0f}%]",
-            file=sys.stderr,
-        )
+        bpc = 2 * _state_bytes(state) / grid.num_cells
+        dt_wall, dt_min, spread, state = _timed_min(_run1024, state, _sync)
+        _report("free1024 bf16 1step inplace",
+                grid.num_cells * ticks / dt_wall,
+                grid.num_cells * ticks / dt_min, spread, bpc)
         del state
     except Exception as e:  # HBM or compile limits: report, don't fail
-        _trace()
-        print(f"1024^3 bf16 attempt failed: {e!r}", file=sys.stderr)
+        _err("free1024 bf16", e)
     import gc
 
     jax.clear_caches()
@@ -1476,20 +1546,14 @@ def _section_1024() -> None:
                 s = k2step(s, coeffs, src)
             return s
 
-        dt_wall, spread, state = _timed_min(_runk2, state, _sync)
-        print(
-            f"1024^3 bf16 K=2 temporal blocking (in-place): "
-            f"{grid.num_cells*passes*2/dt_wall/1e9:.3f} Gcell/s "
-            f"[spread {spread:.0f}%]",
-            file=sys.stderr,
-        )
+        bpc = _state_bytes(state) / grid.num_cells
+        dt_wall, dt_min, spread, state = _timed_min(_runk2, state, _sync)
+        _report("free1024 bf16 K=2 inplace",
+                grid.num_cells * passes * 2 / dt_wall,
+                grid.num_cells * passes * 2 / dt_min, spread, bpc)
         del state
     except Exception as e:
-        _trace()
-        print(
-            f"1024^3 K=2 blocked attempt failed (expected: carry "
-            f"planes at 1024^2 exceed VMEM): {e!r}", file=sys.stderr,
-        )
+        _err("free1024 K=2 (expected: carry planes exceed VMEM)", e)
     # 1024^3 ABSORBING is not reachable on one 16 GB chip: the
     # un-aliased single-pass CPML kernel needs 2x field buffers
     # (25.8 GB bf16) and its 1024^2 x-psi blocks blow the VMEM cap;
@@ -1602,16 +1666,17 @@ def main() -> None:
         # put a fresh compilation inside the timed region)
         state = run_j(state, n_calls)
         _sync(state)
-        dt_wall, spread, state = _timed_min(
+        bpc = 2 * _state_bytes(state) / (k_per_call * grid.num_cells)
+        dt_wall, dt_min, spread, state = _timed_min(
             lambda s: run_j(s, n_calls), state, _sync)
 
         steps_done = n_calls * k_per_call
         cells_per_s = grid.num_cells * steps_done / dt_wall
         results[n] = cells_per_s
+        _report(f"free{n} f32 K={k_per_call}", cells_per_s,
+                grid.num_cells * steps_done / dt_min, spread, bpc)
         print(
-            f"{n}^3 free-space (K={k_per_call} temporal blocking): "
-            f"{cells_per_s/1e9:.3f} Gcell/s [spread {spread:.0f}%] "
-            f"({steps_done/dt_wall:.1f} steps/s, "
+            f"  ({steps_done/dt_wall:.1f} steps/s, "
             f"{dt_wall*1e3/steps_done:.2f} ms/step)",
             file=sys.stderr,
         )
@@ -1637,12 +1702,10 @@ def main() -> None:
             _ = np.asarray(trace)
         dt_wall = time.perf_counter() - t0
         ticks = n_chunks * k_per_call
-        print(
-            f"{n}^3 with per-{k_per_call}-step probe readback: "
-            f"{ticks/dt_wall:.1f} steps/s "
-            f"({grid.num_cells*ticks/dt_wall/1e9:.3f} Gcell/s)",
-            file=sys.stderr,
-        )
+        _report(f"probe/{k_per_call}step {n}",
+                grid.num_cells * ticks / dt_wall)
+        print(f"  ({ticks/dt_wall:.1f} steps/s incl. readback)",
+              file=sys.stderr)
         # per-1-step probe readback (single-step kernel, one pull per tick)
         from fdtd_tpu.solver.best import best_step_fn
 
@@ -1661,12 +1724,9 @@ def main() -> None:
             state, trace = tickp_j(state)
             _ = np.asarray(trace)
         dt_wall = time.perf_counter() - t0
-        print(
-            f"{n}^3 with per-1-step probe readback: "
-            f"{n1/dt_wall:.1f} steps/s "
-            f"({grid.num_cells*n1/dt_wall/1e9:.3f} Gcell/s)",
-            file=sys.stderr,
-        )
+        _report(f"probe/1step {n}", grid.num_cells * n1 / dt_wall)
+        print(f"  ({n1/dt_wall:.1f} steps/s incl. readback)",
+              file=sys.stderr)
         del state
 
         # bf16 storage mode (f32 compute): halves HBM traffic
@@ -1694,14 +1754,12 @@ def main() -> None:
             bcalls = max(n_steps // bk, 1)
             state = runb_j(state, bcalls)
             _sync(state)
-            dt_wall, spread, state = _timed_min(
+            bpc_b = 2 * _state_bytes(state) / (bk * grid.num_cells)
+            dt_wall, dt_min, spread, state = _timed_min(
                 lambda s: runb_j(s, bcalls), state, _sync)
-            print(
-                f"{n}^3 bf16 storage (K={bk}): "
-                f"{grid.num_cells*bcalls*bk/dt_wall/1e9:.3f} Gcell/s "
-                f"[spread {spread:.0f}%]",
-                file=sys.stderr,
-            )
+            _report(f"free{n} bf16 K={bk}",
+                    grid.num_cells * bcalls * bk / dt_wall,
+                    grid.num_cells * bcalls * bk / dt_min, spread, bpc_b)
             del state
 
         # CPML (absorbing boundaries) via the in-kernel CPML Pallas kernel
@@ -1738,19 +1796,17 @@ def main() -> None:
             try:
                 cstate = runc_j(cstate, c_calls)
                 _sync(cstate)
-                dt_wall, spread, cstate = _timed_min(
+                bpc_c = 2 * _state_bytes(cstate) / (ck * grid.num_cells)
+                dt_wall, dt_min, spread, cstate = _timed_min(
                     lambda s: runc_j(s, c_calls), cstate, _sync,
                     run2=lambda s: runc_j(s, 2 * c_calls))
-                print(
-                    f"{n}^3 CPML all axes (in-kernel, K={ck}): "
-                    f"{grid.num_cells*c_calls*ck/dt_wall/1e9:.3f} Gcell/s "
-                    f"[spread {spread:.0f}%]",
-                    file=sys.stderr,
-                )
+                _report(f"cpml{n} f32 K={ck}",
+                        grid.num_cells * c_calls * ck / dt_wall,
+                        grid.num_cells * c_calls * ck / dt_min, spread,
+                        bpc_c)
                 del cstate
             except Exception as e:
-                _trace()
-                print(f"{n}^3 CPML K={ck} failed: {e!r}", file=sys.stderr)
+                _err(f"cpml{n} K={ck}", e)
 
         # interior absorber (DensePml ball) at kernel tier: before round 3
         # any volumetric region forfeited the kernels entirely (XLA engine,
@@ -1798,21 +1854,17 @@ def main() -> None:
                 d_calls = max(n_steps // dk, 1)
                 dstate = rund_j(dstate, d_calls)
                 _sync(dstate)
-                dt_wall, spread, dstate = _timed_min(
+                bpc_d = 2 * _state_bytes(dstate) / (dk * grid.num_cells)
+                dt_wall, dt_min, spread, dstate = _timed_min(
                     lambda s: rund_j(s, d_calls), dstate, _sync,
                     run2=lambda s: rund_j(s, 2 * d_calls))
-                print(
-                    f"{n}^3 CPML + interior ball absorber (in-kernel, "
-                    f"K={dk}): "
-                    f"{grid.num_cells*d_calls*dk/dt_wall/1e9:.3f} Gcell/s "
-                    f"[spread {spread:.0f}%]",
-                    file=sys.stderr,
-                )
+                _report(f"cpml+ball{n} f32 K={dk}",
+                        grid.num_cells * d_calls * dk / dt_wall,
+                        grid.num_cells * d_calls * dk / dt_min, spread,
+                        bpc_d)
                 del dstate, dkstep
             except Exception as e:
-                _trace()
-                print(f"{n}^3 interior-absorber tier failed: {e!r}",
-                      file=sys.stderr)
+                _err(f"cpml+ball{n}", e)
 
         # compressed-material mode (uint8 matid + K-row table), 256^3 only
         if n == 256:
@@ -1847,32 +1899,49 @@ def main() -> None:
                 mcalls = max(n_steps // 10, 1)
                 state = runm_j(state, mcalls)
                 _sync(state)
-                dt_wall, spread, state = _timed_min(
+                bpc_m = ((2 * _state_bytes(state) + matid.nbytes)
+                         / (10 * grid.num_cells))
+                dt_wall, dt_min, spread, state = _timed_min(
                     lambda s: runm_j(s, mcalls), state, _sync)
-                print(
-                    f"{n}^3 compressed-material ({len(tab)} materials, "
-                    f"K=10): {grid.num_cells*mcalls*10/dt_wall/1e9:.3f} "
-                    f"Gcell/s [spread {spread:.0f}%]",
-                    file=sys.stderr,
-                )
+                _report(f"matid{n} K=10 ({len(tab)} mats)",
+                        grid.num_cells * mcalls * 10 / dt_wall,
+                        grid.num_cells * mcalls * 10 / dt_min, spread,
+                        bpc_m)
                 del state
 
     # 1024^3 datapoints, isolated for the same HBM-retention reason
     if dev.platform == "tpu" and os.environ.get("BENCH_1024", "1") != "0":
         _run_isolated("b1024", n_steps)
 
+    if not results:
+        _print_summary()
+        print("bench: every size failed to produce a headline number — "
+              "see section errors above", file=sys.stderr)
+        sys.exit(1)
     headline_n = 512 if 512 in results else max(results)
     headline = results[headline_n]
-    print(
-        json.dumps(
-            {
-                "metric": f"yee_cell_updates_per_sec_per_chip_{headline_n}^3_f32",
-                "value": headline,
-                "unit": "cells/s",
-                "vs_baseline": headline / target,
-            }
-        )
-    )
+    # terse machine-parseable per-section recap right before the headline
+    # so the driver's bounded stderr tail always carries every number
+    _print_summary()
+    out = {
+        "metric": f"yee_cell_updates_per_sec_per_chip_{headline_n}^3_f32",
+        "value": headline,
+        "unit": "cells/s",
+        "vs_baseline": headline / target,
+    }
+    rec = next((r for r in _SECTIONS
+                if r["s"] == f"free{headline_n} f32 K=10"
+                or r["s"].startswith(f"free{headline_n} f32")), None)
+    if rec is not None:
+        if "gm" in rec:
+            out["value_min_stat"] = rec["gm"] * 1e9
+        if "sp" in rec:
+            out["spread_pct"] = rec["sp"]
+    if headline_n != 512:
+        # the 5 Gcell/s target is defined at 512^3 (BASELINE.md); flag
+        # the ratio as cross-size when 512 didn't run
+        out["baseline_note"] = "target defined at 512^3"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

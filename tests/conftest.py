@@ -25,6 +25,46 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# Test tiers (documented in CLAUDE.md):
+#   -m smoke            fast gate, < 5 min on a 1-CPU box
+#   -m "smoke or slow"  full single-chip coverage (~9 min)
+#   -m sharded          multi-device interpret-mode kernels (slowest chunk,
+#                       tens of minutes on 1 CPU — run when touching
+#                       parallel/ or the kernel halo logic)
+# Every test gets exactly one tier marker, assigned here by file (and by
+# name for a few individually-slow single-chip tests) so test authors
+# don't have to remember to tag anything.
+# ---------------------------------------------------------------------------
+
+_SHARDED_FILES = {
+    "test_sharding.py",
+    "test_sharded_engine.py",
+    "test_sharded_cpml.py",
+    "test_sharded_simulation.py",
+    "test_pallas_sharded.py",
+    "test_blocked_cpml.py",
+}
+_SLOW_FILES = {"test_pallas_cpml.py"}
+_SLOW_TESTS = {
+    "test_tet_leapfrog_energy_conserved",
+    "test_boxdft_kernel_tier_matches_per_tick",
+    "test_dense_pml_in_kernel_matches_engine",
+    "test_io_alias_folded_halo_matches_plain",
+    "test_bf16_storage_error_study",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = item.path.name
+        if fname in _SHARDED_FILES:
+            item.add_marker(pytest.mark.sharded)
+        elif fname in _SLOW_FILES or item.name.split("[")[0] in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.smoke)
+
 
 @pytest.fixture
 def rng():
