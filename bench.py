@@ -369,6 +369,62 @@ def _selfcheck(ft, jax, jnp, np) -> bool:
         file=sys.stderr,
     )
 
+    # grid-blocked CPML tier (lateral blocks inside the pallas grid):
+    # the only real-hardware compile coverage of the 3-way windowed
+    # BlockSpecs + owned-center writes before the 512^3 bench tier.
+    # Needs ny = 64 (plo + phi = 32 strip rows must fit one block's
+    # owned 32 columns); compared against the plain CPML kernel there.
+    from fdtd_tpu.solver.pallas_cpml_gb import (
+        collapse_gb_pml_state,
+        extend_gb_pml_state,
+        gb_plan,
+        make_pallas_cpml_gb_stepk,
+    )
+
+    shape_g = (64, 64, 256)
+    plan_g = gb_plan(shape_g, bc, cpml, 2, n_b_candidates=(2,))
+    if plan_g is None:
+        ok = False
+        print("selfcheck grid-blocked CPML: plan unexpectedly None FAIL",
+              file=sys.stderr)
+    else:
+        src_g = ft.SourceSet.build(
+            [ft.PointSource((32, 31, 128),
+                            ft.GaussianPulse(20 * dt, 6 * dt),
+                            j=(0.0, 0.0, 1.0))]
+        )
+        pstep_g = jax.jit(pallas_cpml_stepk_fn(
+            shape_g, 2, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+            constants=ft.REDUCED, cpml=cpml, max_sources=1,
+        ))
+        pst_g = init_pml_kernel_state(shape_g, cpml=cpml)
+        for _ in range(n_ticks // 2):
+            pst_g = pstep_g(pst_g, coeffs, src_g)
+        jax.block_until_ready(pst_g)
+        gstep = jax.jit(make_pallas_cpml_gb_stepk(
+            shape_g, 2, plan_g[0], plan_g[1], inv_dx=(1.0, 1.0, 1.0),
+            dt=dt, constants=ft.REDUCED, cpml=cpml, max_sources=1,
+        ))
+        gsv = extend_gb_pml_state(
+            init_pml_kernel_state(shape_g, cpml=cpml), plan_g[0],
+            cpml=cpml,
+        )
+        for _ in range(n_ticks // 2):
+            gsv = gstep(gsv, coeffs, src_g)
+        jax.block_until_ready(gsv)
+        gsv = collapse_gb_pml_state(gsv, plan_g[0], cpml=cpml)
+        err_g = max(
+            _rel_err(getattr(gsv, f), getattr(pst_g, f), np)
+            for f in ("ex", "ey", "ez", "hx", "hy", "hz")
+        )
+        good_g = err_g < tol
+        ok = ok and good_g
+        print(
+            f"selfcheck grid-blocked CPML K=2 n_b=2: rel_err {err_g:.2e} "
+            f"{'PASS' if good_g else 'FAIL'}",
+            file=sys.stderr,
+        )
+
     # --- sharded kernel variants on an n_dev=1 mesh, interpret=False ----
     # This is the ONLY real-hardware compile coverage of the kernel builds
     # the multi-chip path uses (runtime_edges + runtime_xprof [+
@@ -1408,6 +1464,57 @@ def _section_cpml512(n_steps: int) -> None:
                 grid.num_cells * b_calls * bk_c / dt_wall,
                 grid.num_cells * b_calls * bk_c / dt_min, spread, bpc)
 
+    # GRID-blocked CPML K-step: lateral blocks inside the pallas grid —
+    # no refresh/concatenate passes, so unlike the outside-blocked tier
+    # the K lift is pure win modulo the halo overlap + un-aliased
+    # (double-buffered) outputs
+    def _tier_gb(cdt):
+        from fdtd_tpu.solver.pallas_cpml_gb import (
+            collapse_gb_pml_state,
+            extend_gb_pml_state,
+            gb_plan,
+            make_pallas_cpml_gb_stepk,
+        )
+
+        plan_g = gk = None
+        for gk in (10, 8, 6):
+            plan_g = gb_plan(shape, _BC(), Cpml.uniform(10), gk,
+                             dtype=cdt)
+            if plan_g is not None:
+                break
+        if plan_g is None:
+            raise RuntimeError("no gb plan supports 512^3")
+        n_b, h_b = plan_g
+        gstep = make_pallas_cpml_gb_stepk(
+            shape, gk, n_b, h_b, inv_dx=(1.0, 1.0, 1.0),
+            dt=grid.dt, constants=ft.REDUCED, cpml=Cpml.uniform(10),
+            max_sources=1, dtype=cdt,
+        )
+        gstate = extend_gb_pml_state(
+            init_pml_kernel_state(shape, cdt, cpml=Cpml.uniform(10)),
+            n_b, cpml=Cpml.uniform(10),
+        )
+
+        def run_g(state, k: int, _s=gstep):
+            def body(s, _):
+                return _s(s, coeffs, src), None
+
+            return jax.lax.scan(body, state, None, length=k)[0]
+
+        rung_j = jax.jit(run_g, static_argnums=1)
+        g_calls = max(n_steps // gk, 1)
+        gstate = rung_j(gstate, g_calls)
+        _sync(gstate)
+        bpc = 2 * _state_bytes(gstate) / (gk * grid.num_cells)
+        holder = [gstate]
+        del gstate  # ownership -> _timed_min (frame pins cost 4.5 GB)
+        dt_wall, dt_min, spread, _ = _timed_min(
+            lambda s, _r=rung_j: _r(s, g_calls), holder, _sync,
+            run2=lambda s, _r=rung_j: _r(s, 2 * g_calls))
+        _report(f"gb-cpml{n} {jnp.dtype(cdt).name} K={gk} nb={n_b}",
+                grid.num_cells * g_calls * gk / dt_wall,
+                grid.num_cells * g_calls * gk / dt_min, spread, bpc)
+
     def _tier_sharded():
         sk = 3
         if not supports_sharded_cpml(shape, 1, _BC(), Cpml.uniform(10),
@@ -1448,6 +1555,10 @@ def _section_cpml512(n_steps: int) -> None:
         (f"{n}^3 CPML float32 K=3", lambda: _tier_plain(jnp.float32, 3)),
         (f"{n}^3 CPML bfloat16 K=4",
          lambda: _tier_plain(jnp.bfloat16, 4)),
+        (f"{n}^3 grid-blocked CPML float32",
+         lambda: _tier_gb(jnp.float32)),
+        (f"{n}^3 grid-blocked CPML bfloat16",
+         lambda: _tier_gb(jnp.bfloat16)),
         (f"{n}^3 blocked CPML float32",
          lambda: _tier_blocked(jnp.float32)),
         (f"{n}^3 blocked CPML bfloat16",

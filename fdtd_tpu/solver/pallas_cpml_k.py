@@ -116,9 +116,24 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                  with_m=False, runtime_tfsf=False, y_halo=0,
                  flux_faces=(), dense_spec=None, dft_spec=None,
                  dft_rows=(), dft_rt=None, runtime_box_lat=False,
-                 runtime_lat=False):
+                 runtime_lat=False, blocks=None):
     inv_x, inv_y, inv_z = inv_dx
     n_psi = len(layout)
+    # blocks = (n_b, nly, h): GRID-BLOCKED mode (pallas_cpml_gb.py) — the
+    # lateral (y) dimension is decomposed into n_b owned slabs of nly
+    # columns INSIDE the pallas grid (grid = (n_b, nx+K-1), blocks outer).
+    # Laterally-windowed tensors (fields, x-slab psi, z-strip psi) arrive
+    # as (left-halo, center, right-halo) ref triples over the PLAIN GLOBAL
+    # arrays; outputs write the owned center columns only. Reads are all
+    # tick-0 (no io aliasing), so no halo refresh pass exists at all —
+    # the win over the outside-blocked tier (pallas_cpml_blocked.py).
+    if blocks is not None:
+        n_b_blk, nly_blk, h_blk = blocks
+        assert not (runtime_edges or runtime_lat or runtime_tfsf
+                    or runtime_box_lat)
+        assert dense_spec is None and dft_spec is None and dft_rt is None
+        assert not flux_faces and not dft_rows
+        assert y_halo == h_blk
     # dft_spec = (planes tuple, n_freq): running per-tick DFT of the E
     # field at fixed x-planes, accumulated IN-KERNEL with the psi carry
     # pattern (slot order (f, re/im, comp) -> 6F rows per plane tensor)
@@ -186,9 +201,24 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
         if n_rt:
             xdft_coord_ref = refs[k]; k += 1  # (1, n_rt) SMEM i32 planes
             xdft_in = refs[k: k + n_rt]; k += n_rt
-        ex_r, ey_r, ez_r, hx_r, hy_r, hz_r, eyl_r, ezl_r = refs[k: k + 8]
-        k += 8
-        psi_in = refs[k: k + n_psi]; k += n_psi
+        if blocks is None:
+            fld_refs = [(r,) for r in refs[k: k + 8]]
+            k += 8
+            psi_in_refs = [(r,) for r in refs[k: k + n_psi]]
+            k += n_psi
+        else:
+            # grid-blocked: (left-halo, center, right-halo) triples per
+            # laterally-windowed tensor; y-strip psi stays a single ref
+            # (its tensor is per-block (nx, n_b*(plo+phi), nz))
+            fld_refs = [tuple(refs[k + 3 * t: k + 3 * t + 3])
+                        for t in range(8)]
+            k += 24
+            psi_in_refs = []
+            for _h, _axis, *_ in layout:
+                if _axis == 1:
+                    psi_in_refs.append((refs[k],)); k += 1
+                else:
+                    psi_in_refs.append(tuple(refs[k: k + 3])); k += 3
         outs = refs[k: k + 6]; k += 6
         psi_out = refs[k: k + n_psi]; k += n_psi
         if dense_spec is not None:
@@ -223,10 +253,34 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                  for i in range(k_steps - 1)]
         c_topy, c_topz = scratch[slot_per_lvl * (k_steps - 1):]
 
-        i = pl.program_id(0)
+        i = pl.program_id(0) if blocks is None else pl.program_id(1)
         p = nx - 1 - i  # stage-1 plane (goes negative at the tail)
         f32 = jnp.float32
-        ny, nz = ex_r.shape[1:]
+        if blocks is None:
+            ny, nz = fld_refs[0][0].shape[1:]
+            y0_blk = 0
+
+            def _rd(t):
+                return t[0][0]
+
+            def _own(v):
+                return v
+        else:
+            # kernel plane = per-block window [halo | owned | halo]
+            ny = nly_blk + 2 * h_blk
+            nz = fld_refs[0][1].shape[2]
+            jb = pl.program_id(0)
+            y0_blk = jb * nly_blk - h_blk  # window start in absolute y
+
+            def _rd(t):
+                if len(t) == 1:
+                    return t[0][0]
+                l_, c_, r_ = t
+                return jnp.concatenate([l_[0], c_[0], r_[0]], axis=0)
+
+            def _own(v):
+                # owned center columns of a windowed (W, ·) plane
+                return v[h_blk: h_blk + nly_blk]
         # global Neumann-edge coordinates in this array's coordinates, row
         # [x_lo, x_hi, y_lo, y_hi, z_lo, z_hi]; the sharded wrapper moves
         # them per shard (sentinels far off the grid disable a mask:
@@ -238,6 +292,17 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
             y_hi_e = edge_ref[0, 3]
             z_lo_e = edge_ref[0, 4]
             z_hi_e = edge_ref[0, 5]
+        elif blocks is not None:
+            # global Neumann y edges in this block's WINDOW frame: on
+            # block 0 the lo edge sits at window column h (columns below
+            # are the clamped junk halo), on the last block the hi edge
+            # at h + nly - 1; elsewhere the shifted values fall outside
+            # [0, W) and the masks never fire (natural sentinels)
+            lo_edge = 0
+            hi_edge = nx - 1
+            y_lo_e = -y0_blk
+            y_hi_e = (n_b_blk * nly_blk - 1) - y0_blk
+            z_lo_e, z_hi_e = 0, nz - 1
         else:
             lo_edge = 0
             hi_edge = nx - 1
@@ -280,6 +345,9 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
         psi_hbm = {}
         for idx, (half, axis, comp, end, _, pads) in enumerate(layout):
             psi_hbm[(half, axis, comp, end)] = (idx, pads)
+
+        # stage-1 psi values, window-assembled in blocks mode
+        psi_vals = [_rd(t) for t in psi_in_refs]
 
         # read ALL carries before the stage loop overwrites them
         prev_e, prev_h, prev_psi, prev_dpsi = {}, {}, {}, {}
@@ -373,7 +441,7 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                     il, _ = psi_hbm[(half, 0, comp, "lo")]
                     ih, _ = psi_hbm[(half, 0, comp, "hi")]
                     # trash blocks hold zeros -> the sum is the live end
-                    psi0 = psi_in[il][0] + psi_in[ih][0]
+                    psi0 = psi_vals[il] + psi_vals[ih]
                 else:
                     psi0 = prev_psi[stage - 1][x_slot(half, comp) - 6]
                 # keep lo/hi parts separate for the HBM write: writing the
@@ -394,8 +462,8 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                 if stage == k_steps:
                     il, _ = psi_hbm[(half, 0, comp, "lo")]
                     ih, _ = psi_hbm[(half, 0, comp, "hi")]
-                    psi_out[il][0] = p_lo
-                    psi_out[ih][0] = p_hi
+                    psi_out[il][0] = _own(p_lo)
+                    psi_out[ih][0] = _own(p_hi)
                 else:
                     new_psi_lvl[x_slot(half, comp) - 6] = p_new
                 return ik * raw + p_new
@@ -412,14 +480,19 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
             # halo columns pass through raw. z stays undecomposed.
             off = y_halo if axis == 1 else 0
             if stage == 1:
-                psi0 = psi_in[idx][0]
+                psi0 = psi_vals[idx]
             else:
                 psi0 = prev_psi[stage - 1][yz_slot(half, axis, comp) - 6]
 
             def seg(arr, a, b):
                 return arr[a:b] if axis == 1 else arr[:, a:b]
 
-            ik_s, b_s, c_s = prof[0], prof[1], prof[2]
+            if blocks is not None and axis == 1:
+                # per-block runtime y-strip profile rows (identity on
+                # non-owner blocks), blocked (1, 3, plo+phi, 1) by j
+                ik_s, b_s, c_s = prof[0, 0], prof[0, 1], prof[0, 2]
+            else:
+                ik_s, b_s, c_s = prof[0], prof[1], prof[2]
             psi_pieces, out_pieces = [], []
             if off > 0:
                 out_pieces.append(seg(raw, 0, off))
@@ -442,7 +515,9 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
             p_new = (psi_pieces[0] if len(psi_pieces) == 1
                      else jnp.concatenate(psi_pieces, axis=cat_ax))
             if stage == k_steps:
-                psi_out[idx][0] = p_new
+                # y-strip tensors are per-block in blocks mode (full
+                # strip write); z strips are windowed (owned rows only)
+                psi_out[idx][0] = p_new if axis == 1 else _own(p_new)
             else:
                 new_psi_lvl[yz_slot(half, axis, comp) - 6] = p_new
             return (out_pieces[0] if len(out_pieces) == 1
@@ -462,6 +537,12 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                 tf_off = 0
             if tfsf_box is not None:
                 (ty0, ty1), (tz0, tz1) = tfsf_box
+                if blocks is not None:
+                    # absolute box y faces -> this block's window frame;
+                    # halo columns receive the same injection their
+                    # owners compute (uniform shift preserves exactness)
+                    ty0 = ty0 - y0_blk
+                    ty1 = ty1 - y0_blk
                 if runtime_box_lat:
                     # 2-D (x, y) sharding cuts the box's y span: the y
                     # face coordinates arrive per shard in the EXTENDED
@@ -480,10 +561,10 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
 
         new_carries = {}
         out_fields = None
-        below_e = (ex_r[0].astype(f32), ey_r[0].astype(f32), ez_r[0].astype(f32))
-        below_h = (hx_r[0].astype(f32), hy_r[0].astype(f32), hz_r[0].astype(f32))
-        halo_ey = eyl_r[0].astype(f32)
-        halo_ez = ezl_r[0].astype(f32)
+        below_e = tuple(_rd(fld_refs[c]).astype(f32) for c in range(3))
+        below_h = tuple(_rd(fld_refs[3 + c]).astype(f32) for c in range(3))
+        halo_ey = _rd(fld_refs[6]).astype(f32)
+        halo_ez = _rd(fld_refs[7]).astype(f32)
 
         # runtime-coordinate DFT: the resident out blocks start as copies
         # of the carried-in accumulators (first grid iteration only; they
@@ -576,6 +657,10 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
             for s_i in range(n_src if with_m else 0):
                 sp = src_ref[s_i, 0].astype(jnp.int32)
                 py_s = src_ref[s_i, 1].astype(jnp.int32)
+                if blocks is not None:
+                    # absolute -> window frame; sources within h columns
+                    # of a cut also land in the neighbor's halo recompute
+                    py_s = py_s - y0_blk
                 pz_s = src_ref[s_i, 2].astype(jnp.int32)
                 mask = jnp.logical_and(
                     sp == q, jnp.logical_and(iy == py_s, iz == pz_s)
@@ -637,6 +722,8 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
             for s_i in range(n_src):
                 sp = src_ref[s_i, 0].astype(jnp.int32)
                 py_s = src_ref[s_i, 1].astype(jnp.int32)
+                if blocks is not None:
+                    py_s = py_s - y0_blk
                 pz_s = src_ref[s_i, 2].astype(jnp.int32)
                 mask = jnp.logical_and(
                     sp == q, jnp.logical_and(iy == py_s, iz == pz_s)
@@ -813,8 +900,8 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
             # storage rounding happens here (bf16 mode: with K-step
             # blocking, fields round only every K ticks — strictly less
             # rounding than the per-tick bound in tests/test_bf16_study)
-            outs[c][0] = eK[c].astype(outs[c].dtype)
-            outs[3 + c][0] = hK[c].astype(outs[3 + c].dtype)
+            outs[c][0] = _own(eK[c]).astype(outs[c].dtype)
+            outs[3 + c][0] = _own(hK[c]).astype(outs[3 + c].dtype)
         for lvl in range(1, k_steps):
             regs = c_lvl[lvl - 1]
             ek, hk, psis, dpsis, dfts = new_carries[lvl]
@@ -843,66 +930,143 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
                 with_m=False, dtype_name="float32", runtime_tfsf=False,
                 y_halo=0, runtime_ystrips=False, flux_faces=(),
                 dense_spec=None, dft_spec=None, dft_rows=(), dft_rt=None,
-                runtime_box_lat=False, runtime_lat=False):
+                runtime_box_lat=False, runtime_lat=False, blocks=None):
     from ..constants import REDUCED
 
     constants = SI if constants_key == "si" else REDUCED
     nx, ny, nz = shape
     layout = _psi_layout(shape, cpml, x_extra)
-    profs = _profiles(shape, cpml, inv_dx, dt, constants)
+    if blocks is not None:
+        # grid-blocked mode (pallas_cpml_gb.py): the kernel plane is a
+        # [halo(h) | owned(nly) | halo(h)] window of the GLOBAL arrays;
+        # z-strip profiles are baked pre-broadcast over the WINDOW's
+        # sublanes (x profiles are y-invariant; y-strip profiles become
+        # per-block runtime stacked operands)
+        n_b_blk, nly_blk, h_blk = blocks
+        W_blk = nly_blk + 2 * h_blk
+        r_blk = nly_blk // h_blk
+        nyh_blk = ny // h_blk
+        profs = _profiles((nx, W_blk, nz), cpml, inv_dx, dt, constants)
+        ny_k = W_blk
+    else:
+        profs = _profiles(shape, cpml, inv_dx, dt, constants)
+        ny_k = ny
     plane = (1, ny, nz)
     f32 = jnp.float32
 
-    def in_idx(i):
-        return (jnp.maximum(nx - 1 - i, 0), 0, 0)
+    def in_x(i):
+        return jnp.maximum(nx - 1 - i, 0)
 
-    def halo_idx(i):
-        return (jnp.maximum(nx - 2 - i, 0), 0, 0)
+    def halo_x(i):
+        return jnp.maximum(nx - 2 - i, 0)
 
-    def out_idx(i):
-        return (jnp.clip(nx - 1 - i + (k_steps - 1), 0, nx - 1), 0, 0)
+    def out_x(i):
+        return jnp.clip(nx - 1 - i + (k_steps - 1), 0, nx - 1)
 
-    in_spec = pl.BlockSpec(plane, in_idx, memory_space=pltpu.VMEM)
-    halo_spec = pl.BlockSpec(plane, halo_idx, memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec(plane, out_idx, memory_space=pltpu.VMEM)
+    if blocks is None:
+        in_specs_fld = [pl.BlockSpec(plane, lambda i: (in_x(i), 0, 0),
+                                     memory_space=pltpu.VMEM)]
+        halo_specs_fld = [pl.BlockSpec(plane, lambda i: (halo_x(i), 0, 0),
+                                       memory_space=pltpu.VMEM)]
+        out_specs_fld = [pl.BlockSpec(plane, lambda i: (out_x(i), 0, 0),
+                                      memory_space=pltpu.VMEM)]
+    else:
+        # (left-halo, center, right-halo) input triples per field — all
+        # block-granular over the plain GLOBAL arrays (h | nly); edge
+        # blocks clamp onto junk columns masked by the window-frame
+        # Neumann edges. Outputs write the owned center only.
+        def _trip(xmap, width=None):
+            w = nz if width is None else width
+            return [
+                pl.BlockSpec(
+                    (1, h_blk, w),
+                    lambda j, i, f=xmap: (
+                        f(i), jnp.maximum(j * r_blk - 1, 0), 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, nly_blk, w),
+                    lambda j, i, f=xmap: (f(i), j, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, h_blk, w),
+                    lambda j, i, f=xmap: (
+                        f(i), jnp.minimum((j + 1) * r_blk, nyh_blk - 1), 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ]
 
-    def psi_specs(plane_of):
-        """Blocked psi specs with the stage plane given by `plane_of(i)`."""
+        in_specs_fld = _trip(in_x)
+        halo_specs_fld = _trip(halo_x)
+        out_specs_fld = [pl.BlockSpec(
+            (1, nly_blk, nz), lambda j, i: (out_x(i), j, 0),
+            memory_space=pltpu.VMEM,
+        )]
+
+    def psi_specs(plane_of, is_out=False):
+        """Blocked psi specs with the stage plane given by `plane_of(i)`.
+        In blocks mode, x-slab and z-strip entries are laterally windowed
+        (input triples / owned-center outputs); y-strip entries index the
+        per-block (nx, n_b*(plo+phi), nz) layout by j."""
         specs = []
         for half, axis, comp, end, tshape, (t_lo, t_hi, plo, phi) in layout:
             if axis == 0:
                 if end == "lo":
 
                     def x_idx(i, t_lo=t_lo):
-                        return (jnp.minimum(plane_of(i), t_lo), 0, 0)
+                        return jnp.minimum(plane_of(i), t_lo)
 
                 else:
 
                     def x_idx(i, t_hi=t_hi):
-                        return (jnp.maximum(
-                            plane_of(i) - (nx - t_hi - 1), 0), 0, 0)
+                        return jnp.maximum(plane_of(i) - (nx - t_hi - 1), 0)
 
-                specs.append(
-                    pl.BlockSpec((1, ny, nz), x_idx, memory_space=pltpu.VMEM)
-                )
+                if blocks is None:
+                    specs.append(pl.BlockSpec(
+                        (1, ny, nz), lambda i, f=x_idx: (f(i), 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ))
+                elif is_out:
+                    specs.append(pl.BlockSpec(
+                        (1, nly_blk, nz),
+                        lambda j, i, f=x_idx: (f(i), j, 0),
+                        memory_space=pltpu.VMEM,
+                    ))
+                else:
+                    specs.extend(_trip(x_idx))
             elif axis == 1:
-                specs.append(pl.BlockSpec(
-                    (1, plo + phi, nz),
-                    lambda i, f=plane_of: (f(i), 0, 0),
-                    memory_space=pltpu.VMEM,
-                ))
+                if blocks is None:
+                    specs.append(pl.BlockSpec(
+                        (1, plo + phi, nz),
+                        lambda i, f=plane_of: (f(i), 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ))
+                else:
+                    specs.append(pl.BlockSpec(
+                        (1, plo + phi, nz),
+                        lambda j, i, f=plane_of: (f(i), j, 0),
+                        memory_space=pltpu.VMEM,
+                    ))
             else:
-                specs.append(pl.BlockSpec(
-                    (1, ny, plo + phi),
-                    lambda i, f=plane_of: (f(i), 0, 0),
-                    memory_space=pltpu.VMEM,
-                ))
+                if blocks is None:
+                    specs.append(pl.BlockSpec(
+                        (1, ny, plo + phi),
+                        lambda i, f=plane_of: (f(i), 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ))
+                elif is_out:
+                    specs.append(pl.BlockSpec(
+                        (1, nly_blk, plo + phi),
+                        lambda j, i, f=plane_of: (f(i), j, 0),
+                        memory_space=pltpu.VMEM,
+                    ))
+                else:
+                    specs.extend(_trip(plane_of, width=plo + phi))
         return specs
 
-    psi_in_specs = psi_specs(lambda i: jnp.maximum(nx - 1 - i, 0))
-    psi_out_specs = psi_specs(
-        lambda i: jnp.clip(nx - 1 - i + (k_steps - 1), 0, nx - 1)
-    )
+    psi_in_specs = psi_specs(in_x)
+    psi_out_specs = psi_specs(out_x, is_out=True)
 
     if n_materials > 1:
         in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]  # (K_mat, 4) table
@@ -931,6 +1095,16 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
     for half in ("h", "e"):
         for axis in (1, 2):
             if (half, axis) in profs:
+                if blocks is not None and axis == 1:
+                    # per-block stacked (n_b, 3, plo+phi, 1) y-strip
+                    # profiles (identity on non-owner blocks), passed at
+                    # call time by pallas_cpml_gb; blocked by j
+                    p_tot = profs[(half, axis)].shape[1]
+                    in_specs.append(pl.BlockSpec(
+                        (1, 3, p_tot, 1), lambda j, i: (j, 0, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ))
+                    continue
                 in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
                 # under lateral (y) sharding the y-strip profiles are
                 # per-shard RUNTIME operands (live on edge shards, identity
@@ -940,13 +1114,26 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
                     strip_inputs.append(profs[(half, axis)])
     if n_materials > 1:
         # per-stage matid planes (stage j+1 consumes plane p+j, clamped)
-        def stage_idx(j):
-            return lambda i: (jnp.clip(nx - 1 - i + j, 0, nx - 1), 0, 0)
+        def stage_x(j):
+            return lambda i: jnp.clip(nx - 1 - i + j, 0, nx - 1)
 
-        in_specs += [
-            pl.BlockSpec(plane, stage_idx(j), memory_space=pltpu.VMEM)
-            for j in range(k_steps)
-        ]
+        if blocks is None:
+            in_specs += [
+                pl.BlockSpec(plane,
+                             lambda i, f=stage_x(j): (f(i), 0, 0),
+                             memory_space=pltpu.VMEM)
+                for j in range(k_steps)
+            ]
+        else:
+            # matid is STATIC: baked once in the per-block extended
+            # layout (nx, n_b*W, nz) (pallas_sharded_cpml._ext_clamped),
+            # so each stage reads one (1, W, nz) window directly
+            in_specs += [
+                pl.BlockSpec((1, W_blk, nz),
+                             lambda j, i, f=stage_x(s): (f(i), j, 0),
+                             memory_space=pltpu.VMEM)
+                for s in range(k_steps)
+            ]
     if dense_spec is not None:
         # volumetric-region (DensePml) operands: per-stage (6, 1, by, bz)
         # coefficient blocks [ik_h, b_h, c_h, ik_e, b_e, c_e] clamped to
@@ -998,7 +1185,7 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
                 (6 * n_freq, ny, nz), lambda i: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ))
-    in_specs += [in_spec] * 6 + [halo_spec] * 2
+    in_specs += in_specs_fld * 6 + halo_specs_fld * 2
     in_specs += psi_in_specs
 
     # per-stage flux-reduction outputs: (nx+2, n_q) rows, the stage's
@@ -1075,12 +1262,20 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
             row_shapes.append(jax.ShapeDtypeStruct((nx + 2, ny, 128), f32))
 
     out_specs = tuple(
-        [out_spec] * 6 + psi_out_specs + dpsi_out_specs + dft_out_specs
+        out_specs_fld * 6 + psi_out_specs + dpsi_out_specs + dft_out_specs
         + flux_specs + row_specs
     )
+    psi_shapes = []
+    for _h, _axis, *_rest, ts, _pads in layout:
+        if blocks is not None and _axis == 1:
+            # y-strip psi lives in the per-block layout (slice j holds
+            # block j's strip rows; identity profiles keep non-owner
+            # slices at zero)
+            ts = (ts[0], n_b_blk * ts[1], ts[2])
+        psi_shapes.append(jax.ShapeDtypeStruct(ts, f32))
     out_shape = tuple(
         [jax.ShapeDtypeStruct(shape, jnp.dtype(dtype_name)) for _ in range(6)]
-        + [jax.ShapeDtypeStruct(ts, f32) for *_, ts, _ in layout]
+        + psi_shapes
         + dpsi_shapes
         + dft_shapes
         + flux_shapes
@@ -1092,22 +1287,24 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
         n_src, n_materials, runtime_edges, with_m, runtime_tfsf, y_halo,
         flux_faces, dense_spec, dft_spec, dft_rows, dft_rt,
         runtime_box_lat=runtime_box_lat, runtime_lat=runtime_lat,
+        blocks=blocks,
     )
 
-    # scratch per level: 6 field planes + per-term psi slots
+    # scratch per level: 6 field planes + per-term psi slots (all at the
+    # KERNEL plane height ny_k — the per-block window width under blocks)
     def term_scratch():
-        slots = [pltpu.VMEM((ny, nz), f32) for _ in range(6)]
+        slots = [pltpu.VMEM((ny_k, nz), f32) for _ in range(6)]
         for _ in x_terms:
-            slots.append(pltpu.VMEM((ny, nz), f32))
+            slots.append(pltpu.VMEM((ny_k, nz), f32))
         for half, axis, comp, (t_lo, t_hi, plo, phi) in yz_terms:
             if axis == 1:
                 slots.append(pltpu.VMEM((plo + phi, nz), f32))
             else:
-                slots.append(pltpu.VMEM((ny, plo + phi), f32))
+                slots.append(pltpu.VMEM((ny_k, plo + phi), f32))
         if dense_spec is not None:
             slots += [pltpu.VMEM((by_d, bz_d), f32) for _ in range(4)]
         slots += [
-            pltpu.VMEM((ny, nz), f32)
+            pltpu.VMEM((ny_k, nz), f32)
             for _ in range(6 * n_freq * len(dft_planes))
         ]
         return slots
@@ -1115,14 +1312,21 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
     scratch = []
     for _ in range(k_steps - 1):
         scratch += term_scratch()
-    scratch += [pltpu.VMEM((ny, nz), f32), pltpu.VMEM((ny, nz), f32)]
+    scratch += [pltpu.VMEM((ny_k, nz), f32), pltpu.VMEM((ny_k, nz), f32)]
 
-    n_small = len(in_specs) - 8 - len(psi_in_specs)
-    io_aliases = {n_small + f: f for f in range(6)}
-    for j in range(len(psi_in_specs)):
-        io_aliases[n_small + 8 + j] = 6 + j
+    if blocks is None:
+        n_small = len(in_specs) - 8 - len(psi_in_specs)
+        io_aliases = {n_small + f: f for f in range(6)}
+        for j in range(len(psi_in_specs)):
+            io_aliases[n_small + 8 + j] = 6 + j
+    else:
+        # aliasing is UNSOUND here: with blocks outer, block j+1 reads
+        # its left-halo columns (owned by block j) at tick 0 AFTER block
+        # j would have written its tick-K values — inputs must stay the
+        # previous pass's buffers
+        io_aliases = {}
 
-    plane_bytes = ny * nz * 4
+    plane_bytes = ny_k * nz * 4
     dense_bytes = (
         (4 * (k_steps - 1) + 28) * by_d * bz_d * 4
         if dense_spec is not None else 0
@@ -1138,7 +1342,8 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
     )
     call = pl.pallas_call(
         kernel,
-        grid=(nx + k_steps - 1,),
+        grid=((nx + k_steps - 1,) if blocks is None
+              else (n_b_blk, nx + k_steps - 1)),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,

@@ -407,6 +407,70 @@ class Simulation:
                     k = cand
                     flux_mode = bool(accumulators)
                     break
+        gb = None
+        if (
+            self.backend == "auto"
+            and not accumulators
+            and self._dense_kernel is None
+            and self._cpml_kernel_eligible()
+        ):
+            # GRID-blocked CPML K-step (pallas_cpml_gb): lateral blocks
+            # inside the pallas grid lift the VMEM K-cap WITHOUT the
+            # outside-blocked tier's refresh/concatenate HBM cost. The
+            # per-pass overhead (un-aliased outputs + 2h/nly halo
+            # overlap) still taxes each pass, so engage only on a clear
+            # traffic win: cand >= 2x the plain ladder's K (512^3 f32:
+            # plain K=3 -> gb K=10).
+            from .pallas_cpml_gb import gb_plan, make_pallas_cpml_gb_stepk
+
+            for cand in (10, 8, 6, 4):
+                if cand <= k or cand < 2 * k:
+                    continue
+                cadence = probe_every if probes else n_steps
+                if n_steps % cand != 0 or cadence % cand != 0:
+                    continue
+                plan_g = gb_plan(
+                    self.grid.shape, self.bc, self._cpml_or_empty, cand,
+                    dtype=self.dtype, matid=self.matid is not None,
+                )
+                if plan_g is None:
+                    continue
+                n_bg, hg = plan_g
+                key = ("cpmlgb", cand, n_bg, hg)
+                if key in self._multi_step_cache:
+                    step = self._multi_step_cache[key]
+                else:
+                    n_src = (
+                        self.sources.num_sources
+                        if self.sources is not None else 0
+                    )
+                    kw = dict(
+                        inv_dx=tuple(1.0 / d for d in self.grid.dx),
+                        dt=self.grid.dt, bc=self.bc,
+                        constants=self.grid.constants,
+                        cpml=self._cpml_or_empty, tfsf=self.tfsf,
+                        max_sources=n_src, with_m=self._has_m_sources(),
+                        dtype=self.dtype,
+                    )
+                    if self.matid is not None:
+                        kernel = make_pallas_cpml_gb_stepk(
+                            self.grid.shape, cand, n_bg, hg,
+                            matid=jnp.asarray(self.matid),
+                            n_materials=self._n_materials, **kw,
+                        )
+                        table = jnp.asarray(self.table, jnp.float32)
+
+                        def step(state, coeffs, sources, _k=kernel,
+                                 _t=table):
+                            return _k(state, _t, sources)
+                    else:
+                        step = make_pallas_cpml_gb_stepk(
+                            self.grid.shape, cand, n_bg, hg, **kw
+                        )
+                    self._multi_step_cache[key] = step
+                k = cand
+                gb = (n_bg, hg)
+                break
         blocked = None
         if (
             self.backend == "auto"
@@ -612,6 +676,28 @@ class Simulation:
                 state = state._replace(
                     psi=state.psi[: len(state.psi) - len(planes)])
             return state, probe_out, tuple(finals)
+        if gb is not None:
+            # state at rest stays plain global; only the y-strip psi
+            # tensors take the per-block layout around the compiled scan
+            # (a few MB each way). Fields stay plain, so probes sample
+            # the state directly — no owned-view wrapper needed.
+            from .pallas_cpml_gb import (
+                collapse_gb_pml_state,
+                extend_gb_pml_state,
+            )
+
+            n_bg, hg = gb
+            state = extend_gb_pml_state(
+                state, n_bg, cpml=self._cpml_or_empty
+            )
+            fn = _compiled(step, tuple(probes), (),
+                           max(probe_every // k, 1) if probes else 1,
+                           n_steps // k, self.grid.dt, donate=False)
+            state, probe_out, _ = fn(state, self.coeffs, self.sources)
+            state = collapse_gb_pml_state(
+                state, n_bg, cpml=self._cpml_or_empty
+            )
+            return state, probe_out, ()
         if blocked is not None:
             # state at rest stays plain global: extend into the blocked
             # layout around the compiled scan (halo columns refresh

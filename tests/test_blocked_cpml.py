@@ -227,6 +227,11 @@ def test_simulation_run_dispatches_blocked(monkeypatch):
     # force the plain ladder off; blocked_plan keeps its own real binding
     monkeypatch.setattr(plain_k, "supports_cpml_k",
                         lambda *a, **kw: False)
+    # force the grid-blocked tier off too — it outranks this one in
+    # Simulation.run and would otherwise take the dispatch
+    import fdtd_tpu.solver.pallas_cpml_gb as gbmod
+
+    monkeypatch.setattr(gbmod, "gb_plan", lambda *a, **kw: None)
     real_make = blk.make_pallas_cpml_blocked_stepk
     built = {}
 
