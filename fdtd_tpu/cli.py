@@ -102,6 +102,27 @@ def cmd_run(args) -> int:
             )
         )
 
+    fb = None
+    if getattr(args, "watch", False):
+        # live view: mirror the first observer (or a default mid-x
+        # slice) into a FrameBuffer the terminal viewer polls
+        from fdtd_tpu.viz.targets import FrameBuffer
+
+        fb = FrameBuffer()
+        if compiled.observers:
+            ro = compiled.observers[0]
+            w_axis, w_index, w_field = (
+                ro.axis, ro.index, ro.entity.observer.field
+            )
+        else:
+            w_axis, w_index, w_field = 0, compiled.grid.shape[0] // 2, "e"
+        observers.append(
+            ObserverBinding.slice_view(
+                w_axis, w_index, compiled.grid.shape, fb, field=w_field,
+                size=tuple(app_cfg.image_size),
+            )
+        )
+
     runner = SolverRunner(
         sim,
         stop_condition=StopCondition(step_limit=cfg.step_limit),
@@ -122,17 +143,27 @@ def cmd_run(args) -> int:
         runner.start(paused=False)
     t0 = time.perf_counter()
     try:
-        while True:
-            runner.join(timeout=1.0)
-            st = runner.stats()
-            print(
-                f"\rtick {st.sim_tick}  sim t={st.sim_time:.4g}  "
-                f"step {st.last_step_time*1e3:.2f} ms",
-                end="",
-                file=sys.stderr,
-            )
-            if st.finished:
-                break
+        if fb is not None:
+            # live terminal view at the observation cadence, mirroring
+            # the reference's solver window (solver/ui.rs:31-126)
+            from fdtd_tpu.viz.watch import LiveView
+
+            out.mkdir(parents=True, exist_ok=True)
+            view = LiveView(runner, fb, png_path=str(out / "live.png"))
+            view.watch()
+            runner.join()
+        else:
+            while True:
+                runner.join(timeout=1.0)
+                st = runner.stats()
+                print(
+                    f"\rtick {st.sim_tick}  sim t={st.sim_time:.4g}  "
+                    f"step {st.last_step_time*1e3:.2f} ms",
+                    end="",
+                    file=sys.stderr,
+                )
+                if st.finished:
+                    break
     except KeyboardInterrupt:
         runner.stop()
         runner.join()
@@ -269,6 +300,9 @@ def main(argv=None) -> int:
                      help="write the final state to PATH (.npz)")
     run.add_argument("--resume", metavar="PATH",
                      help="resume from a checkpoint written by --save-checkpoint")
+    run.add_argument("--watch", action="store_true",
+                     help="live terminal view of the first observer "
+                          "(SPACE pauses, q stops) + out/live.png")
     run.set_defaults(fn=cmd_run)
 
     dump = sub.add_parser("dump-default-config")
