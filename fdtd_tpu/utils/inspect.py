@@ -11,9 +11,9 @@ for notebooks and logs.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+from typing import Any, List, Optional
 
-__all__ = ["describe", "scene_tree", "Selection"]
+__all__ = ["describe", "scene_tree", "Selection", "get", "set", "paths"]
 
 
 def _fmt(value: Any, indent: int) -> str:
@@ -57,6 +57,141 @@ def describe(obj: Any) -> str:
                 parts.append(f"  {comp}: {_fmt(v, 1)}")
         return "\n".join(parts)
     return _fmt(obj, 0)
+
+
+# -- reflective property editing (PropertiesUi's write half) -----------------
+#
+# The reference's cem-probe is a TWO-way property surface: each widget
+# writes back through TrackChanges into the component it reflects
+# (cem-probe/src/lib.rs:10-210). ``get``/``set`` are the headless
+# counterpart: dotted paths matching what ``describe`` prints navigate
+# dataclass fields, tuple indices, and x/y/z(/w) axis names; ``set``
+# rebuilds frozen dataclasses (dataclasses.replace) up the chain and
+# mutates the first mutable owner. Routed through a ComposerSession the
+# edit is one undo step, like every inspector tweak in the reference.
+
+
+def _tuple_index(value, seg: str) -> int:
+    """Tuple position for a path segment: a digit, or an axis name —
+    (x, y, z) for length-3 tuples, (w, x, y, z) for length-4 (the
+    quaternion layout of scene.transform.Isometry.rotation)."""
+    if seg.lstrip("-").isdigit():
+        i = int(seg)
+        if not -len(value) <= i < len(value):
+            raise KeyError(f"index {i} out of range for {len(value)}-tuple")
+        return i
+    axes = ("w", "x", "y", "z") if len(value) == 4 else ("x", "y", "z")
+    if seg in axes[: len(value)]:
+        return axes.index(seg)
+    raise KeyError(f"{seg!r} is not an index or axis name "
+                   f"for a {len(value)}-tuple")
+
+
+def _coerce(old: Any, new: Any) -> Any:
+    """Light type preservation: keep a float slot float, a tuple slot a
+    tuple, so edits coming from strings/ints/lists land well-typed."""
+    if isinstance(old, bool) or old is None:
+        return new
+    if isinstance(old, float) and isinstance(new, (int, str)):
+        return float(new)
+    if isinstance(old, int) and isinstance(new, str):
+        return int(new)
+    if isinstance(old, tuple) and isinstance(new, (list, tuple)):
+        return tuple(new)
+    return new
+
+
+def _child(obj: Any, seg: str) -> Any:
+    if isinstance(obj, (tuple, list)):
+        return obj[_tuple_index(obj, seg)]
+    if dataclasses.is_dataclass(obj) and not any(
+            f.name == seg for f in dataclasses.fields(obj)):
+        raise KeyError(f"{type(obj).__name__} has no field {seg!r}")
+    try:
+        return getattr(obj, seg)
+    except AttributeError:
+        raise KeyError(f"{type(obj).__name__} has no attribute {seg!r}")
+
+
+def get(obj: Any, path: str) -> Any:
+    """Read a dotted property path, e.g. ``get(e, "pose.translation.x")``."""
+    for seg in path.split("."):
+        obj = _child(obj, seg)
+    return obj
+
+
+def _set_rec(obj: Any, segs: List[str], value: Any):
+    """Returns the REPLACEMENT for ``obj`` (obj itself when mutated in
+    place; a rebuilt copy for tuples/frozen dataclasses)."""
+    if not segs:
+        return _coerce(obj, value)
+    seg, rest = segs[0], segs[1:]
+    cur = _child(obj, seg)
+    new = _set_rec(cur, rest, value)
+    if isinstance(obj, tuple):
+        i = _tuple_index(obj, seg)
+        return obj[:i] + (new,) + obj[i + 1:]
+    if isinstance(obj, list):
+        obj[_tuple_index(obj, seg)] = new
+        return obj
+    if dataclasses.is_dataclass(obj) and type(obj).__dataclass_params__.frozen:
+        return dataclasses.replace(obj, **{seg: new})
+    setattr(obj, seg, new)
+    return obj
+
+
+def set(obj: Any, path: str, value: Any, *, composer=None) -> Any:  # noqa: A001
+    """Write a dotted property path; returns the (possibly rebuilt) object.
+
+    Mutable roots (Entity) are edited in place and returned; frozen roots
+    (Material, Isometry, ...) are REPLACED — use the return value. With
+    ``composer`` (a scene.composer.ComposerSession) and a mutable root,
+    the edit routes through ``composer.update`` so it lands in the undo
+    buffer as one labeled step (the inspector-edit flow of
+    cem-probe/src/lib.rs:10-210 + composer/entity_window.rs)."""
+    segs = path.split(".")
+    if not segs or not path:
+        raise KeyError("empty property path")
+    get(obj, path)  # validate (and surface KeyError) before touching obj
+    if composer is not None:
+        top = segs[0]
+        cur = _child(obj, top)
+        new = _set_rec(cur, segs[1:], value) if len(segs) > 1 \
+            else _coerce(cur, value)
+        composer.update(obj, **{top: new})
+        return obj
+    return _set_rec(obj, segs, value)
+
+
+def paths(obj: Any, *, _prefix: str = "", _depth: int = 0) -> List[str]:
+    """Enumerate the settable leaf paths of an object — the rows a
+    property inspector would show (matches what ``describe`` prints)."""
+    out: List[str] = []
+    if _depth > 6:
+        return out
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        for f in dataclasses.fields(obj):
+            v = getattr(obj, f.name)
+            p = f"{_prefix}{f.name}"
+            if v is None:
+                continue
+            sub = paths(v, _prefix=p + ".", _depth=_depth + 1)
+            out.extend(sub if sub else [p])
+        return out
+    if isinstance(obj, tuple) and 2 <= len(obj) <= 4 and all(
+            isinstance(v, (int, float)) for v in obj):
+        axes = ("w", "x", "y", "z") if len(obj) == 4 else ("x", "y", "z")
+        return [f"{_prefix}{a}" for a in axes[: len(obj)]]
+    if isinstance(obj, (int, float, str, bool)) or obj is None:
+        return []
+    if hasattr(obj, "__dict__"):
+        for k, v in vars(obj).items():
+            if k.startswith("_") or callable(v):
+                continue
+            p = f"{_prefix}{k}"
+            sub = paths(v, _prefix=p + ".", _depth=_depth + 1)
+            out.extend(sub if sub else [p])
+    return out
 
 
 def scene_tree(scene) -> str:
