@@ -15,8 +15,13 @@ from .pbr import (
 )
 from .preview import render_scene_preview
 from .targets import FrameBuffer, GifTarget, PngTarget
+from .texture import MipCache, Texture, checkerboard, load_texture
 
 __all__ = [
+    "MipCache",
+    "Texture",
+    "checkerboard",
+    "load_texture",
     "AmbientLight",
     "Camera",
     "MATERIAL_PRESETS",

@@ -75,12 +75,35 @@ class PbrMaterial:
     # material.wireframe color, material.rs / shader.wgsl vs_main_wireframe);
     # None = no wireframe overlay.
     wireframe: Optional[Tuple[float, float, float, float]] = None
+    # Image textures (viz/texture.py), MULTIPLIED into the factors above
+    # exactly like the shader does (shader.wgsl:205-230): albedo texel
+    # scales albedo.rgb and alpha; the ORM material texture's r/g/b
+    # channels scale metalness/roughness/ambient_occlusion — gated per
+    # channel like MaterialTextureFlags (material.rs:557-620). UVs are
+    # analytic per shape (see _shape_uv); uv_scale tiles them.
+    albedo_texture: Optional[object] = dataclasses.field(
+        default=None, compare=False)
+    material_texture: Optional[object] = dataclasses.field(
+        default=None, compare=False)
+    material_channels: Tuple[bool, bool, bool] = (True, True, True)
+    uv_scale: Tuple[float, float] = (1.0, 1.0)
 
     @classmethod
     def from_albedo(cls, r, g, b, a=1.0) -> "PbrMaterial":
         """material.rs:133-143 — transparency inferred from alpha."""
         return cls(albedo=(float(r), float(g), float(b), float(a)),
                    transparent=float(a) < 1.0)
+
+    @classmethod
+    def with_texture(cls, texture, *, transparent: Optional[bool] = None,
+                     **kwargs) -> "PbrMaterial":
+        """LoadAlbedoTexture semantics (material.rs:490-539): when
+        ``transparent`` is unspecified it is inferred from the image
+        having alpha content."""
+        if transparent is None:
+            transparent = texture.has_alpha
+        return cls(albedo_texture=texture, transparent=transparent,
+                   **kwargs)
 
 
 # The reference pulls these from the public pbr_presets crate
@@ -146,6 +169,75 @@ def _entity_role(e) -> str:
     return "material"
 
 
+def _shape_uv(shape, local: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Analytic (u, v) in [0, 1] from shape-LOCAL hit positions (k, 3).
+
+    The reference rasterizer interpolates per-vertex UVs
+    (shader.wgsl:213 texture_position); a ray tracer over procedural
+    shapes evaluates the same parameterizations exactly at the hit point
+    — no seams at the wrap column, no UV vertex attributes:
+
+    - Ball: the UV-sphere chart (y polar axis, matching mesh.py's
+      _uv_sphere ring layout): u = azimuth, v = polar angle / pi.
+    - Cuboid: dominant-axis cube-face planar mapping.
+    - Cylinder (y axis, mesh.py _cylinder): u = azimuth, v = height.
+    - Quad / HalfSpace / fallback: planar in the local tangent plane.
+    """
+    from ..scene.shapes import Ball, Cuboid, Cylinder, HalfSpace, Quad
+
+    x, y, z = local[:, 0], local[:, 1], local[:, 2]
+    if isinstance(shape, Ball):
+        r = np.maximum(np.linalg.norm(local, axis=-1), _EPS)
+        u = 0.5 + np.arctan2(z, x) / (2 * np.pi)
+        v = np.arccos(np.clip(y / r, -1.0, 1.0)) / np.pi
+        return u, v
+    if isinstance(shape, Cuboid):
+        he = np.maximum(np.asarray(shape.half_extents, np.float64), _EPS)
+        n = local / he
+        ax = np.argmax(np.abs(n), axis=-1)
+        u = np.where(ax == 0, z / he[2], np.where(ax == 1, x / he[0],
+                                                  x / he[0]))
+        v = np.where(ax == 0, y / he[1], np.where(ax == 1, z / he[2],
+                                                  y / he[1]))
+        return (u + 1.0) * 0.5, (v + 1.0) * 0.5
+    if isinstance(shape, Cylinder):
+        u = 0.5 + np.arctan2(z, x) / (2 * np.pi)
+        v = np.clip((y / max(shape.half_height, _EPS) + 1.0) * 0.5, 0.0, 1.0)
+        return u, v
+    if isinstance(shape, Quad):
+        hx, hy = shape.half_extents
+        return ((x / max(hx, _EPS) + 1.0) * 0.5,
+                (y / max(hy, _EPS) + 1.0) * 0.5)
+    if isinstance(shape, HalfSpace):
+        # same tangent basis the mesh patch uses (mesh.py triangulate)
+        n = np.asarray(shape.normal, np.float64)
+        n = n / np.linalg.norm(n)
+        a = np.array([1.0, 0.0, 0.0])
+        if abs(n @ a) > 0.9:
+            a = np.array([0.0, 0.0, 1.0])
+        t1 = np.cross(n, a)
+        t1 /= np.linalg.norm(t1)
+        t2 = np.cross(n, t1)
+        return local @ t1, local @ t2
+    return x, y
+
+
+def _uv_density(shape, extent: float) -> float:
+    """Characteristic world length of one full UV span, for mip LOD."""
+    from ..scene.shapes import Ball, Cuboid, Cylinder, Quad
+
+    if isinstance(shape, Ball):
+        return float(np.pi * shape.radius)
+    if isinstance(shape, Cuboid):
+        return float(2.0 * max(shape.half_extents))
+    if isinstance(shape, Cylinder):
+        return float(2.0 * max(shape.half_height,
+                               np.pi * shape.radius))
+    if isinstance(shape, Quad):
+        return float(2.0 * max(shape.half_extents))
+    return float(extent)
+
+
 def _gather_triangles(scene, materials, default_material, extent):
     """World-space triangle soup: (v0, e1, e2, n, mat_id), materials list."""
     from ..scene.shapes import HalfSpace
@@ -162,6 +254,7 @@ def _gather_triangles(scene, materials, default_material, extent):
 
     v0s, e1s, e2s, mids = [], [], [], []
     mats: list = []
+    frames: list = []  # (shape, global pose, uv density) per material slot
     for e in scene.entities:
         if e.shape is None:
             continue
@@ -174,9 +267,11 @@ def _gather_triangles(scene, materials, default_material, extent):
             mat = default_material or PbrMaterial(
                 albedo=_ROLE_ALBEDO[_entity_role(e)]
             )
-        # alpha fully below threshold: every fragment would be discarded
-        # (shader.wgsl:233-236), so the whole entity drops out here.
-        if mat.albedo[3] < mat.alpha_threshold:
+        # constant alpha fully below threshold: every fragment would be
+        # discarded (shader.wgsl:233-236), so the whole entity drops out
+        # here; textured alpha discards per fragment in the shade loop.
+        if mat.albedo_texture is None \
+                and mat.albedo[3] < mat.alpha_threshold:
             continue
         try:
             verts, faces = triangulate(e.shape, extent=extent)
@@ -189,15 +284,18 @@ def _gather_triangles(scene, materials, default_material, extent):
         e2s.append(tri[:, 2] - tri[:, 0])
         mids.append(np.full(len(faces), len(mats), np.int32))
         mats.append(mat)
+        frames.append((e.shape, e.global_pose(), _uv_density(e.shape,
+                                                             extent)))
     if not mats:
         z = np.zeros((0, 3))
-        return z, z, z, np.zeros(0, np.int32), []
+        return z, z, z, np.zeros(0, np.int32), [], []
     return (
         np.concatenate(v0s),
         np.concatenate(e1s),
         np.concatenate(e2s),
         np.concatenate(mids),
         mats,
+        frames,
     )
 
 
@@ -224,18 +322,33 @@ def _aces_tone_map(hdr: np.ndarray) -> np.ndarray:
 
 
 def _shade(mat: PbrMaterial, p, n, view, light_pos, light_color,
-           ambient_color, gamma):
+           ambient_color, gamma, tex_rgb=None, orm=None):
     """Per-hit HDR→LDR shading (shader.wgsl:200-334 pbr_shader +
-    light_radiance). All arrays (k, 3)."""
+    light_radiance). All arrays (k, 3). ``tex_rgb`` multiplies albedo
+    and ``orm`` (r, g, b) multiplies metalness/roughness/AO per hit
+    (shader.wgsl:205-230)."""
     albedo = np.asarray(mat.albedo[:3])
+    metalness = mat.metalness
+    rough_in = mat.roughness
+    amb_occ = mat.ambient_occlusion
+    if tex_rgb is not None:
+        albedo = albedo * tex_rgb
+    if orm is not None:
+        use_m, use_r, use_ao = mat.material_channels
+        if use_m:
+            metalness = metalness * orm[:, 0:1]
+        if use_r:
+            rough_in = rough_in * orm[:, 1:2]
+        if use_ao:
+            amb_occ = amb_occ * orm[:, 2:3]
     if not mat.shading:
         color = np.broadcast_to(albedo, p.shape).copy()
     else:
-        roughness = max(mat.roughness, 0.001)  # shader.wgsl:258-261
-        f0 = 0.04 + (albedo - 0.04) * mat.metalness  # mix(0.04, albedo, m)
+        roughness = np.maximum(rough_in, 0.001)  # shader.wgsl:258-261
+        f0 = 0.04 + (albedo - 0.04) * metalness  # mix(0.04, albedo, m)
         n_dot_v = np.maximum(np.sum(n * view, axis=-1, keepdims=True), 0.0)
 
-        color = ambient_color * albedo * mat.ambient_occlusion
+        color = ambient_color * albedo * amb_occ
 
         ld = light_pos - p
         ld /= np.maximum(np.linalg.norm(ld, axis=-1, keepdims=True), _EPS)
@@ -259,7 +372,7 @@ def _shade(mat: PbrMaterial, p, n, view, light_pos, light_color,
             n_dot_l / (n_dot_l * (1 - k) + k)
         )
         f = f0 + (1.0 - f0) * (1.0 - h_dot_v) ** 5  # fresnel_schlick
-        k_d = (1.0 - mat.metalness) * (1.0 - f)
+        k_d = (1.0 - metalness) * (1.0 - f)
         specular = ndf * g * f / (4.0 * n_dot_v * n_dot_l + 1e-4)
         color = color + (k_d * albedo / np.pi + specular) * radiance * n_dot_l
 
@@ -297,7 +410,7 @@ def render_pbr(
     position (the reference's camera-attached point light,
     light.rs:36-43). ``max_layers`` bounds how many transparent surfaces
     compose front-to-back along one ray."""
-    v0, e1, e2, mat_id, mats = _gather_triangles(
+    v0, e1, e2, mat_id, mats, uv_frames = _gather_triangles(
         scene, materials, default_material, mesh_extent
     )
     bg = np.asarray(background, np.float64)
@@ -310,6 +423,8 @@ def render_pbr(
     rot = camera.rotation
     ty = np.tan(0.5 * camera.fovy)
     tx = ty * camera.aspect
+    # solid-angle size of one pixel (for texture mip LOD selection)
+    pixel_angle = 2.0 * ty / height
     # pixel centers, +y up (camera.rs:109-115 screen convention)
     us = (np.arange(width) + 0.5) / width * 2.0 - 1.0
     vs = 1.0 - (np.arange(height) + 0.5) / height * 2.0
@@ -388,11 +503,50 @@ def render_pbr(
             for mi in np.unique(m_of):
                 sel = m_of == mi
                 mat = mats[mi]
+                tex_rgb = orm = None
+                alpha = mat.albedo[3] if mat.transparent else 1.0
+                if mat.albedo_texture is not None \
+                        or mat.material_texture is not None:
+                    shape, pose, density = uv_frames[mi]
+                    # Isometry.apply works on (3, ...) coordinate-first
+                    local = pose.inverse_apply(p[sel].T).T
+                    u, v = _shape_uv(shape, local)
+                    su, sv = mat.uv_scale
+                    u, v = u * su, v * sv
+                    # isotropic ray-footprint mip LOD: hit distance x
+                    # pixel angle / cos, in texels of the base level
+                    # (the rasterizer's screen-derivative analog)
+                    cosv = np.abs(np.sum(n[sel] * view[sel], axis=-1))
+                    foot = t_h[sel] * pixel_angle / np.maximum(cosv, 0.2)
+                    if mat.albedo_texture is not None:
+                        tex = mat.albedo_texture
+                        texels = foot / max(density, _EPS) \
+                            * tex.shape[0] * max(su, sv)
+                        lods = np.clip(
+                            np.round(np.log2(np.maximum(texels, 1e-9))),
+                            0, tex.n_mips - 1).astype(np.int32)
+                        texel = np.empty((int(sel.sum()), 4))
+                        for lv in np.unique(lods):
+                            m = lods == lv
+                            texel[m] = tex.sample(u[m], v[m], lod=float(lv))
+                        tex_rgb = texel[:, :3]
+                        # per-fragment alpha: factor x texel, with the
+                        # shader's alpha_threshold discard
+                        # (shader.wgsl:215-236)
+                        alpha = (mat.albedo[3] * texel[:, 3]
+                                 if mat.transparent else
+                                 np.ones(len(texel)))
+                        if mat.alpha_threshold > 0.0:
+                            alpha = np.where(
+                                mat.albedo[3] * texel[:, 3]
+                                < mat.alpha_threshold,
+                                0.0, alpha)
+                    if mat.material_texture is not None:
+                        orm = mat.material_texture.sample(u, v)[:, :3]
                 rgb = _shade(
                     mat, p[sel], n[sel], view[sel], light_pos, lcol, amb,
-                    gamma,
+                    gamma, tex_rgb=tex_rgb, orm=orm,
                 )
-                alpha = mat.albedo[3] if mat.transparent else 1.0
                 if mat.wireframe is not None:
                     bu = uu_[hr[sel], htri[sel]]
                     bv = vv_[hr[sel], htri[sel]]
