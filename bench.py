@@ -1665,16 +1665,65 @@ def _section_1024() -> None:
         del state
     except Exception as e:
         _err("free1024 K=2 (expected: carry planes exceed VMEM)", e)
-    # 1024^3 ABSORBING is not reachable on one 16 GB chip: the
-    # un-aliased single-pass CPML kernel needs 2x field buffers
-    # (25.8 GB bf16) and its 1024^2 x-psi blocks blow the VMEM cap;
-    # the K kernel's carries don't fit either (see supports_cpml_k).
-    # Recorded as an explicit skip — the capability needs >= 2 chips
-    # (the sharded CPML tier) which this host doesn't have.
+    # 1024^3 ABSORBING is not reachable on one 16 GB chip. Print the
+    # arithmetic (computed from the real psi layout, not asserted) so
+    # the skip is a proof, not a claim. The capability lives on the
+    # >= 2-chip sharded CPML tier, which this single-chip host can't
+    # run; tests/test_sharded_simulation.py::
+    # test_scaled_1024_absorbing_virtual_mesh stands in for it on an
+    # 8-device virtual mesh at the scaled shape (1024, 64, 128).
+    _print_1024_cpml_budget(shape)
+
+
+def _print_1024_cpml_budget(shape) -> None:
+    """Exact single-chip memory budget for absorbing at ``shape``,
+    computed from solver/pallas_cpml.py's actual tensor layout."""
+    import numpy as np
+
+    from fdtd_tpu.solver.cpml import Cpml
+    from fdtd_tpu.solver.pallas_cpml import _psi_layout
+
+    gib = float(1 << 30)
+    cells = int(np.prod(shape))
+    fields_bf16 = 6 * cells * 2 / gib
+    layout = _psi_layout(shape, Cpml.uniform(10))
+    psi = {0: 0.0, 1: 0.0, 2: 0.0}
+    for half, axis, comp, end, tshape, pads in layout:
+        psi[axis] += int(np.prod(tshape)) * 4 / gib
+    psi_total = sum(psi.values())
+    ny, nz = shape[1], shape[2]
+    # single-pass VMEM pipeline at full-lateral planes: in/out blocks
+    # double-buffered (6+2 field in + 6 out bf16; psi blocks f32 at the
+    # padded strip widths) + 2 f32 scratch planes
+    plane_f32 = ny * nz * 4 / (1 << 20)
+    plane_bf16 = ny * nz * 2 / (1 << 20)
+    psi_blocks = 0.0
+    for half, axis, comp, end, tshape, pads in layout:
+        if axis == 0:
+            psi_blocks += plane_f32
+        elif axis == 1:
+            psi_blocks += (pads[2] + pads[3]) * nz * 4 / (1 << 20)
+        else:
+            psi_blocks += ny * (pads[2] + pads[3]) * 4 / (1 << 20)
+    vmem = 2 * (14 * plane_bf16 + 2 * psi_blocks) + 2 * plane_f32
     print(
-        "1024^3 CPML: skipped on 1 chip (psi slabs + un-aliased "
-        "single-pass exceed HBM; K-step carries exceed VMEM at "
-        "1024^2 planes) — needs the >=2-chip sharded tier",
+        f"1024^3 CPML: skipped on 1 chip — the budget cannot close:\n"
+        f"  fields bf16 (6 arrays, 1 copy) = {fields_bf16:.1f} GiB; the "
+        f"pallas call runs UN-aliased (axon aliasing flake, "
+        f"pallas_cpml.py NOTE) -> 2x = {2 * fields_bf16:.1f} GiB\n"
+        f"  psi f32: x-slabs {psi[0]:.2f} + y-strips {psi[1]:.2f} + "
+        f"z-strips {psi[2]:.2f} (128-lane padding: 22 real lanes pad to "
+        f"256) = {psi_total:.2f} GiB\n"
+        f"  un-aliased total {2 * fields_bf16 + 2 * psi_total:.1f} GiB; "
+        f"even fully aliased, fields+psi = "
+        f"{fields_bf16 + psi_total:.1f} GiB vs ~15.5 GiB usable HBM -> "
+        f"fits ONLY with bf16 psi (error 2x, tests/test_bf16_study.py)\n"
+        f"  and the single-pass VMEM pipeline at (1, {ny}, {nz}) planes "
+        f"needs ~{vmem:.0f} MiB double-buffered vs 128 MiB VMEM -> the "
+        f"kernel cannot pipeline full-lateral 1024^2 planes at all\n"
+        f"  => needs the >=2-chip sharded CPML tier (per-shard planes "
+        f"halve both budgets); stand-in test: scaled virtual mesh "
+        f"(1024, 64, 128) x 8 devices",
         file=sys.stderr,
     )
 

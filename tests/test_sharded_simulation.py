@@ -897,3 +897,49 @@ def test_probes_and_checkpoint_on_2d_mesh(tmp_path):
     np.testing.assert_allclose(
         np.asarray(got.psi[-1])[:, 1:] / s,
         np.asarray(ref.psi[-1])[:, 1:] / s, rtol=0, atol=5e-6)
+
+
+def test_scaled_1024_absorbing_virtual_mesh():
+    """Stand-in for the >=2-chip 1024^3 absorbing run that a single
+    16 GB chip provably cannot host (bench.py::_print_1024_cpml_budget:
+    fields+psi exceed HBM even fully aliased, and the single-pass VMEM
+    pipeline needs ~210 MiB at full-lateral 1024^2 planes vs 128 MiB).
+
+    The sharded tier carries it by cutting the FULL 1024 x extent over
+    the mesh — per-shard planes halve both budgets per doubling. This
+    runs exactly that decomposition on an 8-device virtual mesh at the
+    laterally-scaled shape (1024, 64, 128): the real x extent (the
+    dimension the capability claim is about: full-depth 10-cell CPML at
+    both x ends, per-shard slab ownership, halo exchange across all 7
+    cuts) with lateral dims shrunk to CPU-test scale, and checks the
+    gathered result against the single-device engine."""
+    shape = (1024, 64, 128)
+    grid = _grid(shape)
+    cpml = Cpml(thickness=((10, 10), (10, 10), (10, 10)))
+    coeffs = _uniform_coeffs(grid)
+    src = _src(grid, (512, 32, 64))
+    mesh = make_mesh(8, ("x",))
+
+    ssim = ShardedSimulation(grid=grid, coeffs=coeffs, sources=src,
+                             cpml=cpml, mesh=mesh)
+    k, kind = ssim.plan()
+    assert kind == "xla_engine" and k == 1  # CPU host: sharded XLA engine
+    st = ssim.init()
+    n_steps = 6
+    st = ssim.run(st, n_steps)
+    g = ssim.gather(st)
+    assert int(g.tick) == n_steps
+
+    from fdtd_tpu.solver.simulation import Simulation
+
+    ref_sim = Simulation(grid=grid, coeffs=coeffs, sources=src, cpml=cpml,
+                         backend="xla")
+    ref = ref_sim.init()
+    ref, _, _ = ref_sim.run(ref, n_steps)
+
+    scale = float(np.abs(np.asarray(ref.ez)).max())
+    assert scale > 1e-9  # the pulse actually propagated
+    for name in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(g, name)), np.asarray(getattr(ref, name)),
+            rtol=0, atol=1e-6 * scale, err_msg=name)
