@@ -2026,6 +2026,66 @@ def main() -> None:
             except Exception as e:
                 _err(f"cpml+ball{n}", e)
 
+        # XLA-engine fallback cost, measured (VERDICT r3 items 5+6):
+        # (a) plain CPML through the engine — the per-shard work of every
+        #     config that falls off the kernel tier (z-cut meshes,
+        #     parallel/best.py fallback list), so "z-cut falls back"
+        #     carries a number;
+        # (b) oblique-incidence TF/SF + CPML — the one physics feature
+        #     that runs engine-only (solver/tfsf_oblique.py).
+        # Both print their ratio vs the kernel-tier cpml256 section.
+        if n == 256 and dev.platform == "tpu" \
+                and os.environ.get("BENCH_ENGINE", "1") != "0":
+            from fdtd_tpu.solver.cpml import Cpml
+            from fdtd_tpu.solver.engine import build_step, init_engine_state
+            from fdtd_tpu.solver.tfsf_oblique import ObliqueTfsf
+
+            def _kernel_cpml_cps():
+                rec = next((r for r in _SECTIONS
+                            if r["s"].startswith("cpml256 ")), None)
+                return rec["g"] * 1e9 if rec else None
+
+            for label, tfsf_ob in (
+                ("engine-cpml256 (XLA fallback)", None),
+                ("engine-oblique256 (XLA, CPML+oblique TF/SF)",
+                 ObliqueTfsf(
+                     box=((96, 160), (96, 160), (96, 160)),
+                     direction=(1.0, 1.0, 0.0),
+                     polarization=(0.0, 0.0, 1.0),
+                     waveform=ft.GaussianPulse(20 * grid.dt, 6 * grid.dt))),
+            ):
+                try:
+                    estep = build_step(
+                        shape, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
+                        constants=ft.REDUCED, cpml=Cpml.uniform(10),
+                        tfsf=tfsf_ob)
+                    est = init_engine_state(
+                        shape, cpml=Cpml.uniform(10), tfsf=tfsf_ob)
+
+                    def run_e(state, k: int, _s=estep):
+                        def body(s, _):
+                            return _s(s, coeffs, src), None
+
+                        return jax.lax.scan(body, state, None, length=k)[0]
+
+                    rune_j = jax.jit(run_e, static_argnums=1)
+                    e_calls = min(n_steps, 20)  # engine is slow; cap ticks
+                    est = rune_j(est, e_calls)
+                    _sync(est)
+                    dt_wall, dt_min, spread, est = _timed_min(
+                        lambda s: rune_j(s, e_calls), est, _sync,
+                        run2=lambda s: rune_j(s, 2 * e_calls))
+                    cps = grid.num_cells * e_calls / dt_wall
+                    _report(label, cps,
+                            grid.num_cells * e_calls / dt_min, spread)
+                    kcps = _kernel_cpml_cps()
+                    if kcps:
+                        print(f"  (kernel tier is {kcps / cps:.1f}x this "
+                              f"fallback)", file=sys.stderr)
+                    del est, estep
+                except Exception as e:
+                    _err(label, e)
+
         # compressed-material mode (uint8 matid + K-row table), 256^3 only
         if n == 256:
             tab = ft.MaterialTable()

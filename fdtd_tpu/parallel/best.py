@@ -9,9 +9,12 @@ spectra, DensePml volumetric regions (1-D x meshes), and TF/SF-only /
 dense-only runs (hosted with a zero-thickness absorber) — and fall back
 to the composed XLA sharded engine
 (sharded_engine.py, exact but ~XLA speed) only for configurations the
-kernel path doesn't cover: dense per-cell coefficients, meshes that cut
-lattice z (or any non-(x, y) multi-axis shape), x-PML slabs too deep
-for the shard layout, and unpaddable/slab-overlapping DensePml boxes.
+kernel path doesn't cover: dense per-cell coefficients, x-PML slabs too
+deep for the shard layout, and unpaddable/slab-overlapping DensePml
+boxes. Meshes that cut lattice z reach the kernel tier one level up,
+via ShardedSimulation's cyclic lattice rotation (parallel/rotation.py);
+at THIS level a z-cut (or any non-(x, y) multi-axis) mesh rides the
+engine.
 Box TF/SF, flux reductions, DFT row captures, x-plane DFT spectra, AND
 DensePml regions all ride 2-D meshes (runtime lateral/plane
 coordinates, owned-window reductions/extraction, identity-padded

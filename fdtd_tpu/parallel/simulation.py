@@ -11,7 +11,12 @@ reports which path the configuration rides:
     TF/SF, flux/DFT-row/x-plane-DFT accumulators on 1-D and 2-D
     meshes, DensePml regions and TF/SF-/dense-only empty-host runs)
   - "xla_engine":    composed sharded engine (dense coefficients,
-    meshes that cut lattice z — exact, slower)
+    TF/SF or DensePml on z-cut meshes — exact, slower)
+
+Meshes that cut lattice z ride the kernel tiers too when the
+configuration allows it, via a cyclic lattice-frame rotation
+(parallel/rotation.py + the ``rotate_zcut`` flag below); otherwise
+they fall back to the engine.
   - "pallas_k":      sharded free-space K-step kernel
   - "xla":           plain sharded XLA step (free space fallback)
 
@@ -61,8 +66,17 @@ class ShardedSimulation:
     # device mesh; None = 1-D mesh over every visible device
     mesh: Any = None
     axis: str = "x"
+    # explicit kernel lateral mesh axis; None = positional inference
+    # (kernel_lateral_axis). Set internally by the z-cut rotation.
+    y_axis: Optional[str] = None
     interpret: bool = False
     max_k: int = 8
+    # z-cut meshes: run the kernel tier in a cyclically-rotated lattice
+    # frame (parallel/rotation.py) when the configuration allows it;
+    # False pins such meshes to the XLA engine (needed for
+    # checkpointing and in-run probes/accumulators, which the rotated
+    # plan does not carry).
+    rotate_zcut: bool = True
 
     # -- planning -----------------------------------------------------------
 
@@ -78,9 +92,61 @@ class ShardedSimulation:
     def _y_axis(self):
         """The mesh axis the kernel tiers shard lattice y over, or None
         (1-D meshes, and mesh shapes only the XLA engine can take)."""
+        if self.y_axis is not None:
+            return self.y_axis
         from .best import kernel_lateral_axis
 
         return kernel_lateral_axis(self._mesh, self.axis)
+
+    @cached_property
+    def _rotation(self):
+        """(perm, inner rotated ShardedSimulation) when this z-cut mesh
+        rides the kernel tier in a rotated lattice frame, else None.
+
+        Engages only when the rotation actually BUYS the kernel tier:
+        the configuration must be rotatable (no TF/SF or DensePml —
+        their descriptors aren't frame-remapped yet — default boundary
+        conditions, uniform scalar coefficients or matid) and the
+        rotated plan must land on a kernel kind; otherwise the engine
+        takes the mesh directly, unrotated."""
+        if not self.rotate_zcut or self.y_axis is not None:
+            return None
+        from .rotation import (
+            rotate_cpml,
+            rotate_grid,
+            rotate_mesh,
+            rotate_sources,
+            zcut_rotation,
+        )
+
+        perm = zcut_rotation(self._mesh)
+        if perm is None:
+            return None
+        if self.tfsf is not None or self.dense_pml is not None:
+            return None
+        if self.bc != BoundaryConditions():
+            return None
+        if self.coeffs is not None and any(
+                np.ndim(c) != 0 for c in self.coeffs):
+            return None  # dense per-cell coefficients ride the engine
+        rmesh, y_cut = rotate_mesh(self._mesh, perm)
+        matid_r = (None if self.matid is None
+                   else jnp.transpose(jnp.asarray(self.matid), perm))
+        inner = dataclasses.replace(
+            self,
+            grid=rotate_grid(self.grid, perm),
+            sources=rotate_sources(self.sources, perm),
+            cpml=rotate_cpml(self.cpml, perm),
+            matid=matid_r,
+            mesh=rmesh,
+            axis="x",
+            y_axis="y" if y_cut else None,
+            rotate_zcut=False,
+        )
+        _, kind = inner.plan()
+        if kind not in ("pallas_cpml_k", "pallas_k"):
+            return None  # rotation buys nothing: plan unrotated
+        return perm, inner
 
     @property
     def _ext_axes(self):
@@ -196,13 +262,21 @@ class ShardedSimulation:
         return step, init_state, 1, "xla"
 
     def plan(self):
-        """(k, kind): ticks per step call and the dispatched path name."""
+        """(k, kind): ticks per step call and the dispatched path name.
+
+        On a rotated z-cut mesh this is the INNER plan's kind (the
+        kernel tier the rotation bought) — the state layout is the
+        rotated frame's throughout; gather() un-rotates."""
+        if self._rotation is not None:
+            return self._rotation[1].plan()
         _, _, k, kind = self._plan
         return k, kind
 
     # -- lifecycle ----------------------------------------------------------
 
     def init(self):
+        if self._rotation is not None:
+            return self._rotation[1].init()
         _, init_state, _, _ = self._plan
         return init_state()
 
@@ -223,6 +297,19 @@ class ShardedSimulation:
         plain XLA step) — same rule as Simulation.run, where
         accumulators force single-stepping. Returns
         (state, probe_stacks, accumulator_finals) when given."""
+        if self._rotation is not None:
+            perm, inner = self._rotation
+            if accumulators:
+                raise ValueError(
+                    "accumulators don't ride the rotated z-cut kernel "
+                    "plan — construct with rotate_zcut=False to pin this "
+                    "mesh to the XLA engine (per-tick, accumulator-safe)"
+                )
+            return inner.run(
+                state, n_steps,
+                probes=tuple(_RotatedProbe(p, perm) for p in probes),
+                probe_every=probe_every,
+            )
         step, _, k, kind = self._plan
         if n_steps % k != 0:
             raise ValueError(f"{n_steps=} not divisible by plan k={k}")
@@ -484,7 +571,17 @@ class ShardedSimulation:
 
     def gather(self, state):
         """Any state layout -> plain global field arrays (host round-trip):
-        a SimState/EngineState-like named tuple on the caller's side."""
+        a SimState/EngineState-like named tuple on the caller's side.
+
+        Rotated z-cut states come back in the LATTICE frame (transpose +
+        component relabel, rotation.unrotate_fields); the rotated frame's
+        psi internals are dropped — resume such runs through the engine
+        (rotate_zcut=False)."""
+        if self._rotation is not None:
+            perm, inner = self._rotation
+            from .rotation import unrotate_fields
+
+            return unrotate_fields(inner.gather(state), perm)
         _, _, k, kind = self._plan
         if kind == "pallas_cpml_k":
             from .pallas_sharded_cpml import collapse_pml_state
@@ -529,6 +626,13 @@ class ShardedSimulation:
         which has no state persistence at all (SURVEY.md §5)."""
         from ..io.checkpoint import save_checkpoint
 
+        if self._rotation is not None:
+            raise ValueError(
+                "checkpointing doesn't ride the rotated z-cut kernel plan "
+                "(the rotated frame's psi recurrence state has no "
+                "lattice-frame file layout) — construct with "
+                "rotate_zcut=False to checkpoint through the XLA engine"
+            )
         meta = {"grid_shape": list(self.grid.shape)}
         if metadata:
             meta.update(metadata)
@@ -541,6 +645,12 @@ class ShardedSimulation:
         layout; engine kinds shard the plain arrays."""
         from ..io.checkpoint import load_checkpoint
 
+        if self._rotation is not None:
+            raise ValueError(
+                "checkpointing doesn't ride the rotated z-cut kernel plan "
+                "— construct with rotate_zcut=False to resume through the "
+                "XLA engine"
+            )
         state, _ = load_checkpoint(path, self._global_template())
         _, _, k, kind = self._plan
         if kind == "pallas_cpml_k":
@@ -563,6 +673,22 @@ class ShardedSimulation:
         from ..solver.cpml import Cpml
 
         return Cpml(thickness=((0, 0), (0, 0), (0, 0)))
+
+
+@dataclasses.dataclass(frozen=True)
+class _RotatedProbe:
+    """Probe adapter for rotated z-cut plans: un-rotates the device-side
+    global view back into the lattice frame before sampling, so probe
+    coordinates/components stay in the caller's frame. Frozen/hashable
+    (probe classes key jit caches — CLAUDE.md invariant)."""
+
+    probe: Any
+    perm: Any
+
+    def sample(self, view, dt):
+        from .rotation import unrotate_fields
+
+        return self.probe.sample(unrotate_fields(view, self.perm), dt)
 
 
 def _extract_sharded_dft_acc(state, dft_arg, plane_slot, n_dev,

@@ -44,6 +44,7 @@ _SHARDED_FILES = {
     "test_sharded_simulation.py",
     "test_pallas_sharded.py",
     "test_blocked_cpml.py",
+    "test_rotation.py",
 }
 _SLOW_FILES = {"test_pallas_cpml.py"}
 _SLOW_TESTS = {
