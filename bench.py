@@ -369,6 +369,46 @@ def _selfcheck(ft, jax, jnp, np) -> bool:
         file=sys.stderr,
     )
 
+    # oblique TF/SF on the kernel tier (round 4): the correction-volume
+    # block maps + sub-plane patch adds are Mosaic-only code paths the
+    # interpret-mode tests cannot see
+    from fdtd_tpu.solver.tfsf_oblique import ObliqueTfsf
+
+    ob = ObliqueTfsf(
+        box=((20, 40), (8, 24), (100, 150)),
+        direction=(1.0, 0.6, -0.3),
+        polarization=(0.0, 0.3, 1.0),
+        waveform=ft.GaussianPulse(10 * dt, 4 * dt),
+    )
+    eng_o = jax.jit(
+        build_step(shape, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+                   constants=ft.REDUCED, cpml=cpml, tfsf=ob)
+    )
+    eot = init_engine_state(shape, cpml=cpml, tfsf=ob)
+    ostep = jax.jit(
+        pallas_cpml_stepk_fn(shape, 4, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+                             constants=ft.REDUCED, cpml=cpml,
+                             oblique=ob, max_sources=1)
+    )
+    ost = init_pml_kernel_state(shape, cpml=cpml)
+    for _ in range(n_ticks // 4):
+        for _ in range(4):
+            eot = eng_o(eot, coeffs, src)
+        ost = ostep(ost, coeffs, src)
+    jax.block_until_ready(ost)
+    err_o = max(
+        _rel_err(getattr(ost, f), getattr(eot, f), np)
+        for f in ("ex", "ey", "ez", "hx", "hy", "hz")
+    )
+    good_o = err_o < tol
+    ok = ok and good_o
+    print(
+        f"selfcheck oblique-kernel K=4: rel_err {err_o:.2e} "
+        f"{'PASS' if good_o else 'FAIL'}",
+        file=sys.stderr,
+    )
+    del eot, ost, eng_o, ostep
+
     # grid-blocked CPML tier (lateral blocks inside the pallas grid):
     # the only real-hardware compile coverage of the 3-way windowed
     # BlockSpecs + owned-center writes before the 512^3 bench tier.
@@ -2085,6 +2125,58 @@ def main() -> None:
                     del est, estep
                 except Exception as e:
                     _err(label, e)
+
+            # (c) oblique TF/SF ON the kernel tier (round 4): analytic
+            #     correction volumes precomputed per pass, added
+            #     in-kernel (pallas_cpml_k oblique=) — prints its ratio
+            #     vs the engine-oblique fallback above.
+            try:
+                from fdtd_tpu.solver.pallas_cpml import (
+                    init_pml_kernel_state as _init_pk,
+                )
+                from fdtd_tpu.solver.pallas_cpml_k import (
+                    pallas_cpml_stepk_fn as _stepk_fn,
+                )
+
+                ob = ObliqueTfsf(
+                    box=((96, 160), (96, 160), (96, 160)),
+                    direction=(1.0, 1.0, 0.0),
+                    polarization=(0.0, 0.0, 1.0),
+                    waveform=ft.GaussianPulse(20 * grid.dt, 6 * grid.dt))
+                ok_ob = 8
+                okstep = _stepk_fn(
+                    shape, ok_ob, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
+                    constants=ft.REDUCED, cpml=Cpml.uniform(10),
+                    oblique=ob, max_sources=1)
+                ost = _init_pk(shape, cpml=Cpml.uniform(10))
+
+                def run_o(state, k: int, _s=okstep):
+                    def body(s, _):
+                        return _s(s, coeffs, src), None
+
+                    return jax.lax.scan(body, state, None, length=k)[0]
+
+                runo_j = jax.jit(run_o, static_argnums=1)
+                o_calls = max(n_steps // ok_ob, 1)
+                ost = runo_j(ost, o_calls)
+                _sync(ost)
+                bpc_o = 2 * _state_bytes(ost) / (ok_ob * grid.num_cells)
+                dt_wall, dt_min, spread, ost = _timed_min(
+                    lambda s: runo_j(s, o_calls), ost, _sync,
+                    run2=lambda s: runo_j(s, 2 * o_calls))
+                ocps = grid.num_cells * o_calls * ok_ob / dt_wall
+                _report(f"oblique-k{n} (CPML+oblique TF/SF, K={ok_ob})",
+                        ocps, grid.num_cells * o_calls * ok_ob / dt_min,
+                        spread, bpc_o)
+                erec = next(
+                    (r for r in _SECTIONS
+                     if r["s"].startswith("engine-oblique")), None)
+                if erec is not None:
+                    print(f"  ({ocps / (erec['g'] * 1e9):.1f}x the "
+                          f"XLA-engine oblique path)", file=sys.stderr)
+                del ost, okstep
+            except Exception as e:
+                _err(f"oblique-k{n}", e)
 
         # compressed-material mode (uint8 matid + K-row table), 256^3 only
         if n == 256:

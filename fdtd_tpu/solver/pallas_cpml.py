@@ -268,12 +268,20 @@ def supports_cpml(shape, bc, cpml, dtype=jnp.float32) -> bool:
 
 
 def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes, n_src,
-                 n_materials, tfsf_box, with_m=False, dense_spec=None):
+                 n_materials, tfsf_box, with_m=False, dense_spec=None,
+                 oblique_win=None):
     inv_x, inv_y, inv_z = inv_dx
     n_psi = len(layout)
     if dense_spec is not None:
         a_d, (dx0, dx1), (dy0, dy1), (dz0, dz1) = dense_spec
         comps_d = _AXIS_COMPS[a_d]
+    # oblique_win = (x0, xl, y0, by, z0, bz): ObliqueTfsf commutator
+    # subgrid — analytic corrections arrive precomputed as ONE
+    # (6, xl, by, bz) volume per tick (0-2 = corr_h at t, 3-5 = corr_e
+    # at t + dt/2), box-clamped along x; see pallas_cpml_k's K-step
+    # variant and solver/tfsf_oblique.py
+    if oblique_win is not None:
+        obx0, obxl, oby0, obby, obz0, obbz = oblique_win
 
     def kernel(*refs):
         k = 0
@@ -296,6 +304,8 @@ def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes, n_src,
         if dense_spec is not None:
             dco_ref = refs[k]; k += 1
             dpsi_in = refs[k]; k += 1
+        if oblique_win is not None:
+            ob_ref = refs[k]; k += 1
         ex_r, ey_r, ez_r, hx_r, hy_r, hz_r, eyl_r, ezl_r = refs[k: k + 8]
         k += 8
         psi_in = refs[k: k + n_psi]; k += n_psi
@@ -476,6 +486,52 @@ def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes, n_src,
         hn_y = d_a * hy - d_b * (dex_z - dez_x)
         hn_z = d_a * hz - d_b * (dey_x - dex_y)
 
+        if oblique_win is not None:
+            # oblique-incidence TF/SF surface currents (engine.py order:
+            # right after the curl update); scalar where on the
+            # SUB-PLANE patch (not lax.cond — Mosaic predicates vector
+            # conds, so where is strictly cheaper)
+            in_ob = jnp.logical_and(p >= obx0, p < obx0 + obxl)
+
+            def _patch_add(plane, patch, y0, z0):
+                by_, bz_ = patch.shape
+                sub = plane[y0: y0 + by_, z0: z0 + bz_] + patch
+                if z0 > 0 or z0 + bz_ < nz:
+                    row = plane[y0: y0 + by_]
+                    parts = []
+                    if z0 > 0:
+                        parts.append(row[:, :z0])
+                    parts.append(sub)
+                    if z0 + bz_ < nz:
+                        parts.append(row[:, z0 + bz_:])
+                    mid = jnp.concatenate(parts, axis=1)
+                else:
+                    mid = sub
+                pieces = []
+                if y0 > 0:
+                    pieces.append(plane[:y0])
+                pieces.append(mid)
+                if y0 + by_ < ny:
+                    pieces.append(plane[y0 + by_:])
+                return (pieces[0] if len(pieces) == 1
+                        else jnp.concatenate(pieces, axis=0))
+
+            def _ob_add(f3, base_c, coef, sign):
+                cf = (coef if jnp.ndim(coef) == 0 else
+                      coef[oby0: oby0 + obby, obz0: obz0 + obbz])
+                return tuple(
+                    _patch_add(
+                        f3[c],
+                        jnp.where(
+                            in_ob, sign * cf * ob_ref[base_c + c, 0], 0.0
+                        ),
+                        oby0, obz0,
+                    )
+                    for c in range(3)
+                )
+
+            hn_x, hn_y, hn_z = _ob_add((hn_x, hn_y, hn_z), 0, d_b, -1.0)
+
         if with_tfsf:
             tf_lo, tf_hi = tfsf_planes
             # tfsf_ref: (2, aux_len) SMEM — row 0 = aux_e at the OLD time
@@ -540,6 +596,11 @@ def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes, n_src,
         en_y = c_a * ey + c_b * (dhx_z - dhz_x)
         en_z = c_a * ez + c_b * (dhy_x - dhx_y)
 
+        if oblique_win is not None:
+            # incident-H correction (rows 3-5, evaluated at t + dt/2 by
+            # the wrapper)
+            en_x, en_y, en_z = _ob_add((en_x, en_y, en_z), 3, c_b, 1.0)
+
         if with_tfsf:
             # incident H at the new time level
             amp = jnp.where(p == tf_lo - 1, -c_b * tfsf_ref[1, tf_lo] * inv_x, 0.0)
@@ -590,7 +651,8 @@ def _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes, n_src,
 @functools.lru_cache(maxsize=16)
 def _build_call(shape, inv_dx, cpml, with_tfsf, tfsf_planes, dt, constants_key,
                 interpret, n_src=0, n_materials=1, tfsf_box=None,
-                with_m=False, dtype_name="float32", dense_spec=None):
+                with_m=False, dtype_name="float32", dense_spec=None,
+                oblique_win=None):
     constants = SI if constants_key == "si" else _REDUCED()
     nx, ny, nz = shape
     layout = _psi_layout(shape, cpml)
@@ -678,6 +740,16 @@ def _build_call(shape, inv_dx, cpml, with_tfsf, tfsf_planes, dt, constants_key,
             (4, 1, by_d, bz_d), dpsi_idx, memory_space=pltpu.VMEM))
         dpsi_shapes.append(
             jax.ShapeDtypeStruct((4, bx_d + 1, by_d, bz_d), f32))
+    if oblique_win is not None:
+        # (6, xl, by, bz) per-tick analytic-correction volume, clamped
+        # to the commutator subgrid's x extent
+        obx0_s, obxl_s, _, obby_s, _, obbz_s = oblique_win
+        in_specs.append(pl.BlockSpec(
+            (6, 1, obby_s, obbz_s),
+            lambda i: (0, jnp.clip(nx - 1 - i - obx0_s, 0, obxl_s - 1),
+                       0, 0),
+            memory_space=pltpu.VMEM,
+        ))
     in_specs += [main_spec] * 6 + [halo_spec] * 2
     in_specs += psi_specs
 
@@ -689,7 +761,8 @@ def _build_call(shape, inv_dx, cpml, with_tfsf, tfsf_planes, dt, constants_key,
     )
 
     kernel = _make_kernel(shape, inv_dx, layout, nx, with_tfsf, tfsf_planes,
-                          n_src, n_materials, tfsf_box, with_m, dense_spec)
+                          n_src, n_materials, tfsf_box, with_m, dense_spec,
+                          oblique_win)
     # NOTE: input_output_aliases were tried here (semantically race-free
     # with the descending sweep) but the aliased many-operand custom call
     # MISCOMPILES under lax.scan on the axon TPU runtime for some configs
@@ -739,6 +812,7 @@ def pallas_cpml_step_fn(
     with_m: bool = False,
     dtype=jnp.float32,
     dense=None,
+    oblique=None,
 ):
     """Build step(state: PmlKernelState, coeffs, sources) with CPML (and
     optionally slab TF/SF) applied inside the fused kernel. Uniform scalar
@@ -807,10 +881,28 @@ def pallas_cpml_step_fn(
             [jnp.asarray(c, jnp.float32)
              for c in (*dense.coeffs_h, *dense.coeffs_e)]
         )
+    oblique_win = None
+    if oblique is not None:
+        # oblique-incidence TF/SF (solver/tfsf_oblique.py): analytic
+        # correction volumes precomputed per tick, added in-kernel
+        # (XLA-engine analog: engine.py:311-319/363-370)
+        if tfsf is not None:
+            raise ValueError("oblique and tfsf are mutually exclusive")
+        from .tfsf_oblique import build_oblique
+
+        ob_sub, ob_corr_h, ob_corr_e = build_oblique(
+            oblique, shape, inv_dx, dt, constants, jnp.float32
+        )
+        oblique_win = (
+            ob_sub[0].start, ob_sub[0].stop - ob_sub[0].start,
+            ob_sub[1].start, ob_sub[1].stop - ob_sub[1].start,
+            ob_sub[2].start, ob_sub[2].stop - ob_sub[2].start,
+        )
     call, x_inputs, strip_inputs, layout = _build_call(
         tuple(shape), inv_dx, cpml, tfsf is not None, tfsf_planes,
         float(dt), constants_key, interpret, int(max_sources), n_mat,
         tfsf_box, bool(with_m), jnp.dtype(dtype).name, dense_spec,
+        oblique_win,
     )
     n_psi = len(layout)
 
@@ -861,6 +953,13 @@ def pallas_cpml_step_fn(
         if dense is not None:
             args.append(dco)
             args.append(state.psi[-1])  # region psi volume
+        if oblique is not None:
+            # (6, xl, by, bz): corr_h at the tick, corr_e at tick + 1/2
+            t = state.tick.astype(jnp.float32) * jnp.float32(dt)
+            args.append(jnp.stack(
+                list(ob_corr_h(t))
+                + list(ob_corr_e(t + jnp.float32(0.5 * dt)))
+            ))
         args += [state.ex, state.ey, state.ez, state.hx, state.hy, state.hz,
                  state.ey, state.ez]
         args += list(state.psi[:n_psi])

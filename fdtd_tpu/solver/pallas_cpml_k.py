@@ -69,7 +69,7 @@ __all__ = ["pallas_cpml_stepk_fn", "supports_cpml_k"]
 
 def supports_cpml_k(shape, bc, cpml, k: int, dtype=jnp.float32,
                     dense=None, dft=None, dft_rows=(),
-                    dft_rt=None) -> bool:
+                    dft_rt=None, oblique=None) -> bool:
     if not supports_cpml(shape, bc, cpml, dtype):
         return False
     if not (2 <= k <= 10):
@@ -106,6 +106,11 @@ def supports_cpml_k(shape, bc, cpml, k: int, dtype=jnp.float32,
     if dft_rt is not None:
         n_rt, n_f_rt = dft_rt
         vmem += 2 * 6 * n_f_rt * n_rt * plane_f32
+    if oblique is not None:
+        # K double-buffered (6, by, bz) analytic-correction blocks over
+        # the commutator subgrid (box + 5 cells per lateral axis)
+        (_, _), (oy0, oy1), (oz0, oz1) = oblique.box
+        vmem += 2 * k * 6 * (oy1 - oy0 + 5) * (oz1 - oz0 + 5) * 4
     if vmem > 90 * (1 << 20):
         return False
     return True
@@ -116,7 +121,7 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                  with_m=False, runtime_tfsf=False, y_halo=0,
                  flux_faces=(), dense_spec=None, dft_spec=None,
                  dft_rows=(), dft_rt=None, runtime_box_lat=False,
-                 runtime_lat=False, blocks=None):
+                 runtime_lat=False, blocks=None, oblique_win=None):
     inv_x, inv_y, inv_z = inv_dx
     n_psi = len(layout)
     # blocks = (n_b, nly, h): GRID-BLOCKED mode (pallas_cpml_gb.py) — the
@@ -133,6 +138,7 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                     or runtime_box_lat)
         assert dense_spec is None and dft_spec is None and dft_rt is None
         assert not flux_faces and not dft_rows
+        assert oblique_win is None
         assert y_halo == h_blk
     # dft_spec = (planes tuple, n_freq): running per-tick DFT of the E
     # field at fixed x-planes, accumulated IN-KERNEL with the psi carry
@@ -159,6 +165,15 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
         comps_d = _AXIS_COMPS[a_d]
         bx_d = dx1 - dx0
     n_dense = 4 if dense_spec is not None else 0
+    # oblique_win = (x0, xl, y0, by, z0, bz): the ObliqueTfsf commutator
+    # subgrid (tfsf_oblique.build_oblique's ``sub``, box +/- 2). The
+    # analytic correction volumes arrive PRECOMPUTED per pass as a
+    # (K, 6, xl, by, bz) stack (comps 0-2 = corr_h at the level's tick,
+    # 3-5 = corr_e at tick + 1/2), box-clamped along x per stage like
+    # the dense coefficient blocks; the in-kernel add is lax.cond-gated
+    # on the plane being inside the subgrid's x extent.
+    if oblique_win is not None:
+        obx0, obxl, oby0, obby, obz0, obbz = oblique_win
 
     def kernel(*refs):
         k = 0
@@ -194,6 +209,8 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
         if dense_spec is not None:
             dco_refs = refs[k: k + k_steps]; k += k_steps
             dpsi_in = refs[k]; k += 1
+        if oblique_win is not None:
+            ob_refs = refs[k: k + k_steps]; k += k_steps
         if dft_planes or n_rt:
             dft_phase_ref = refs[k]; k += 1  # (K, 2F) SMEM cos/sin rows
         if dft_planes:
@@ -326,6 +343,31 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
             return jnp.where(
                 iz == z_hi_e, 0.0, pltpu.roll(f, nz - 1, axis=1) - f)
 
+        def _patch_add(plane, patch, y0, z0):
+            """plane[y0:y0+by, z0:z0+bz] + patch, reassembled by concats
+            (the dense_stretch stitching pattern)."""
+            by_, bz_ = patch.shape
+            sub = plane[y0: y0 + by_, z0: z0 + bz_] + patch
+            if z0 > 0 or z0 + bz_ < nz:
+                row = plane[y0: y0 + by_]
+                parts = []
+                if z0 > 0:
+                    parts.append(row[:, :z0])
+                parts.append(sub)
+                if z0 + bz_ < nz:
+                    parts.append(row[:, z0 + bz_:])
+                mid = jnp.concatenate(parts, axis=1)
+            else:
+                mid = sub
+            pieces = []
+            if y0 > 0:
+                pieces.append(plane[:y0])
+            pieces.append(mid)
+            if y0 + by_ < ny:
+                pieces.append(plane[y0 + by_:])
+            return (pieces[0] if len(pieces) == 1
+                    else jnp.concatenate(pieces, axis=0))
+
         if n_materials == 1:
             c_a = coef_ref[0, 0]
             c_b = coef_ref[0, 1]
@@ -456,15 +498,41 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                 # then sums into EVERY interior plane's psi0).
                 live_lo = jnp.logical_or(b_lo != 0.0, c_lo != 0.0)
                 live_hi = jnp.logical_or(b_hi != 0.0, c_hi != 0.0)
-                p_lo = jnp.where(live_lo, b_lo * psi0 + c_lo * raw, 0.0)
-                p_hi = jnp.where(live_hi, b_hi * psi0 + c_hi * raw, 0.0)
-                p_new = p_lo + p_hi
+                # NOTE: a scalar lax.cond skipping interior planes was
+                # tried here — Mosaic PREDICATES vector-valued conds
+                # (both branches execute + selects), which HALVED gb
+                # throughput and blew the VMEM budget. The cheap form
+                # below instead exploits that a plane belongs to at most
+                # ONE end: stages 1..K-1 carry only the COMBINED
+                # recurrence (b_lo + b_hi are scalars), one where-gated
+                # FMA chain instead of two — the split lo/hi products
+                # are needed only at stage K for the separate HBM
+                # writes (trash == 0 invariant, see below).
                 if stage == k_steps:
+                    # Gate with where, NOT multiplication by the zero
+                    # profile: under sharding the raw derivative at
+                    # extreme halo planes reads uninitialized carry
+                    # scratch, and 0 * NaN = NaN would poison the
+                    # persistent trash plane (which stage 1 then sums
+                    # into EVERY interior plane's psi0).
+                    p_lo = jnp.where(live_lo, b_lo * psi0 + c_lo * raw,
+                                     0.0)
+                    p_hi = jnp.where(live_hi, b_hi * psi0 + c_hi * raw,
+                                     0.0)
+                    p_new = p_lo + p_hi
                     il, _ = psi_hbm[(half, 0, comp, "lo")]
                     ih, _ = psi_hbm[(half, 0, comp, "hi")]
                     psi_out[il][0] = _own(p_lo)
                     psi_out[ih][0] = _own(p_hi)
                 else:
+                    # carries hold the combined value anyway (stage-1
+                    # reads lo + hi summed); NaN safety per the note
+                    # above via the scalar where gate
+                    p_new = jnp.where(
+                        jnp.logical_or(live_lo, live_hi),
+                        (b_lo + b_hi) * psi0 + (c_lo + c_hi) * raw,
+                        0.0,
+                    )
                     new_psi_lvl[x_slot(half, comp) - 6] = p_new
                 return ik * raw + p_new
             key = (half, axis, comp, None)
@@ -623,6 +691,34 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                 d_a * h_here[2] - d_b * (dey_x - dex_y),
             ]
 
+            if oblique_win is not None:
+                # oblique-incidence TF/SF surface currents (engine.py
+                # order: right after the curl update, before sources).
+                # The x gate is a scalar where on the SUB-PLANE patch
+                # (NOT lax.cond: Mosaic predicates vector conds — both
+                # branches execute — so the where form is strictly
+                # cheaper); out-of-extent planes add exact zeros.
+                ob_r = ob_refs[st - 1]
+                in_ob = jnp.logical_and(q >= obx0, q < obx0 + obxl)
+
+                def _ob_add(f3, base_c, coef, sign):
+                    cf = (coef if jnp.ndim(coef) == 0 else
+                          coef[oby0: oby0 + obby, obz0: obz0 + obbz])
+                    return tuple(
+                        _patch_add(
+                            f3[c],
+                            jnp.where(
+                                in_ob,
+                                sign * cf * ob_r[0, base_c + c, 0],
+                                0.0,
+                            ),
+                            oby0, obz0,
+                        )
+                        for c in range(3)
+                    )
+
+                hk = list(_ob_add(tuple(hk), 0, d_b, -1.0))
+
             if with_tfsf:
                 r = 2 * (st - 1)
                 if runtime_tfsf and tfsf_box is None:
@@ -693,6 +789,11 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                 c_a * e_here[1] + c_b * (dhx_z - dhz_x),
                 c_a * e_here[2] + c_b * (dhy_x - dhx_y),
             ]
+
+            if oblique_win is not None:
+                # incident-H correction (corr_e rows 3-5, evaluated at
+                # the half-advanced time by the wrapper)
+                ek = list(_ob_add(tuple(ek), 3, c_b, 1.0))
 
             if with_tfsf:
                 r = 2 * (st - 1) + 1
@@ -930,7 +1031,8 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
                 with_m=False, dtype_name="float32", runtime_tfsf=False,
                 y_halo=0, runtime_ystrips=False, flux_faces=(),
                 dense_spec=None, dft_spec=None, dft_rows=(), dft_rt=None,
-                runtime_box_lat=False, runtime_lat=False, blocks=None):
+                runtime_box_lat=False, runtime_lat=False, blocks=None,
+                oblique_win=None):
     from ..constants import REDUCED
 
     constants = SI if constants_key == "si" else REDUCED
@@ -1158,6 +1260,23 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
             lambda i: (0, jnp.clip(nx - 1 - i - ddx0 + 1, 0, bx_d), 0, 0),
             memory_space=pltpu.VMEM,
         ))
+    if oblique_win is not None:
+        # per-stage (1, 6, 1, by, bz) analytic-correction blocks of the
+        # (K, 6, xl, by, bz) stack, clamped to the subgrid x extent
+        # (stage j+1 consumes the level-j volume at its plane)
+        obx0_s, obxl_s, _, obby_s, _, obbz_s = oblique_win
+
+        def ob_idx(j):
+            return lambda i: (
+                j, 0, jnp.clip(nx - 1 - i + j - obx0_s, 0, obxl_s - 1),
+                0, 0,
+            )
+
+        in_specs += [
+            pl.BlockSpec((1, 6, 1, obby_s, obbz_s), ob_idx(j),
+                         memory_space=pltpu.VMEM)
+            for j in range(k_steps)
+        ]
     dft_planes, n_freq = dft_spec if dft_spec is not None else ((), 0)
     rt_whiches, rt_freq = dft_rt if dft_rt is not None else ((), 0)
     n_rt = len(rt_whiches)
@@ -1287,7 +1406,7 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
         n_src, n_materials, runtime_edges, with_m, runtime_tfsf, y_halo,
         flux_faces, dense_spec, dft_spec, dft_rows, dft_rt,
         runtime_box_lat=runtime_box_lat, runtime_lat=runtime_lat,
-        blocks=blocks,
+        blocks=blocks, oblique_win=oblique_win,
     )
 
     # scratch per level: 6 field planes + per-term psi slots (all at the
@@ -1336,6 +1455,9 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
     )
     # runtime-coordinate DFT: in + out resident blocks per plane
     dense_bytes += 2 * 6 * n_freq * n_rt * ny * nz * 4
+    if oblique_win is not None:
+        # K double-buffered (6, by, bz) correction blocks
+        dense_bytes += 2 * k_steps * 6 * oblique_win[3] * oblique_win[5] * 4
     vmem_limit = min(
         int(plane_bytes * (80 + 30 * k_steps) + dense_bytes + (8 << 20)),
         120 * (1 << 20),
@@ -1377,6 +1499,7 @@ def pallas_cpml_stepk_fn(
     dft=None,
     dft_rows=(),
     dft_runtime=None,
+    oblique=None,
 ):
     """Build step(state: PmlKernelState, coeffs, sources) advancing
     ``k_steps`` absorbing ticks per call. Uniform scalar coefficients;
@@ -1455,7 +1578,8 @@ def pallas_cpml_stepk_fn(
     if not supports_cpml_k(shape, bc, cpml, k_steps, dtype, dense=dense,
                            dft=dft_key, dft_rows=dft_rows,
                            dft_rt=((len(rt_planes), len(rt_freqs))
-                                   if rt_planes else None)):
+                                   if rt_planes else None),
+                           oblique=oblique):
         raise ValueError(f"CPML K-step kernel does not support {shape=} {k_steps=}")
     if with_m and max_sources == 0:
         raise ValueError("with_m requires in-kernel sources (max_sources > 0)")
@@ -1502,13 +1626,31 @@ def pallas_cpml_stepk_fn(
             [jnp.asarray(c, jnp.float32)
              for c in (*dense.coeffs_h, *dense.coeffs_e)]
         )
+    oblique_win = None
+    if oblique is not None:
+        # oblique-incidence TF/SF (solver/tfsf_oblique.py): the analytic
+        # correction volumes are precomputed per pass on the commutator
+        # subgrid and added in-kernel (reference has no TF/SF at all;
+        # the XLA-engine path is engine.py:311-319/363-370)
+        if tfsf is not None:
+            raise ValueError("oblique and tfsf are mutually exclusive")
+        from .tfsf_oblique import build_oblique
+
+        ob_sub, ob_corr_h, ob_corr_e = build_oblique(
+            oblique, shape, inv_dx, dt, constants, jnp.float32
+        )
+        oblique_win = (
+            ob_sub[0].start, ob_sub[0].stop - ob_sub[0].start,
+            ob_sub[1].start, ob_sub[1].stop - ob_sub[1].start,
+            ob_sub[2].start, ob_sub[2].stop - ob_sub[2].start,
+        )
     call, x_inputs, strip_inputs = _build_call(
         tuple(shape), inv_dx, cpml, int(k_steps), tfsf is not None,
         tfsf_planes, tfsf_box, float(dt), constants_key, interpret,
         int(max_sources), n_mat, 0, False, False, bool(with_m),
         jnp.dtype(dtype).name, flux_faces=tuple(flux_faces),
         dense_spec=dense_spec, dft_spec=dft_key, dft_rows=dft_rows,
-        dft_rt=dft_rt_key,
+        dft_rt=dft_rt_key, oblique_win=oblique_win,
     )
     n_psi = len(_psi_layout(tuple(shape), cpml))
     n_dft_pl = len(dft[0]) if dft is not None else 0
@@ -1576,6 +1718,18 @@ def pallas_cpml_stepk_fn(
             # region psi volume (init_pml_kernel_state dense=); the dft
             # accumulators (if any) follow it in the psi tail
             args.append(state.psi[n_psi])
+        if oblique is not None:
+            # per-pass analytic correction stack (K, 6, xl, by, bz):
+            # corr_h at each level's tick, corr_e at tick + 1/2
+            # (engine.py H-pass/E-pass time conventions)
+            rows = []
+            for lvl in range(k_steps):
+                t = (state.tick + lvl).astype(jnp.float32) \
+                    * jnp.float32(dt)
+                ch = ob_corr_h(t)
+                ce = ob_corr_e(t + jnp.float32(0.5 * dt))
+                rows.append(jnp.stack(list(ch) + list(ce)))
+            args += [jnp.stack(rows)] * k_steps
         if dft is not None or n_rt_pl:
             rows = []
             for lvl in range(k_steps):

@@ -86,7 +86,7 @@ class Simulation:
 
             return init_pml_kernel_state(
                 self.grid.shape, self.dtype, cpml=self._cpml_or_empty,
-                tfsf=self.tfsf, dense=self._dense_kernel,
+                tfsf=self._tfsf_slab, dense=self._dense_kernel,
             )
         if (self.cpml is not None or self.tfsf is not None
                 or self.dense_pml is not None):
@@ -151,9 +151,10 @@ class Simulation:
                 lo_t, hi_t = self._cpml_or_empty.thickness[d.axis]
                 if b0 < lo_t or b1 > self.grid.shape[d.axis] - hi_t:
                     return False
-        if self.tfsf is not None and not hasattr(self.tfsf, "span"):
-            # ObliqueTfsf (analytic incident) runs on the XLA engine only
-            return False
+        # ObliqueTfsf (analytic incident) rides BOTH CPML kernels since
+        # round 4 (correction volumes precomputed per pass, added
+        # in-kernel; pallas_cpml.py / pallas_cpml_k.py ``oblique=``) —
+        # only the gb/blocked/sharded tiers exclude it (see _tfsf_oblique)
         if jax.default_backend() != "tpu":
             return False
         if self.matid is not None:
@@ -164,6 +165,20 @@ class Simulation:
             return False
         return supports_cpml(self.grid.shape, self.bc, self._cpml_or_empty,
                              self.dtype)
+
+    @property
+    def _tfsf_slab(self):
+        """self.tfsf when it is the aux-grid (slab/box) kind, else None."""
+        if self.tfsf is None or hasattr(self.tfsf, "span"):
+            return self.tfsf
+        return None
+
+    @property
+    def _tfsf_oblique(self):
+        """self.tfsf when it is an ObliqueTfsf, else None."""
+        if self.tfsf is None or hasattr(self.tfsf, "span"):
+            return None
+        return self.tfsf
 
     @property
     def _cpml_or_empty(self):
@@ -210,7 +225,8 @@ class Simulation:
                 kernel = pallas_cpml_step_fn(
                     self.grid.shape, inv_dx=inv_dx, dt=self.grid.dt,
                     bc=self.bc, constants=self.grid.constants,
-                    cpml=self._cpml_or_empty, tfsf=self.tfsf,
+                    cpml=self._cpml_or_empty, tfsf=self._tfsf_slab,
+                    oblique=self._tfsf_oblique,
                     max_sources=n_src, matid=jnp.asarray(self.matid),
                     n_materials=self._n_materials, with_m=with_m,
                     dtype=self.dtype, dense=self._dense_kernel,
@@ -224,7 +240,8 @@ class Simulation:
             return pallas_cpml_step_fn(
                 self.grid.shape, inv_dx=inv_dx, dt=self.grid.dt, bc=self.bc,
                 constants=self.grid.constants, cpml=self._cpml_or_empty,
-                tfsf=self.tfsf, max_sources=n_src, with_m=with_m,
+                tfsf=self._tfsf_slab, oblique=self._tfsf_oblique,
+                max_sources=n_src, with_m=with_m,
                 dtype=self.dtype, dense=self._dense_kernel,
             )
         if self.backend == "pallas" and (
@@ -364,6 +381,7 @@ class Simulation:
                         dft=((dft_arg[0], len(dft_arg[1]))
                              if accumulators and dft_arg else None),
                         dft_rows=(rows_arg or ()) if accumulators else (),
+                        oblique=self._tfsf_oblique,
                     )
                 ):
                     faces = flux_faces_spec if accumulators else ()
@@ -383,7 +401,8 @@ class Simulation:
                         inv_dx=tuple(1.0 / d for d in self.grid.dx),
                         dt=self.grid.dt, bc=self.bc,
                         constants=self.grid.constants,
-                        cpml=self._cpml_or_empty, tfsf=self.tfsf,
+                        cpml=self._cpml_or_empty, tfsf=self._tfsf_slab,
+                        oblique=self._tfsf_oblique,
                         max_sources=n_src, with_m=self._has_m_sources(),
                         dtype=self.dtype, flux_faces=faces,
                         dense=self._dense_kernel, dft=dft_kw,
@@ -412,6 +431,7 @@ class Simulation:
             self.backend == "auto"
             and not accumulators
             and self._dense_kernel is None
+            and self._tfsf_oblique is None
             and self._cpml_kernel_eligible()
         ):
             # GRID-blocked CPML K-step (pallas_cpml_gb): lateral blocks
@@ -476,6 +496,7 @@ class Simulation:
             self.backend == "auto"
             and k == 1
             and (not accumulators or flux_faces_spec is not None)
+            and self._tfsf_oblique is None
             and self._cpml_kernel_eligible()
         ):
             # lateral-blocked CPML K-step (pallas_cpml_blocked): when big
