@@ -126,11 +126,21 @@ def gb_plan(shape, bc, cpml, k: int, *, dtype=jnp.float32,
         W = nly + 2 * h
         if not supports_cpml((nx, W, nz), bc, cpml, dtype):
             continue
-        # VMEM at the window: supports_cpml_k's calibrated formula
+        # VMEM at the window: supports_cpml_k's formula, with a HIGHER
+        # cap than the plain kernel's 90 MB calibration — gb windows
+        # pipeline fewer resident blocks, and 512^3 f32 K=10 nb=2
+        # (estimate 114 MB) compiles and runs on v5e at 22.15 Gcell/s
+        # (round 4, the best absorbing number; nb=4's halved window
+        # passes the old cap but its 25% halo overhead loses ~10%).
+        # Mosaic's vmem_limit (120 MB) remains the hard compile-time
+        # gate; the env knob narrows the plan for debugging.
         plane_f32 = W * nz * 4
         plane_store = W * nz * jnp.dtype(dtype).itemsize
         vmem = 16 * (k - 1) * plane_f32 + 22 * plane_f32 + 28 * plane_store
-        if vmem > 90 * (1 << 20):
+        import os as _os
+
+        cap_mb = int(_os.environ.get("FDTD_GB_VMEM_CAP_MB", "118"))
+        if vmem > cap_mb * (1 << 20):
             continue
         return n_b, h
     return None
