@@ -437,14 +437,18 @@ class Simulation:
             # GRID-blocked CPML K-step (pallas_cpml_gb): lateral blocks
             # inside the pallas grid lift the VMEM K-cap WITHOUT the
             # outside-blocked tier's refresh/concatenate HBM cost. The
-            # per-pass overhead (un-aliased outputs + 2h/nly halo
-            # overlap) still taxes each pass, so engage only on a clear
-            # traffic win: cand >= 2x the plain ladder's K (512^3 f32:
-            # plain K=3 -> gb K=10).
+            # per-pass overhead (un-aliased double-buffered outputs +
+            # 2h/nly halo overlap) still taxes each pass, so engage only
+            # when the plain ladder is VMEM-capped at K <= 3 AND the gb
+            # plan at least doubles it. Hardware calibration (512^3,
+            # round 4): f32 plain K=3 18.7 < gb K=10 n_b=2 22.2 — gb
+            # wins; bf16 plain K=4 28.1 > gb K=10 ~22 — plain wins (the
+            # un-aliased 2x write traffic eats the K lift once the
+            # plain ladder is deep enough).
             from .pallas_cpml_gb import gb_plan, make_pallas_cpml_gb_stepk
 
             for cand in (10, 8, 6, 4):
-                if cand <= k or cand < 2 * k:
+                if k > 3 or cand <= k or cand < 2 * k:
                     continue
                 cadence = probe_every if probes else n_steps
                 if n_steps % cand != 0 or cadence % cand != 0:

@@ -279,3 +279,53 @@ def test_gb_plan_rejects_strip_overlap():
     cpml = Cpml(thickness=((10, 10), (10, 10), (10, 10)))
     assert gb_plan(shape, BoundaryConditions(), cpml, 2,
                    n_b_candidates=(2,)) is None
+
+
+def test_gb_stays_off_when_plain_ladder_is_deep(monkeypatch):
+    """gb engages only when the plain ladder is VMEM-capped at K <= 3:
+    hardware calibration (512^3, round 4) has bf16 plain K=4 at 28.1
+    Gcell/s vs gb K=10 ~22 — the un-aliased 2x write traffic eats the
+    K lift once plain is deep enough. Pretend the plain ladder supports
+    K <= 4 and assert the gb factory is never built."""
+    import jax
+
+    import fdtd_tpu.solver.pallas_cpml_gb as gbmod
+    import fdtd_tpu.solver.pallas_cpml_k as plain_k
+    from fdtd_tpu.solver.simulation import Simulation
+
+    shape = (32, 32, 256)
+    cpml = Cpml(thickness=((4, 4), (4, 4), (4, 4)))
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    grid = ft.Grid(shape=shape, resolution=res, constants=ft.REDUCED)
+    table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+    coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
+    src = ft.SourceSet.build(
+        [ft.PointSource((16, 15, 128), ft.GaussianPulse(4 * dt, 2 * dt),
+                        j=(0.0, 0.0, 1.0))]
+    )
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    real_supports = plain_k.supports_cpml_k
+    monkeypatch.setattr(
+        plain_k, "supports_cpml_k",
+        lambda shape_, bc_, cpml_, k_, *a, **kw: (
+            k_ <= 4 and real_supports(shape_, bc_, cpml_, k_, *a, **kw)
+        ),
+    )
+    real_kfn = plain_k.pallas_cpml_stepk_fn
+    monkeypatch.setattr(
+        plain_k, "pallas_cpml_stepk_fn",
+        lambda *a, **kw: real_kfn(*a, **{**kw, "interpret": True}),
+    )
+
+    def gb_must_not_build(*a, **kw):
+        raise AssertionError("gb dispatched despite plain K=4")
+
+    monkeypatch.setattr(gbmod, "make_pallas_cpml_gb_stepk",
+                        gb_must_not_build)
+
+    sim = Simulation(grid=grid, coeffs=coeffs, sources=src, cpml=cpml)
+    state = sim.init()
+    state, _, _ = sim.run(state, 8)
+    assert np.isfinite(np.asarray(state.ez)).all()
