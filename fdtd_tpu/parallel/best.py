@@ -130,6 +130,18 @@ def best_sharded_absorbing_step(
 
     import jax.numpy as jnp
 
+    if tfsf is not None and not hasattr(tfsf, "span"):
+        # ObliqueTfsf: the analytic correction volumes are built in
+        # GLOBAL coordinates; neither sharded path re-offsets them per
+        # shard yet. Fail loudly instead of an AttributeError deep in
+        # the engine build. Single-chip Simulation hosts it in both
+        # CPML kernels (solver/pallas_cpml*.py oblique=).
+        raise NotImplementedError(
+            "ObliqueTfsf is single-chip only: use solver.Simulation "
+            "(kernel-hosted since round 4), the aux-grid Tfsf, or drop "
+            "TF/SF for multi-chip runs"
+        )
+
     dtype = dtype or jnp.float32
     n_dev = mesh.shape.get(axis, 1)
     y_axis = kernel_lateral_axis(mesh, axis)

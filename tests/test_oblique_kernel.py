@@ -141,3 +141,58 @@ def test_simulation_dispatches_oblique_to_kernel(monkeypatch):
     assert isinstance(st, PmlKernelState)
     # oblique has no 1-D aux grid: placeholder scalar, not an aux row
     assert jnp.ndim(st.aux_e) == 0
+
+
+def test_oblique_kstep_with_matid_matches_engine():
+    """Oblique + compressed materials compose in-kernel: d_b/c_b become
+    per-plane tables and the correction multiplies their sub-window."""
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    shape = (40, 32, 256)  # matid mode needs ny % 32 == 0
+    tfsf = ObliqueTfsf(
+        box=((12, 26), (10, 24), (100, 150)),
+        direction=(1.0, 0.7, -0.4),
+        polarization=(0.0, 0.2, 1.0),
+        waveform=ft.GaussianPulse(10 * dt, 4 * dt),
+    )
+    tab = ft.MaterialTable()
+    diel = tab.register(ft.Material(relative_permittivity=2.5))
+    matid = np.zeros(shape, np.uint8)
+    idx = np.indices(shape)
+    r2 = ((idx[0] - 20) ** 2 + (idx[1] - 16) ** 2 + (idx[2] - 125) ** 2)
+    matid[r2 < 6 ** 2] = diel
+    ctable = ft.coefficient_table(tab.materials, res, ft.REDUCED)
+    dense = ft.CellCoefficients.from_table(
+        jnp.asarray(ctable, jnp.float32), jnp.asarray(matid))
+    estep = build_step(shape, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+                       constants=ft.REDUCED, cpml=CPML, tfsf=tfsf)
+    est = init_engine_state(shape, cpml=CPML, tfsf=tfsf)
+    kstep = pallas_cpml_stepk_fn(
+        shape, 3, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=CPML, oblique=tfsf, matid=jnp.asarray(matid),
+        n_materials=len(tab), interpret=True)
+    kst = init_pml_kernel_state(shape, cpml=CPML)
+    jtable = jnp.asarray(ctable, jnp.float32)
+    for _ in range(24 // 3):
+        for _ in range(3):
+            est = estep(est, dense, None)
+        kst = kstep(kst, jtable, None)
+    assert float(jnp.max(jnp.abs(est.e[2]))) > 1e-3
+    for c in range(3):
+        assert _max_rel(kst.e[c], est.e[c]) < 2e-5, c
+        assert _max_rel(kst.h[c], est.h[c]) < 2e-5, c
+
+
+def test_sharded_dispatch_rejects_oblique_loudly():
+    """Multi-chip paths don't host ObliqueTfsf (correction volumes are
+    global-coordinate); the dispatcher must say so instead of dying on
+    a missing .span deep in the engine build."""
+    from fdtd_tpu.parallel.best import best_sharded_absorbing_step
+    from fdtd_tpu.parallel.topology import make_mesh
+
+    dt, _, tfsf = _setup()
+    mesh = make_mesh(1, ("x",))
+    with pytest.raises(NotImplementedError, match="single-chip"):
+        best_sharded_absorbing_step(
+            mesh, SHAPE, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+            constants=ft.REDUCED, cpml=CPML, tfsf=tfsf)
