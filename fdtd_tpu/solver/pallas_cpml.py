@@ -772,9 +772,14 @@ def _build_call(shape, inv_dx, cpml, with_tfsf, tfsf_planes, dt, constants_key,
     io_aliases = {}
     # ~26 per-plane pipeline buffers double-buffered (6 field in + 2 halo +
     # 12 psi in/out + 6 out) + strip/temporary headroom; measured 31 MB at a
-    # 64 KB plane -> scale ~500 plane-equivalents, capped at physical VMEM
+    # 64 KB plane -> scale ~500 plane-equivalents, capped at physical VMEM.
+    # The oblique correction block rides the pipeline double-buffered too
+    # (belt-and-braces: mirrors supports_cpml_k's oblique VMEM term).
     plane_bytes = ny * nz * 4
-    vmem_limit = min(int(plane_bytes * 500 + (8 << 20)), 110 * (1 << 20))
+    ob_bytes = (2 * 6 * oblique_win[3] * oblique_win[5] * 4
+                if oblique_win is not None else 0)
+    vmem_limit = min(int(plane_bytes * 500 + ob_bytes + (8 << 20)),
+                     110 * (1 << 20))
     call = pl.pallas_call(
         kernel,
         grid=(nx,),
@@ -898,6 +903,17 @@ def pallas_cpml_step_fn(
             ob_sub[1].start, ob_sub[1].stop - ob_sub[1].start,
             ob_sub[2].start, ob_sub[2].stop - ob_sub[2].start,
         )
+        # feasibility: the double-buffered correction block must fit the
+        # pipeline budget alongside the ~500 plane-equivalents (mirrors
+        # supports_cpml_k's oblique term — loud reject, not a Mosaic
+        # compile error)
+        ob_need = (shape[1] * shape[2] * 4 * 500
+                   + 2 * 6 * oblique_win[3] * oblique_win[5] * 4)
+        if ob_need > 110 * (1 << 20):
+            raise ValueError(
+                "oblique correction block does not fit the single-pass "
+                f"CPML kernel's VMEM budget ({ob_need >> 20} MB est.)"
+            )
     call, x_inputs, strip_inputs, layout = _build_call(
         tuple(shape), inv_dx, cpml, tfsf is not None, tfsf_planes,
         float(dt), constants_key, interpret, int(max_sources), n_mat,

@@ -48,6 +48,7 @@ analog — its GPU backend streams every field from HBM every tick).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -134,12 +135,16 @@ def gb_plan(shape, bc, cpml, k: int, *, dtype=jnp.float32,
         # passes the old cap but its 25% halo overhead loses ~10%).
         # Mosaic's vmem_limit (120 MB) remains the hard compile-time
         # gate; the env knob narrows the plan for debugging.
+        # CAUTION: 118 MB leaves ~2 MB of headroom, and the estimator is
+        # hardware-validated only at the benched shape/dtype/K points —
+        # an under-estimate on a new combination surfaces as a Mosaic
+        # compile error at first execution, not a quiet plan rejection.
+        # bench.py::_selfcheck compiles every kernel variant on the chip
+        # and is the required gate after touching gb plans.
         plane_f32 = W * nz * 4
         plane_store = W * nz * jnp.dtype(dtype).itemsize
         vmem = 16 * (k - 1) * plane_f32 + 22 * plane_f32 + 28 * plane_store
-        import os as _os
-
-        cap_mb = int(_os.environ.get("FDTD_GB_VMEM_CAP_MB", "118"))
+        cap_mb = int(os.environ.get("FDTD_GB_VMEM_CAP_MB", "118"))
         if vmem > cap_mb * (1 << 20):
             continue
         return n_b, h

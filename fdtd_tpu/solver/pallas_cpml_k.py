@@ -34,6 +34,7 @@ K applications of the single-pass kernel is gated in interpret mode
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -63,6 +64,16 @@ from .pallas_cpml import (
 # matrix in tools/soak_aliasing.py. Re-flip to False if a stack update
 # brings the NaNs back (bench.py's selfcheck gates this every run).
 _USE_IO_ALIASES = True
+
+# TIMING-ONLY kernel surgery for the perf experiments (tools/exp_gb.py):
+# comma-separated pieces of the absorbing update to DISABLE so their VPU
+# cost can be isolated on the chip. Produces PHYSICALLY WRONG kernels —
+# never set outside a profiling subprocess. Pieces: "xpsi" (x-slab
+# stretch), "strips" (y/z strip stretch incl. the stitching concats),
+# "edgemask" (the Neumann edge selects in the lateral diffs).
+_PROF_DISABLE = frozenset(
+    s for s in os.environ.get("FDTD_PROF_DISABLE", "").split(",") if s
+)
 
 __all__ = ["pallas_cpml_stepk_fn", "supports_cpml_k"]
 
@@ -170,8 +181,10 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
     # analytic correction volumes arrive PRECOMPUTED per pass as a
     # (K, 6, xl, by, bz) stack (comps 0-2 = corr_h at the level's tick,
     # 3-5 = corr_e at tick + 1/2), box-clamped along x per stage like
-    # the dense coefficient blocks; the in-kernel add is lax.cond-gated
-    # on the plane being inside the subgrid's x extent.
+    # the dense coefficient blocks; the in-kernel add is gated by a
+    # scalar jnp.where on the sub-plane patch (NOT lax.cond — Mosaic
+    # predicates vector conds, see the CLAUDE.md invariant and the note
+    # at the _ob_add site below).
     if oblique_win is not None:
         obx0, obxl, oby0, obby, obz0, obbz = oblique_win
 
@@ -329,19 +342,36 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
         iz = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 1)
         zero = jnp.zeros((ny, nz), f32)
 
-        def bdiff_y(f):
-            return jnp.where(iy == y_lo_e, 0.0, f - pltpu.roll(f, 1, axis=0))
+        if "edgemask" in _PROF_DISABLE:  # timing-only: see _PROF_DISABLE
 
-        def bdiff_z(f):
-            return jnp.where(iz == z_lo_e, 0.0, f - pltpu.roll(f, 1, axis=1))
+            def bdiff_y(f):
+                return f - pltpu.roll(f, 1, axis=0)
 
-        def fdiff_y(f):
-            return jnp.where(
-                iy == y_hi_e, 0.0, pltpu.roll(f, ny - 1, axis=0) - f)
+            def bdiff_z(f):
+                return f - pltpu.roll(f, 1, axis=1)
 
-        def fdiff_z(f):
-            return jnp.where(
-                iz == z_hi_e, 0.0, pltpu.roll(f, nz - 1, axis=1) - f)
+            def fdiff_y(f):
+                return pltpu.roll(f, ny - 1, axis=0) - f
+
+            def fdiff_z(f):
+                return pltpu.roll(f, nz - 1, axis=1) - f
+        else:
+
+            def bdiff_y(f):
+                return jnp.where(
+                    iy == y_lo_e, 0.0, f - pltpu.roll(f, 1, axis=0))
+
+            def bdiff_z(f):
+                return jnp.where(
+                    iz == z_lo_e, 0.0, f - pltpu.roll(f, 1, axis=1))
+
+            def fdiff_y(f):
+                return jnp.where(
+                    iy == y_hi_e, 0.0, pltpu.roll(f, ny - 1, axis=0) - f)
+
+            def fdiff_z(f):
+                return jnp.where(
+                    iz == z_hi_e, 0.0, pltpu.roll(f, nz - 1, axis=1) - f)
 
         def _patch_add(plane, patch, y0, z0):
             """plane[y0:y0+by, z0:z0+bz] + patch, reassembled by concats
@@ -470,6 +500,8 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
             if dense_spec is not None and axis == a_d:
                 raw = dense_stretch(stage, q, half, comp, raw)
             if axis == 0:
+                if "xpsi" in _PROF_DISABLE:  # timing-only
+                    return raw
                 if (half, 0, comp, "lo") not in psi_hbm:
                     return raw
                 hi_ = half_idx[half]
@@ -535,6 +567,8 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                     )
                     new_psi_lvl[x_slot(half, comp) - 6] = p_new
                 return ik * raw + p_new
+            if "strips" in _PROF_DISABLE:  # timing-only
+                return raw
             key = (half, axis, comp, None)
             if key not in psi_hbm:
                 return raw

@@ -4,7 +4,9 @@ The analytic-incident-field commutator (solver/tfsf_oblique.py) used to
 run only through the XLA engine (engine.py:311-319/363-370). Both Pallas
 CPML kernels now host it: the correction volumes are precomputed per
 pass on the commutator subgrid and added in-kernel behind a scalar
-lax.cond x gate (pallas_cpml.py / pallas_cpml_k.py ``oblique=``).
+jnp.where x gate on the sub-plane patch (pallas_cpml.py /
+pallas_cpml_k.py ``oblique=`` — NOT lax.cond: Mosaic predicates vector
+conds, see the CLAUDE.md invariant).
 
 These tests gate the kernel paths against the engine bit-for-bit-ish
 (same f32 algorithm, different op order -> tolerance at the f32
