@@ -146,10 +146,17 @@ def cmd_run(args) -> int:
         if fb is not None:
             # live terminal view at the observation cadence, mirroring
             # the reference's solver window (solver/ui.rs:31-126)
+            from fdtd_tpu.scene.composer import ComposerSession
             from fdtd_tpu.viz.watch import LiveView
 
             out.mkdir(parents=True, exist_ok=True)
-            view = LiveView(runner, fb, png_path=str(out / "live.png"))
+            # interactive scene-view loop (arrows orbit, +/- zoom, TAB
+            # cycles selection, [ / ] UPS throttle — view.rs:88-227 +
+            # solver/ui.rs:80-126 headlessly)
+            session = ComposerSession(scene)
+            session.fit_camera()
+            view = LiveView(runner, fb, png_path=str(out / "live.png"),
+                            session=session)
             view.watch()
             runner.join()
         else:

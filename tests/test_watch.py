@@ -9,6 +9,8 @@ stats line while the solver thread steps."""
 import io
 import time
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -130,3 +132,69 @@ def test_cli_run_watch(tmp_path, monkeypatch):
     assert live.exists() and live.stat().st_size > 0
     text = err.getvalue()
     assert "tick" in text and "UPS" in text
+
+
+def test_live_view_interactive_loop():
+    """The reference's interactive scene-view loop, scripted: arrow keys
+    orbit the session camera, +/- zoom, TAB cycles the selection (bright
+    wireframe outline in the scene pane), [ / ] drive the UPS throttle —
+    all while the solver runs (composer/view.rs:88-227 orbit/pick,
+    solver/ui.rs:80-126 UPS slider)."""
+    from fdtd_tpu.scene import Ball, ComposerSession, Cuboid, Entity, Isometry
+
+    session = ComposerSession()
+    session.add(Entity(name="ball", shape=Ball(1.0)))
+    session.add(Entity(name="box", shape=Cuboid((0.5, 0.5, 0.5)),
+                       pose=Isometry(translation=(3.0, 0.0, 0.0))))
+    session.fit_camera()
+
+    sim = _small_sim()
+    fb = FrameBuffer()
+    binding = ObserverBinding.slice_view(2, 8, sim.grid.shape, fb,
+                                         size=(16, 16))
+    runner = SolverRunner(sim, stop_condition=StopCondition.steps(40),
+                          observers=(binding,))
+    runner.state.observation_delay = 0.01
+    runner.state.step_delay = 0.005
+    out = io.StringIO()
+    view = LiveView(runner, stream=out, color=False, cols=12, rows=8,
+                    refresh=0.02, session=session)
+    runner.start(paused=False)
+    try:
+        pos0 = np.asarray(session.camera.position).copy()
+        # ORBIT: arrows (incl. a split escape sequence across bursts)
+        view.handle_keys("\x1b[C\x1b[A")
+        view.handle_keys("\x1b")
+        view.handle_keys("[D")
+        pos1 = np.asarray(session.camera.position)
+        assert not np.allclose(pos0, pos1)
+        # ZOOM in then out
+        d1 = np.linalg.norm(pos1)
+        view.handle_keys("+")
+        assert np.linalg.norm(session.camera.position) < d1
+        view.handle_keys("-")
+        # SELECT: tab cycles entities, selection shows in stats + pane
+        view.handle_keys("\t")
+        assert [e.name for e in session.selection.entities()] == ["ball"]
+        view.render_once()
+        assert "sel: ball" in view._stats_line()
+        art_ball = view._scene_art
+        view.handle_keys("\t")
+        assert [e.name for e in session.selection.entities()] == ["box"]
+        view.render_once()
+        assert view._scene_art is not None
+        assert view._scene_art != art_ball  # outline moved entities
+        # UPS throttle: '[' halves the cap, ']' doubles it, past 1 kUPS
+        # the throttle lifts (step_delay None)
+        d0 = runner.stats().step_delay
+        view.handle_keys("[")
+        assert runner.stats().step_delay == pytest.approx(d0 * 2)
+        view.handle_keys("]]]]]]")
+        assert runner.stats().step_delay is None
+        view.watch(timeout=20.0)
+    finally:
+        runner.stop()
+        runner.join(timeout=10.0)
+    assert runner.error is None
+    text = out.getvalue()
+    assert "tick" in text
