@@ -98,6 +98,7 @@ def best_sharded_absorbing_step(
     dft_rows=(),
     dft=None,
     dense=None,
+    allow_gb: bool = True,
 ):
     """(step, init_state, k, kind) for a sharded absorbing run.
 
@@ -186,6 +187,51 @@ def best_sharded_absorbing_step(
             if supports_sharded_cpml(shape, n_dev, bc, cpml_k, k, dtype,
                                      n_dev_y=n_dy, dft_rt=dft_rt,
                                      dense=dense_k):
+                # GRID-BLOCKED upgrade (parallel/pallas_sharded_cpml.py
+                # blocks=): when the plain ladder is VMEM-capped at
+                # K <= 3 — big lateral planes, the round-4 shard-cpml512
+                # ceiling — lateral blocks inside each shard's pallas
+                # grid lift the cap (same engage rule as the single-chip
+                # gb tier, solver/simulation.py). 1-D x meshes without
+                # dense regions or accumulator mechanisms only.
+                gb_pl = None
+                if (allow_gb and k <= 3 and one_d and dense_k is None
+                        and dft is None and not flux_faces
+                        and not dft_rows):
+                    from .pallas_sharded_cpml import sharded_gb_plan
+
+                    for gk in (10, 8, 6, 4):
+                        if gk < 2 * k:
+                            break
+                        pg = sharded_gb_plan(
+                            shape, n_dev, bc, cpml_k, gk, dtype,
+                            matid=matid is not None,
+                        )
+                        if pg is not None:
+                            gb_pl = (gk, pg)
+                            break
+                if gb_pl is not None:
+                    gk, (n_bg, hg) = gb_pl
+                    step = jax.jit(make_pallas_sharded_cpml_stepk(
+                        mesh, shape, gk, inv_dx=inv_dx, dt=dt, bc=bc,
+                        constants=constants, cpml=cpml_k, tfsf=tfsf,
+                        max_sources=max_sources, interpret=interpret,
+                        axis=axis, with_m=with_m, matid=matid,
+                        n_materials=n_materials, dtype=dtype,
+                        blocks=(n_bg, hg),
+                    ))
+
+                    def init_state(gk=gk):
+                        return init_sharded_pml_state(
+                            shape, mesh, gk, cpml=cpml_k, axis=axis,
+                            dtype=dtype, tfsf=tfsf,
+                        )
+
+                    # accumulator runs must replan without the upgrade
+                    # (ShardedSimulation.run checks this marker): the
+                    # canonical state layout's halo width tracks k
+                    init_state.gb_blocks = (gk, n_bg, hg)
+                    return step, init_state, gk, "pallas_cpml_k"
                 step = jax.jit(make_pallas_sharded_cpml_stepk(
                     mesh, shape, k, inv_dx=inv_dx, dt=dt, bc=bc,
                     constants=constants, cpml=cpml_k, tfsf=tfsf,

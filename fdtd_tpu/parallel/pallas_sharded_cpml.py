@@ -62,6 +62,7 @@ from ..solver.pallas_cpml_k import _build_call, supports_cpml_k
 
 __all__ = [
     "supports_sharded_cpml",
+    "sharded_gb_plan",
     "init_sharded_pml_state",
     "extend_pml_state",
     "collapse_pml_state",
@@ -132,6 +133,38 @@ def supports_sharded_cpml(
             if _pad8(l1 - l0) + _pad8(h1 - h0) > nly:
                 return False
     return True
+
+
+def sharded_gb_plan(shape, n_dev: int, bc, cpml, k: int,
+                    dtype=jnp.float32, matid: bool = False,
+                    n_b_candidates=(2, 4, 8)):
+    """(n_b, h) when the SHARDED grid-blocked CPML tier supports this
+    configuration, else None.
+
+    The sharded gb tier composes the 1-D x decomposition (this module's
+    extended-halo recipe) with lateral blocks INSIDE each shard's pallas
+    grid (solver/pallas_cpml_gb.py) — lifting the per-shard VMEM K-cap
+    that pins full-lateral-plane shards to the plain K<=3 ladder at
+    512^3 (round-4 verdict item 2). Requirements = the x-PML containment
+    of supports_sharded_cpml plus gb_plan at the extended per-shard
+    shape (y is global on 1-D x meshes, so the y-strip containment and
+    halo arithmetic are unchanged from the single-chip gb plan)."""
+    from ..solver.pallas_cpml_gb import gb_plan
+
+    nx, ny, nz = shape
+    if nx % n_dev != 0 or not (2 <= k <= 10):
+        return None
+    nl = nx // n_dev
+    nle = nl + 2 * k
+    lo, hi = cpml.thickness[0]
+    for half in (False, True):
+        (l0, l1), (h0, h1) = _slab_extents(nx, lo, hi, half)
+        if l1 > nl - k:
+            return None
+        if h1 > h0 and (nx - h0) > nl - k:
+            return None
+    return gb_plan((nle, ny, nz), bc, cpml, k, dtype=dtype, matid=matid,
+                   n_b_candidates=n_b_candidates)
 
 
 def _ystrips_sharded(ny, nly, k, n_dy, half_is_e, cpml, inv_dx, dt,
@@ -558,6 +591,7 @@ def make_pallas_sharded_cpml_stepk(
     dft_rows=(),
     dft=None,
     dense=None,
+    blocks: Optional[Tuple[int, int]] = None,
 ):
     """Build step(state_ext, coeffs, sources) advancing ``k_steps``
     absorbing ticks per pass on each shard of a 1-D x decomposition — or
@@ -651,11 +685,40 @@ def make_pallas_sharded_cpml_stepk(
     rides the psi tail in per-shard extended layout ((n_dev*4, nle+1,
     [n_dy*]by, bz), trash plane per shard) with halo exchanges per
     pass — its recurrence is per-cell local, the same exactness
-    argument as the z-strip psi (module docstring)."""
+    argument as the z-strip psi (module docstring).
+
+    ``blocks`` = (n_b, h): SHARDED GRID-BLOCKED mode (1-D x meshes
+    only). Each shard's kernel decomposes its lateral (y) extent into
+    n_b blocks INSIDE the pallas grid (solver/pallas_cpml_gb.py),
+    lifting the per-shard VMEM K-cap at big lateral planes — the
+    round-4 shard-cpml512 ceiling (K=3, 17.95 Gcell/s) was exactly
+    this cap. The caller's state keeps the CANONICAL extended-sharded
+    layout; the step converts the y-strip psi entries to/from the
+    per-block layout at each call boundary (strips only: a few MB of
+    on-device reshuffling per K-pass, ~2% of pass traffic). TF/SF
+    (slab and box), matid, M sources and bf16 ride along; dense
+    regions, accumulator mechanisms and 2-D meshes stay on the plain
+    sharded tier. Use sharded_gb_plan to obtain a valid (n_b, h)."""
     n_dev = mesh.shape[axis]
     two_d = y_axis is not None
     n_dy = mesh.shape[y_axis] if two_d else 1
-    if not supports_sharded_cpml(
+    if blocks is not None:
+        if (two_d or dense is not None or dft is not None or flux_faces
+                or dft_rows):
+            raise ValueError(
+                "sharded gb mode (blocks=) takes 1-D x meshes without "
+                "dense regions or accumulator mechanisms"
+            )
+        n_b_blk, h_blk = blocks
+        plan_g = sharded_gb_plan(shape, n_dev, bc, cpml, k_steps, dtype,
+                                 matid=matid is not None,
+                                 n_b_candidates=(n_b_blk,))
+        if plan_g is None or plan_g[1] != h_blk:
+            raise ValueError(
+                f"sharded gb CPML kernel does not support {shape=} "
+                f"{n_dev=} {k_steps=} {blocks=} {cpml=}"
+            )
+    elif not supports_sharded_cpml(
         shape, n_dev, bc, cpml, k_steps, dtype,
         n_dev_y=n_dy if two_d else 1,
         dft_rt=(len(dft[0]), len(dft[1])) if dft is not None else None,
@@ -733,10 +796,32 @@ def make_pallas_sharded_cpml_stepk(
             ny, nly, k, n_dy, False, cpml, inv_dx, dt, constants))
         ystr_e = jnp.asarray(_ystrips_sharded(
             ny, nly, k, n_dy, True, cpml, inv_dx, dt, constants))
-    mid_ext = (
-        extend_matid(matid, n_dev, k, n_dy if two_d else None)
-        if matid is not None else None
-    )
+    ystr_blk = None
+    if blocks is not None:
+        nly_b = ny // n_b_blk
+        if has_ystrips:
+            # per-BLOCK stacked y-strip profiles (identity on non-owner
+            # blocks), the single-chip gb operand — y is global on 1-D
+            # x meshes so the stacks are shard-independent (replicated
+            # closure constants, like the baked z strips)
+            ystr_blk = {
+                half: jnp.asarray(_ystrips_sharded(
+                    ny, nly_b, h_blk, n_b_blk, half == "e", cpml,
+                    inv_dx, dt, constants))
+                for half in ("h", "e")
+            }
+    if matid is not None:
+        if blocks is not None:
+            # x-extended THEN per-block y-extended (the gb kernel's
+            # static baked layout: each stage reads one (1, W, nz)
+            # window of the (nle, n_b*W, nz) per-shard tensor)
+            m = _ext_clamped(np.asarray(matid), n_dev, k, 0)
+            mid_ext = jnp.asarray(_ext_clamped(m, n_b_blk, h_blk, 1))
+        else:
+            mid_ext = extend_matid(matid, n_dev, k,
+                                   n_dy if two_d else None)
+    else:
+        mid_ext = None
 
     dense_spec = None
     dco_ext = None
@@ -813,12 +898,15 @@ def make_pallas_sharded_cpml_stepk(
         x_extra=k, runtime_edges=True, runtime_xprof=True,
         with_m=bool(with_m), dtype_name=jnp.dtype(dtype).name,
         runtime_tfsf=tfsf is not None,
-        y_halo=k if two_d else 0, runtime_ystrips=runtime_ystrips,
+        y_halo=(h_blk if blocks is not None else (k if two_d else 0)),
+        runtime_ystrips=runtime_ystrips,
         flux_faces=tuple(flux_faces), dft_rows=dft_rows,
         dense_spec=dense_spec,
         dft_rt=((tuple(w for _, w in dft_planes_g), n_freq_rt)
                 if n_rt else None),
         runtime_box_lat=runtime_box_lat, runtime_lat=runtime_lat,
+        blocks=(None if blocks is None
+                else (n_b_blk, nly_b, h_blk)),
     )
     assert not x_inputs  # runtime_xprof: profiles come in as an operand
     n_psi = len(layout)
@@ -950,7 +1038,16 @@ def make_pallas_sharded_cpml_stepk(
                 if with_m:
                     m_rows.append(m_vals.astype(jnp.float32))
             args.append(jnp.concatenate(rows + m_rows, axis=1))
-        if runtime_ystrips:
+        if blocks is not None and has_ystrips:
+            # gb mode: per-BLOCK stacked y-strip profiles (replicated),
+            # interleaved with the baked z strips in the kernel's
+            # (h,1),(h,2),(e,1),(e,2) order (the single-chip gb packing)
+            z_iter = iter(strip_inputs)
+            for half in ("h", "e"):
+                args.append(ystr_blk[half])
+                if has_zstrips:
+                    args.append(next(z_iter))
+        elif runtime_ystrips:
             # interleave per-shard y-strip profiles with the baked z
             # strips in the kernel's (h,1),(h,2),(e,1),(e,2) order
             z_iter = iter(strip_inputs)
@@ -1000,9 +1097,18 @@ def make_pallas_sharded_cpml_stepk(
             )
             args += list(state.psi[n_psi + n_dense:
                                    n_psi + n_dense + n_rt])
-        args += [fields[n] for n in _FIELDS]
-        args += [fields["ey"], fields["ez"]]
-        args += psi
+        if blocks is not None:
+            # laterally-windowed operands repeat per (left, center,
+            # right) spec; y-strip psi stays a single per-block ref
+            for n in _FIELDS:
+                args += [fields[n]] * 3
+            args += [fields["ey"]] * 3 + [fields["ez"]] * 3
+            for entry, t in zip(layout, psi):
+                args += [t] if entry[1] == 1 else [t] * 3
+        else:
+            args += [fields[n] for n in _FIELDS]
+            args += [fields["ey"], fields["ez"]]
+            args += psi
         outs = call(*args)
         psi_new = tuple(outs[6: 6 + n_psi])
         n_out = 6 + n_psi
@@ -1090,6 +1196,26 @@ def make_pallas_sharded_cpml_stepk(
             res.append(tuple(caps))
         return res[0] if len(res) == 1 else tuple(res)
 
+    def _ystrip_to_gb(t, plo):
+        """Canonical (nx_e, plo+phi, nz) y-strip psi -> the per-block
+        (nx_e, n_b*(plo+phi), nz) gb layout (lo rows on block 0's slice,
+        hi rows on the last block's, zeros elsewhere — the identity
+        profiles on non-owner blocks keep them zero, so the round trip
+        is lossless; mirrors solver.pallas_cpml_gb.extend_gb_pml_state
+        on the extended-sharded tensors)."""
+        lo, hi = t[:, :plo], t[:, plo:]
+        zlo, zhi = jnp.zeros_like(lo), jnp.zeros_like(hi)
+        return jnp.concatenate(
+            [jnp.concatenate(
+                [lo if i == 0 else zlo,
+                 hi if i == n_b_blk - 1 else zhi], axis=1)
+             for i in range(n_b_blk)], axis=1)
+
+    def _ystrip_from_gb(t, plo):
+        p = t.shape[1] // n_b_blk
+        return jnp.concatenate(
+            [t[:, :plo], t[:, (n_b_blk - 1) * p + plo:]], axis=1)
+
     fspec = P(axis, y_axis, None)
     state_spec = PmlKernelState(
         **{n: fspec for n in _FIELDS}, tick=P(),
@@ -1141,6 +1267,11 @@ def make_pallas_sharded_cpml_stepk(
             tf_rows = jnp.stack(rows)
         else:
             tf_rows = jnp.zeros((1, 2), jnp.float32)
+        if blocks is not None and has_ystrips:
+            # canonical -> per-block y-strip psi for the gb kernel
+            state = state._replace(psi=tuple(
+                _ystrip_to_gb(t, entry[5][2]) if entry[1] == 1 else t
+                for entry, t in zip(layout, state.psi)))
         operands = [state, coeffs, sources, xprof, mid_arg, tf_rows]
         specs = [
             state_spec,
@@ -1197,6 +1328,11 @@ def make_pallas_sharded_cpml_stepk(
             out = res[0]
         else:
             out = res
+        if blocks is not None and has_ystrips:
+            # per-block -> canonical y-strip psi (owner slices only)
+            out = out._replace(psi=tuple(
+                _ystrip_from_gb(t, entry[5][2]) if entry[1] == 1 else t
+                for entry, t in zip(layout, out.psi)))
         if tfsf is not None:
             out = out._replace(aux_e=aux_e, aux_h=aux_h)
         return (out, *res[1:]) if extras else out

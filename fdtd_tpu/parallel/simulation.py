@@ -71,6 +71,13 @@ class ShardedSimulation:
     y_axis: Optional[str] = None
     interpret: bool = False
     max_k: int = 8
+    # sharded grid-blocked CPML upgrade (parallel/best.py gb_pl): lifts
+    # the per-shard VMEM K-cap at big lateral planes on 1-D x meshes.
+    # False pins absorbing runs to the plain sharded K ladder (needed
+    # when accumulators must ride a big-plane absorbing run: the gb
+    # plan's state halo width tracks its K, which the accumulator
+    # replan can't match).
+    allow_gb: bool = True
     # z-cut meshes: run the kernel tier in a cyclically-rotated lattice
     # frame (parallel/rotation.py) when the configuration allows it;
     # False pins such meshes to the XLA engine (needed for
@@ -188,7 +195,7 @@ class ShardedSimulation:
                 with_m=self._has_m_sources(), matid=self.matid,
                 n_materials=n_mat, dtype=self.dtype, max_k=self.max_k,
                 interpret=self.interpret, axis=self.axis,
-                dense=self.dense_pml,
+                dense=self.dense_pml, allow_gb=self.allow_gb,
             )
 
         # free space: try the sharded K-step kernel (1-D x or 2-D (x, y)
@@ -315,6 +322,14 @@ class ShardedSimulation:
             raise ValueError(f"{n_steps=} not divisible by plan k={k}")
         coeffs = self._step_coeffs
         if accumulators:
+            if getattr(self._plan[1], "gb_blocks", None) is not None:
+                raise ValueError(
+                    "accumulators don't ride the sharded grid-blocked "
+                    "CPML plan (its state halo width tracks the gb K, "
+                    "which the accumulator replan can't match) — "
+                    "construct with allow_gb=False to use the plain "
+                    "sharded kernel ladder"
+                )
             from ..solver.simulation import kernel_accumulator_spec
 
             (faces, flux_items, dft_items, dft_arg, row_items,

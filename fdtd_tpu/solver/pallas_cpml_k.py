@@ -145,8 +145,11 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
     # the win over the outside-blocked tier (pallas_cpml_blocked.py).
     if blocks is not None:
         n_b_blk, nly_blk, h_blk = blocks
-        assert not (runtime_edges or runtime_lat or runtime_tfsf
-                    or runtime_box_lat)
+        # runtime_edges/runtime_tfsf compose with blocks (the SHARDED
+        # grid-blocked tier, parallel/pallas_sharded_cpml.py blocks=):
+        # x coordinates arrive per shard from SMEM, y coordinates are
+        # lattice-global and shift into the block window frame in-kernel
+        assert not (runtime_lat or runtime_box_lat)
         assert dense_spec is None and dft_spec is None and dft_rt is None
         assert not flux_faces and not dft_rows
         assert oblique_win is None
@@ -322,6 +325,13 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
             y_hi_e = edge_ref[0, 3]
             z_lo_e = edge_ref[0, 4]
             z_hi_e = edge_ref[0, 5]
+            if blocks is not None:
+                # sharded grid-blocked mode: the wrapper sends REAL
+                # lattice y edges (1-D x meshes leave y uncut); shift
+                # them into this block's window frame like the static
+                # branch below (big sentinels survive the shift)
+                y_lo_e = y_lo_e - y0_blk
+                y_hi_e = y_hi_e - y0_blk
         elif blocks is not None:
             # global Neumann y edges in this block's WINDOW frame: on
             # block 0 the lo edge sits at window column h (columns below

@@ -767,3 +767,133 @@ def test_sharded_cpml_flux_and_rows_2d_mesh():
                 err_msg=f"pass {p} desc {di}")
     assert max(np.abs(r).max() for r in ref_rows) > 0
     assert max(np.abs(c).max() for cs in ref_caps for c in cs) > 0
+
+
+# ---------------------------------------------------------------------------
+# Sharded GRID-BLOCKED mode (blocks=): lateral blocks inside each shard's
+# pallas grid (parallel/pallas_sharded_cpml.py sharded_gb_plan /
+# make_pallas_sharded_cpml_stepk blocks=). The caller's state keeps the
+# canonical extended-sharded layout; the step converts y-strip psi at the
+# call boundary — so equivalence vs the single-device plain K kernel uses
+# the UNCHANGED extend/collapse round trip.
+# ---------------------------------------------------------------------------
+
+
+def _run_gb_pair(shape, n_dev, k, blocks, cpml, n_passes, src_pt, *,
+                 tfsf=None, matid=None, n_materials=1,
+                 dtype=jnp.float32):
+    from fdtd_tpu.parallel.pallas_sharded_cpml import sharded_gb_plan
+
+    mesh = make_mesh(n_dev, ("x",))
+    bc = BoundaryConditions()
+    plan = sharded_gb_plan(shape, n_dev, bc, cpml, k, dtype,
+                           matid=matid is not None,
+                           n_b_candidates=(blocks[0],))
+    assert plan == blocks, (plan, blocks)
+
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    if matid is not None:
+        tab = ft.MaterialTable()
+        tab.register(ft.Material(relative_permittivity=2.5))
+        ctable = ft.coefficient_table(tab.materials, res, ft.REDUCED)
+        coeffs = jnp.asarray(ctable, jnp.float32)
+    else:
+        table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+        coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
+    src = ft.SourceSet.build(
+        [ft.PointSource(src_pt, ft.GaussianPulse(4 * dt, 2 * dt),
+                        j=(0.3, -0.2, 1.0))]
+    )
+
+    kw = dict(max_sources=1, interpret=True, dtype=dtype, tfsf=tfsf,
+              matid=None if matid is None else jnp.asarray(matid),
+              n_materials=n_materials)
+    ref_step = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, **kw,
+    )
+    ref = init_pml_kernel_state(shape, dtype, cpml=cpml, tfsf=tfsf)
+    for _ in range(n_passes):
+        ref = ref_step(ref, coeffs, src)
+
+    sh_step = make_pallas_sharded_cpml_stepk(
+        mesh, shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+        constants=ft.REDUCED, cpml=cpml, blocks=blocks,
+        **{k_: v for k_, v in kw.items() if k_ != "matid"},
+        matid=matid,
+    )
+    st = init_sharded_pml_state(shape, mesh, k, cpml=cpml, dtype=dtype,
+                                tfsf=tfsf)
+    for _ in range(n_passes):
+        st = sh_step(st, coeffs, src)
+    if tfsf is not None:
+        st = st._replace(aux_e=ref.aux_e, aux_h=ref.aux_h)
+    got = collapse_pml_state(st, mesh, k, shape, cpml=cpml)
+    return ref, got
+
+
+def test_sharded_gb_matches_single_device():
+    # CPML on all axes; source within K planes of the x shard cut AND
+    # within h columns of the y block cut (redundant-recompute agreement
+    # along both decompositions at once)
+    shape, n_dev, k = (16, 32, 256), 2, 2
+    cpml = Cpml(thickness=((4, 4), (4, 4), (4, 4)))
+    ref, got = _run_gb_pair(shape, n_dev, k, (2, 8), cpml, n_passes=4,
+                            src_pt=(7, 15, 128))
+    assert float(jnp.abs(ref.ez).max()) > 0
+    _assert_state_equal(ref, got)
+
+
+def test_sharded_gb_tfsf_box_straddles_block_cut():
+    from fdtd_tpu.solver.tfsf import Tfsf
+    from fdtd_tpu.solver.sources import GaussianPulse
+
+    shape, n_dev, k = (24, 32, 128), 2, 2
+    cpml = Cpml(thickness=((4, 4), (4, 4), (0, 0)))
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    tfsf = Tfsf(span=(8, 17), span_y=(8, 23), span_z=(40, 90),
+                waveform=GaussianPulse(6 * res.temporal,
+                                       2 * res.temporal))
+    ref, got = _run_gb_pair(shape, n_dev, k, (2, 8), cpml, n_passes=4,
+                            src_pt=(4, 4, 64), tfsf=tfsf)
+    assert float(jnp.abs(ref.ez).max()) > 0
+    _assert_state_equal(ref, got)
+
+
+def test_sharded_gb_dispatch_and_simulation():
+    # best_sharded_absorbing_step upgrades a K<=3-capped plain plan to
+    # the gb tier; the full ShardedSimulation round trip stays exact
+    from fdtd_tpu.parallel.best import best_sharded_absorbing_step
+
+    shape, n_dev = (24, 32, 128), 2
+    cpml = Cpml(thickness=((4, 4), (4, 4), (0, 0)))
+    mesh = make_mesh(n_dev, ("x",))
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+    coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
+    src = ft.SourceSet.build(
+        [ft.PointSource((12, 15, 64), ft.GaussianPulse(4 * dt, 2 * dt),
+                        j=(0.0, 0.0, 1.0))]
+    )
+    step, init_state, k, kind = best_sharded_absorbing_step(
+        mesh, shape, inv_dx=(1.0, 1.0, 1.0), dt=dt, cpml=cpml,
+        constants=ft.REDUCED, max_sources=1, max_k=3, interpret=True,
+    )
+    assert kind == "pallas_cpml_k"
+    assert k == 6, k  # gb upgrade: 10/8 fail containment, 6 plans
+    assert getattr(init_state, "gb_blocks", None) == (6, 2, 8)
+
+    ref_step = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, interpret=True,
+    )
+    ref = init_pml_kernel_state(shape, cpml=cpml)
+    st = init_state()
+    for _ in range(2):
+        ref = ref_step(ref, coeffs, src)
+        st = step(st, coeffs, src)
+    got = collapse_pml_state(st, mesh, k, shape, cpml=cpml)
+    assert float(jnp.abs(ref.ez).max()) > 0
+    _assert_state_equal(ref, got)
