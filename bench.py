@@ -407,7 +407,40 @@ def _selfcheck(ft, jax, jnp, np) -> bool:
         f"{'PASS' if good_o else 'FAIL'}",
         file=sys.stderr,
     )
-    del eot, ost, eng_o, ostep
+
+    # SHARDED oblique (round 5): the scalar-PREFETCH build
+    # (PrefetchScalarGridSpec runtime correction-block maps) is a
+    # Mosaic-only surface the interpret tests cannot see; 1-dev mesh,
+    # gated against the single-chip oblique kernel result
+    from fdtd_tpu.parallel.pallas_sharded_cpml import (
+        make_pallas_sharded_cpml_stepk as _mk_sh,
+        init_sharded_pml_state as _init_sh,
+        collapse_pml_state as _col_sh,
+    )
+    from fdtd_tpu.parallel.topology import make_mesh as _mk_mesh
+
+    _mesh1o = _mk_mesh(1, ("x",))
+    so_step = jax.jit(_mk_sh(
+        _mesh1o, shape, 4, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+        constants=ft.REDUCED, cpml=cpml, oblique=ob, max_sources=1,
+    ))
+    sot = _init_sh(shape, _mesh1o, 4, cpml=cpml)
+    for _ in range(n_ticks // 4):
+        sot = so_step(sot, coeffs, src)
+    jax.block_until_ready(sot)
+    got_so = _col_sh(sot, _mesh1o, 4, shape, cpml=cpml)
+    err_so = max(
+        _rel_err(getattr(got_so, f), getattr(ost, f), np)
+        for f in ("ex", "ey", "ez", "hx", "hy", "hz")
+    )
+    good_so = err_so < tol
+    ok = ok and good_so
+    print(
+        f"selfcheck sharded-oblique K=4 (scalar prefetch): rel_err "
+        f"{err_so:.2e} {'PASS' if good_so else 'FAIL'}",
+        file=sys.stderr,
+    )
+    del eot, ost, eng_o, ostep, sot, got_so, so_step
 
     # grid-blocked CPML tier (lateral blocks inside the pallas grid):
     # the only real-hardware compile coverage of the 3-way windowed
@@ -464,6 +497,48 @@ def _selfcheck(ft, jax, jnp, np) -> bool:
             f"{'PASS' if good_g else 'FAIL'}",
             file=sys.stderr,
         )
+
+        # SHARDED grid-blocked mode (round 5): the blocks-inside-the-
+        # grid build composed with runtime edges/xprof — the multi-chip
+        # absorbing tier's K-cap lift; 1-dev mesh vs the plain kernel
+        from fdtd_tpu.parallel.pallas_sharded_cpml import (
+            collapse_pml_state as _colg,
+            init_sharded_pml_state as _initg,
+            make_pallas_sharded_cpml_stepk as _mkg,
+            sharded_gb_plan,
+        )
+        from fdtd_tpu.parallel.topology import make_mesh as _mmg
+
+        _m1g = _mmg(1, ("x",))
+        plan_sg = sharded_gb_plan(shape_g, 1, bc, cpml, 2,
+                                  n_b_candidates=(2,))
+        if plan_sg is None:
+            ok = False
+            print("selfcheck sharded-gb CPML: plan unexpectedly None "
+                  "FAIL", file=sys.stderr)
+        else:
+            sg_step = jax.jit(_mkg(
+                _m1g, shape_g, 2, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+                constants=ft.REDUCED, cpml=cpml, max_sources=1,
+                blocks=plan_sg,
+            ))
+            sgt = _initg(shape_g, _m1g, 2, cpml=cpml)
+            for _ in range(n_ticks // 2):
+                sgt = sg_step(sgt, coeffs, src_g)
+            jax.block_until_ready(sgt)
+            got_sg = _colg(sgt, _m1g, 2, shape_g, cpml=cpml)
+            err_sg = max(
+                _rel_err(getattr(got_sg, f), getattr(pst_g, f), np)
+                for f in ("ex", "ey", "ez", "hx", "hy", "hz")
+            )
+            good_sg = err_sg < tol
+            ok = ok and good_sg
+            print(
+                f"selfcheck sharded-gb CPML K=2 n_b=2: rel_err "
+                f"{err_sg:.2e} {'PASS' if good_sg else 'FAIL'}",
+                file=sys.stderr,
+            )
+            del sgt, got_sg, sg_step
 
     # --- sharded kernel variants on an n_dev=1 mesh, interpret=False ----
     # This is the ONLY real-hardware compile coverage of the kernel builds
@@ -1556,15 +1631,25 @@ def _section_cpml512(n_steps: int) -> None:
                 grid.num_cells * g_calls * gk / dt_min, spread, bpc)
 
     def _tier_sharded():
-        sk = 3
-        if not supports_sharded_cpml(shape, 1, _BC(), Cpml.uniform(10),
-                                     sk):
+        # the dispatcher's plan for a 1-dev mesh: plain ladder capped at
+        # K=3 by VMEM, upgraded to the grid-blocked build when it plans
+        # (parallel/best.py gb_pl — the round-5 multi-chip K-cap lift)
+        from fdtd_tpu.parallel.pallas_sharded_cpml import sharded_gb_plan
+
+        sk, blocks_s = 3, None
+        for gk in (10, 8, 6, 4):
+            pg = sharded_gb_plan(shape, 1, _BC(), Cpml.uniform(10), gk)
+            if pg is not None:
+                sk, blocks_s = gk, pg
+                break
+        if blocks_s is None and not supports_sharded_cpml(
+                shape, 1, _BC(), Cpml.uniform(10), sk):
             return
         mesh1 = make_mesh(1, ("x",))
         sstep = jax.jit(make_pallas_sharded_cpml_stepk(
             mesh1, shape, sk, inv_dx=(1.0, 1.0, 1.0),
             dt=grid.dt, constants=ft.REDUCED,
-            cpml=Cpml.uniform(10), max_sources=1,
+            cpml=Cpml.uniform(10), max_sources=1, blocks=blocks_s,
         ))
         sstate = init_sharded_pml_state(
             shape, mesh1, sk, cpml=Cpml.uniform(10))
@@ -1585,9 +1670,61 @@ def _section_cpml512(n_steps: int) -> None:
         dt_wall, dt_min, spread, _ = _timed_min(
             lambda s: runs_j(s, s_calls), holder, _sync,
             run2=lambda s: runs_j(s, 2 * s_calls))
-        _report(f"shard-cpml{n} 1dev f32 K={sk}",
+        tag = f" gb nb={blocks_s[0]}" if blocks_s is not None else ""
+        _report(f"shard-cpml{n} 1dev f32 K={sk}{tag}",
                 grid.num_cells * s_calls * sk / dt_wall,
                 grid.num_cells * s_calls * sk / dt_min, spread, bpc)
+
+    # oblique TF/SF at 512^3 (BASELINE config 3 at scale): the gb/blocked
+    # tiers exclude oblique (hosting the correction patch across lateral
+    # block cuts needs traced-position stitching, computed to LOSE vs the
+    # plain ladder — docs/ARCHITECTURE.md oblique notes), so this measures
+    # the plain-K fallback such runs actually get
+    def _tier_oblique():
+        from fdtd_tpu.solver.pallas_cpml_k import supports_cpml_k
+        from fdtd_tpu.solver.tfsf_oblique import ObliqueTfsf
+
+        ob = ObliqueTfsf(
+            box=((196, 315), (196, 315), (196, 315)),
+            direction=(1.0, 0.6, -0.3),
+            polarization=(0.0, 0.3, 1.0),
+            waveform=ft.GaussianPulse(20 * grid.dt, 6 * grid.dt),
+        )
+        ok_c = None
+        for cand in (4, 3, 2):
+            if supports_cpml_k(shape, _BC(), Cpml.uniform(10), cand,
+                               jnp.float32, oblique=ob):
+                ok_c = cand
+                break
+        if ok_c is None:
+            raise RuntimeError("no oblique plan supports 512^3")
+        ostep = pallas_cpml_stepk_fn(
+            shape, ok_c, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
+            constants=ft.REDUCED, cpml=Cpml.uniform(10), oblique=ob,
+            max_sources=1,
+        )
+        ostate = init_pml_kernel_state(shape, jnp.float32,
+                                       cpml=Cpml.uniform(10))
+
+        def run_o(state, k: int, _s=ostep):
+            def body(s, _):
+                return _s(s, coeffs, src), None
+
+            return jax.lax.scan(body, state, None, length=k)[0]
+
+        runo_j = jax.jit(run_o, static_argnums=1)
+        o_calls = max(n_steps // ok_c, 1)
+        ostate = runo_j(ostate, o_calls)
+        _sync(ostate)
+        bpc = 2 * _state_bytes(ostate) / (ok_c * grid.num_cells)
+        holder = [ostate]
+        del ostate
+        dt_wall, dt_min, spread, _ = _timed_min(
+            lambda s, _r=runo_j: _r(s, o_calls), holder, _sync,
+            run2=lambda s, _r=runo_j: _r(s, 2 * o_calls))
+        _report(f"oblique-cpml{n} f32 K={ok_c}",
+                grid.num_cells * o_calls * ok_c / dt_wall,
+                grid.num_cells * o_calls * ok_c / dt_min, spread, bpc)
 
     import gc
 
@@ -1603,6 +1740,7 @@ def _section_cpml512(n_steps: int) -> None:
          lambda: _tier_blocked(jnp.float32)),
         (f"{n}^3 blocked CPML bfloat16",
          lambda: _tier_blocked(jnp.bfloat16)),
+        (f"{n}^3 oblique TF/SF", _tier_oblique),
         (f"{n}^3 sharded tier", _tier_sharded),
     ]
     for label, tier in tiers:

@@ -131,22 +131,32 @@ def best_sharded_absorbing_step(
 
     import jax.numpy as jnp
 
-    if tfsf is not None and not hasattr(tfsf, "span"):
-        # ObliqueTfsf: the analytic correction volumes are built in
-        # GLOBAL coordinates; neither sharded path re-offsets them per
-        # shard yet. Fail loudly instead of an AttributeError deep in
-        # the engine build. Single-chip Simulation hosts it in both
-        # CPML kernels (solver/pallas_cpml*.py oblique=).
-        raise NotImplementedError(
-            "ObliqueTfsf is single-chip only: use solver.Simulation "
-            "(kernel-hosted since round 4), the aux-grid Tfsf, or drop "
-            "TF/SF for multi-chip runs"
-        )
-
     dtype = dtype or jnp.float32
     n_dev = mesh.shape.get(axis, 1)
     y_axis = kernel_lateral_axis(mesh, axis)
     one_d = all(n == 1 for name, n in mesh.shape.items() if name != axis)
+
+    oblique = None
+    if tfsf is not None and not hasattr(tfsf, "span"):
+        # ObliqueTfsf rides the sharded CPML kernel on 1-D x meshes:
+        # the correction stack stays global/replicated and each shard
+        # addresses it through a runtime scalar-prefetch x offset
+        # (pallas_sharded_cpml oblique=). Lateral cuts (2-D/z-cut
+        # meshes) stay unimplemented — the patch stitching is static —
+        # and the engine path can't host it per shard either, so fail
+        # loudly there.
+        oblique, tfsf = tfsf, None
+        if not one_d:
+            raise NotImplementedError(
+                "sharded ObliqueTfsf needs a 1-D x mesh (lateral mesh "
+                "cuts don't re-offset the correction volumes); use a "
+                "1-D mesh, solver.Simulation, or the aux-grid Tfsf"
+            )
+        if dense is not None or flux_faces or dft_rows or dft is not None:
+            raise NotImplementedError(
+                "sharded ObliqueTfsf doesn't compose with dense regions "
+                "or accumulator mechanisms yet"
+            )
     kernel_mesh_ok = one_d or y_axis is not None
     n_dy = mesh.shape[y_axis] if y_axis is not None else 1
     kernel_backend = interpret or jax.default_backend() == "tpu"
@@ -162,7 +172,8 @@ def best_sharded_absorbing_step(
     # kernel with an empty absorber — the multi-chip analog of
     # solver.simulation.Simulation._cpml_or_empty
     cpml_k = cpml
-    if cpml_k is None and (tfsf is not None or dense is not None):
+    if cpml_k is None and (tfsf is not None or dense is not None
+                           or oblique is not None):
         from ..solver.cpml import Cpml
 
         cpml_k = Cpml(thickness=((0, 0), (0, 0), (0, 0)))
@@ -186,7 +197,7 @@ def best_sharded_absorbing_step(
                 continue
             if supports_sharded_cpml(shape, n_dev, bc, cpml_k, k, dtype,
                                      n_dev_y=n_dy, dft_rt=dft_rt,
-                                     dense=dense_k):
+                                     dense=dense_k, oblique=oblique):
                 # GRID-BLOCKED upgrade (parallel/pallas_sharded_cpml.py
                 # blocks=): when the plain ladder is VMEM-capped at
                 # K <= 3 — big lateral planes, the round-4 shard-cpml512
@@ -195,7 +206,11 @@ def best_sharded_absorbing_step(
                 # gb tier, solver/simulation.py). 1-D x meshes without
                 # dense regions or accumulator mechanisms only.
                 gb_pl = None
-                if (allow_gb and k <= 3 and one_d and dense_k is None
+                # max_k <= 3 means the caller deliberately capped the
+                # ladder (tests, small dryruns) — don't upgrade past it;
+                # a DEFAULT cap signals a real VMEM-capped big plane
+                if (allow_gb and k <= 3 < max_k and one_d
+                        and dense_k is None and oblique is None
                         and dft is None and not flux_faces
                         and not dft_rows):
                     from .pallas_sharded_cpml import sharded_gb_plan
@@ -240,6 +255,7 @@ def best_sharded_absorbing_step(
                     n_materials=n_materials, dtype=dtype, y_axis=y_axis,
                     flux_faces=tuple(flux_faces),
                     dft_rows=tuple(dft_rows), dft=dft, dense=dense_k,
+                    oblique=oblique,
                 ))
 
                 def init_state(k=k):
@@ -249,6 +265,17 @@ def best_sharded_absorbing_step(
                     )
 
                 return step, init_state, k, "pallas_cpml_k"
+
+    if oblique is not None:
+        # the engine path has no per-shard correction offsets either —
+        # a kernel-ineligible oblique config (e.g. x-PML too deep for
+        # the shard layout) has no sharded host at all
+        raise NotImplementedError(
+            "this ObliqueTfsf configuration doesn't fit the sharded "
+            "CPML kernel (supports_sharded_cpml) and the engine path "
+            "can't host sharded oblique corrections — use "
+            "solver.Simulation or adjust the decomposition"
+        )
 
     # sharded engine wants a dims tuple of length 3 aligned to lattice axes
     names = list(mesh.shape)

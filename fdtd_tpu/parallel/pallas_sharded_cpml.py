@@ -74,7 +74,7 @@ _FIELDS = ("ex", "ey", "ez", "hx", "hy", "hz")
 
 def supports_sharded_cpml(
     shape, n_dev: int, bc, cpml, k: int, dtype=jnp.float32,
-    n_dev_y: int = 1, dft_rt=None, dense=None,
+    n_dev_y: int = 1, dft_rt=None, dense=None, oblique=None,
 ) -> bool:
     """True when the sharded in-kernel CPML path supports this config.
 
@@ -113,7 +113,13 @@ def supports_sharded_cpml(
             box=((0, nle), lat, (gz0, gz1)),
         )
     if not supports_cpml_k((nle, ny_ext, nz), bc, cpml, k, dtype,
-                           dft_rt=dft_rt, dense=dense_shim):
+                           dft_rt=dft_rt, dense=dense_shim,
+                           oblique=oblique):
+        return False
+    if oblique is not None and n_dev_y > 1:
+        # the correction patch stitches at STATIC lateral positions;
+        # only the x coordinate is runtime (scalar prefetch), so
+        # lateral cuts stay on the engine
         return False
     lo, hi = cpml.thickness[0]
     for half in (False, True):
@@ -592,6 +598,7 @@ def make_pallas_sharded_cpml_stepk(
     dft=None,
     dense=None,
     blocks: Optional[Tuple[int, int]] = None,
+    oblique=None,
 ):
     """Build step(state_ext, coeffs, sources) advancing ``k_steps``
     absorbing ticks per pass on each shard of a 1-D x decomposition — or
@@ -702,6 +709,27 @@ def make_pallas_sharded_cpml_stepk(
     n_dev = mesh.shape[axis]
     two_d = y_axis is not None
     n_dy = mesh.shape[y_axis] if two_d else 1
+    if oblique is not None:
+        # oblique-incidence TF/SF (solver/tfsf_oblique.py) on the
+        # SHARDED kernel: the analytic correction stack stays in global
+        # coordinates (replicated); each shard addresses it through a
+        # runtime scalar-prefetch x offset (pallas_cpml_k
+        # runtime_oblique). 1-D x meshes only — the lateral patch
+        # stitching is static.
+        if (two_d or tfsf is not None or dense is not None
+                or dft is not None or flux_faces or dft_rows
+                or blocks is not None):
+            raise ValueError(
+                "sharded oblique TF/SF takes 1-D x meshes without "
+                "aux-grid TF/SF, dense regions, gb blocks or "
+                "accumulator mechanisms"
+            )
+        if not supports_sharded_cpml(shape, n_dev, bc, cpml, k_steps,
+                                     dtype, oblique=oblique):
+            raise ValueError(
+                f"sharded oblique CPML kernel does not support {shape=} "
+                f"{n_dev=} {k_steps=} {cpml=}"
+            )
     if blocks is not None:
         if (two_d or dense is not None or dft is not None or flux_faces
                 or dft_rows):
@@ -892,6 +920,25 @@ def make_pallas_sharded_cpml_stepk(
                                     jnp.float32)
     tf_lo, tf_hi = tuple(tfsf.span) if tfsf is not None else (0, 0)
 
+    oblique_win = None
+    ob_corr_h = ob_corr_e = None
+    ob_x0_g = 0
+    if oblique is not None:
+        from ..solver.tfsf_oblique import build_oblique
+
+        ob_sub, ob_corr_h, ob_corr_e = build_oblique(
+            oblique, shape, inv_dx, dt, constants, jnp.float32
+        )
+        # x start is RUNTIME (per-shard extended frame, scalar
+        # prefetch); the static slot carries 0. y/z are lattice-global
+        # (1-D x meshes leave them uncut).
+        ob_x0_g = ob_sub[0].start
+        oblique_win = (
+            0, ob_sub[0].stop - ob_sub[0].start,
+            ob_sub[1].start, ob_sub[1].stop - ob_sub[1].start,
+            ob_sub[2].start, ob_sub[2].stop - ob_sub[2].start,
+        )
+
     call, x_inputs, strip_inputs = _build_call(
         shape_ext, inv_dx, cpml, k, tfsf is not None, (0, 0), tfsf_box,
         float(dt), constants_key, interpret, int(max_sources), n_mat,
@@ -907,15 +954,19 @@ def make_pallas_sharded_cpml_stepk(
         runtime_box_lat=runtime_box_lat, runtime_lat=runtime_lat,
         blocks=(None if blocks is None
                 else (n_b_blk, nly_b, h_blk)),
+        oblique_win=oblique_win, runtime_oblique=oblique is not None,
     )
     assert not x_inputs  # runtime_xprof: profiles come in as an operand
     n_psi = len(layout)
 
     def local_step(state: PmlKernelState, coeffs, sources, xprof_l, mid_l,
                    tf_rows, *extra):
-        # extra = [dense coefficient volume][DFT phase rows][per-y-shard
-        # strip profiles]; dense/dft are 1-D-mesh-only, ystrips 2-D-only
+        # extra = [oblique correction stack][dense coefficient volume]
+        # [DFT phase rows][per-y-shard strip profiles]; oblique/dense/
+        # dft are 1-D-mesh-only, ystrips 2-D-only
         extra = list(extra)
+        if oblique is not None:
+            ob_stack_l = extra.pop(0)
         if n_dense:
             dco_l = extra.pop(0)
         if n_rt:
@@ -1081,6 +1132,11 @@ def make_pallas_sharded_cpml_stepk(
             dp = dp.at[:, 1: 1 + k].set(recv_lo) \
                    .at[:, 1 + nl + k:].set(recv_hi)
             args.append(dp)
+        if oblique is not None:
+            # per-stage correction blocks all reference the one stack
+            # (the single-chip packing); the runtime x offset goes in
+            # through the scalar-prefetch operand below
+            args += [ob_stack_l] * k
         if n_rt:
             # runtime x-plane DFT: the (K, 2F) phase rows, then each
             # plane's coordinate in THIS shard's extended frame (owner)
@@ -1109,7 +1165,15 @@ def make_pallas_sharded_cpml_stepk(
             args += [fields[n] for n in _FIELDS]
             args += [fields["ey"], fields["ez"]]
             args += psi
-        outs = call(*args)
+        if oblique is not None:
+            # scalar-prefetch operand: the oblique subgrid's x start in
+            # THIS shard's extended frame (halo copies of a plane apply
+            # the same correction their owner does — uniform shift)
+            ob_x0 = (jnp.asarray(ob_x0_g, jnp.int32)
+                     + (k - idx * nl).astype(jnp.int32)).reshape(1)
+            outs = call(ob_x0, *args)
+        else:
+            outs = call(*args)
         psi_new = tuple(outs[6: 6 + n_psi])
         n_out = 6 + n_psi
         if n_dense:
@@ -1281,6 +1345,20 @@ def make_pallas_sharded_cpml_stepk(
             P(axis, y_axis, None),
             P(None, None),
         ]
+        if oblique is not None:
+            # per-pass analytic correction stack (K, 6, xl, by, bz) in
+            # GLOBAL coordinates, replicated — corr_h at each level's
+            # tick, corr_e at tick + 1/2 (the single-chip packing,
+            # solver/pallas_cpml_k.py oblique=)
+            rows = []
+            for lvl in range(k):
+                t = (state.tick + lvl).astype(jnp.float32) \
+                    * jnp.float32(dt)
+                ch = ob_corr_h(t)
+                ce = ob_corr_e(t + jnp.float32(0.5 * dt))
+                rows.append(jnp.stack(list(ch) + list(ce)))
+            operands.append(jnp.stack(rows))
+            specs.append(P(None, None, None, None, None))
         if n_dense or n_rt:
             if len(state.psi) != n_psi + n_dense + n_rt:
                 raise ValueError(

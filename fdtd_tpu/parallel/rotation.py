@@ -42,7 +42,10 @@ __all__ = [
     "rotate_grid",
     "rotate_cpml",
     "rotate_sources",
+    "rotate_dense",
+    "rotate_fields",
     "unrotate_fields",
+    "convert_pml_psi",
 ]
 
 _CYCLIC = ((2, 0, 1), (1, 2, 0))
@@ -134,6 +137,35 @@ def rotate_sources(sources, perm):
     )
 
 
+def rotate_dense(dense, perm):
+    """DensePml in the rotated frame: the stretch axis index, the AABB
+    box, the live box and the 6 per-cell coefficient volumes all permute
+    mechanically (no resampling — the volumes are per-cell scalars, and
+    the per-axis Yee curl the stretch applies to is itself equivariant
+    under the cyclic relabeling, so the rotated run stays bit-equal)."""
+    if dense is None:
+        return None
+    import dataclasses
+
+    inv = _inverse(perm)
+
+    def pbox(box):
+        return tuple(tuple(box[perm[j]]) for j in range(3))
+
+    def pvol(v):
+        return jnp.transpose(jnp.asarray(v), perm)
+
+    return dataclasses.replace(
+        dense,
+        axis=inv[dense.axis],
+        box=pbox(dense.box),
+        coeffs_h=tuple(pvol(c) for c in dense.coeffs_h),
+        coeffs_e=tuple(pvol(c) for c in dense.coeffs_e),
+        live_box=(None if dense.live_box is None
+                  else pbox(dense.live_box)),
+    )
+
+
 def _inverse(perm) -> Tuple[int, int, int]:
     return tuple(perm.index(i) for i in range(3))
 
@@ -144,8 +176,8 @@ def unrotate_fields(gathered, perm):
     Lattice field component c lives in rotated component
     ``perm.index(c)``; each array transposes axes back with the inverse
     permutation. psi tensors (kernel-layout internals of the rotated
-    frame) are dropped — gather() output is for field analysis, and
-    checkpointing on rotated plans is routed through the caller."""
+    frame) are dropped — gather() output is for field analysis;
+    checkpointing maps them to the lattice layout via convert_pml_psi."""
     from ..solver.state import SimState
 
     inv = _inverse(perm)
@@ -155,3 +187,89 @@ def unrotate_fields(gathered, perm):
          for c in range(3)]
     return SimState(ex=e[0], ey=e[1], ez=e[2],
                     hx=h[0], hy=h[1], hz=h[2], tick=gathered.tick)
+
+
+def rotate_fields(state_l, perm):
+    """Lattice-frame field arrays -> rotated-frame (ex..hz) dict: the
+    inverse of unrotate_fields (rotated component c IS lattice component
+    perm[c]; arrays transpose by perm)."""
+    out = {}
+    for f in "eh":
+        for c in range(3):
+            out[f + "xyz"[c]] = jnp.transpose(
+                getattr(state_l, f + "xyz"[perm[c]]), perm
+            )
+    return out
+
+
+def convert_pml_psi(psi_src, src_shape, src_cpml, dst_shape, dst_cpml, m):
+    """Plain-global CPML psi tuple of one lattice frame -> another.
+
+    ``m`` maps DST dims onto SRC dims: DST dim/component a corresponds
+    to SRC dim/component m[a] (for unrotation dst=lattice, src=rotated,
+    m = perm^-1; for rotation dst=rotated, src=lattice, m = perm). The
+    DST term (half, a, c[, end]) therefore pulls from the SRC term
+    (half, m[a], m[c]).
+
+    The two frames lay an axis term out differently when the term's axis
+    maps between the slab kind (axis 0: lo/hi plane-indexed tensor pair
+    with a trash plane, solver/pallas_cpml._psi_layout) and the strip
+    kinds (axes 1/2: one tensor with 8-/128-padded lo+hi row blocks), so
+    conversion goes through the SEMANTIC live windows, identical in
+    every representation: lo = psi at the first t_lo planes/rows of the
+    axis, hi = psi at the last t_hi (slab-pair hi tensors hold them at
+    indices 1..t_hi, trash at 0; strip tensors at the END of the padded
+    hi block — both padding conventions keep non-live entries at exact
+    zero via profile gating, so copying the windows is lossless).
+    t_lo/t_hi agree across frames because the thickness tuple permutes
+    with the axes (rotate_cpml)."""
+    from ..solver.pallas_cpml import _psi_layout
+
+    slay = _psi_layout(tuple(src_shape), src_cpml)
+    dlay = _psi_layout(tuple(dst_shape), dst_cpml)
+    smap = {}
+    for entry, t in zip(slay, psi_src):
+        smap[(entry[0], entry[1], entry[2], entry[3])] = (
+            entry, np.asarray(t))
+
+    def sem_lo_hi(half, a_s, c_s):
+        """(lo, hi) live-window arrays in SRC dim order (the index dim
+        sits at position a_s), lengths t_lo / t_hi along it."""
+        if (half, a_s, c_s, "lo") in smap:
+            e_lo, lo_t = smap[(half, a_s, c_s, "lo")]
+            _, hi_t = smap[(half, a_s, c_s, "hi")]
+            t_lo, t_hi = e_lo[5][0], e_lo[5][1]
+            return lo_t[:t_lo], hi_t[1: t_hi + 1]
+        key = (half, a_s, c_s, None)
+        if key not in smap:
+            return None
+        e, t = smap[key]
+        t_lo, t_hi, plo, phi = e[5]
+        sl = [slice(None)] * 3
+        sl[a_s] = slice(0, t_lo)
+        lo = t[tuple(sl)]
+        sl[a_s] = slice(plo + phi - t_hi, plo + phi)
+        hi = t[tuple(sl)]
+        return lo, hi
+
+    out = []
+    for half, a_d, c_d, end, tshape, pads in dlay:
+        got = sem_lo_hi(half, m[a_d], m[c_d])
+        dst = np.zeros(tshape, np.float32)
+        t_lo, t_hi = pads[0], pads[1]
+        if got is not None:
+            lo, hi = (np.transpose(v, m) for v in got)
+            if a_d == 0:
+                if end == "lo":
+                    dst[:t_lo] = lo
+                else:
+                    dst[1: t_hi + 1] = hi
+            else:
+                plo, phi = pads[2], pads[3]
+                sl = [slice(None)] * 3
+                sl[a_d] = slice(0, t_lo)
+                dst[tuple(sl)] = lo
+                sl[a_d] = slice(plo + phi - t_hi, plo + phi)
+                dst[tuple(sl)] = hi
+        out.append(jnp.asarray(dst))
+    return tuple(out)

@@ -111,15 +111,28 @@ class ShardedSimulation:
         rides the kernel tier in a rotated lattice frame, else None.
 
         Engages only when the rotation actually BUYS the kernel tier:
-        the configuration must be rotatable (no TF/SF or DensePml —
-        their descriptors aren't frame-remapped yet — default boundary
-        conditions, uniform scalar coefficients or matid) and the
+        the configuration must be rotatable (default boundary
+        conditions, uniform scalar coefficients or matid; DensePml
+        permutes mechanically via rotation.rotate_dense) and the
         rotated plan must land on a kernel kind; otherwise the engine
-        takes the mesh directly, unrotated."""
+        takes the mesh directly, unrotated.
+
+        TF/SF can NEVER rotate: the z cut must land on the rotated
+        kernel's decomposed axes, so under the only valid cyclic
+        permutations lattice x maps to rotated y or z — the
+        x-propagating 1-D aux grid (solver/tfsf.py) has no host axis.
+        (An improper y<->z swap would keep x on x', but it flips the
+        incident polarization to E=y, which the kernel's E=z-only
+        injection cannot express, and the solver's stagger-offset
+        tables (tfsf_oblique._E_OFF/_H_OFF) are not
+        permutation-covariant, so the oblique analytic sampler cannot
+        be frame-remapped either.) Such configurations ride the
+        unrotated engine — physics over speed."""
         if not self.rotate_zcut or self.y_axis is not None:
             return None
         from .rotation import (
             rotate_cpml,
+            rotate_dense,
             rotate_grid,
             rotate_mesh,
             rotate_sources,
@@ -129,7 +142,7 @@ class ShardedSimulation:
         perm = zcut_rotation(self._mesh)
         if perm is None:
             return None
-        if self.tfsf is not None or self.dense_pml is not None:
+        if self.tfsf is not None:
             return None
         if self.bc != BoundaryConditions():
             return None
@@ -144,6 +157,7 @@ class ShardedSimulation:
             grid=rotate_grid(self.grid, perm),
             sources=rotate_sources(self.sources, perm),
             cpml=rotate_cpml(self.cpml, perm),
+            dense_pml=rotate_dense(self.dense_pml, perm),
             matid=matid_r,
             mesh=rmesh,
             axis="x",
@@ -633,39 +647,119 @@ class ShardedSimulation:
         _, init_state, _, _ = self._plan
         return init_state()
 
-    def save(self, path, state, metadata=None):
-        """Checkpoint ``state`` (any layout) as a PLAIN GLOBAL pytree —
-        the file is independent of the mesh shape and kernel K that
-        produced it, so any compatible ShardedSimulation (or the
-        single-chip Simulation) can resume it. Exceeds the reference,
-        which has no state persistence at all (SURVEY.md §5)."""
-        from ..io.checkpoint import save_checkpoint
-
-        if self._rotation is not None:
+    def _rotation_ckpt_guard(self):
+        """Rotated checkpointing carries the boundary-CPML psi through
+        convert_pml_psi; the DensePml region volume's frame conversion
+        (per-frame tile padding changes the box extents) is not built —
+        that corner pins checkpointing to rotate_zcut=False."""
+        if self.dense_pml is not None:
             raise ValueError(
-                "checkpointing doesn't ride the rotated z-cut kernel plan "
-                "(the rotated frame's psi recurrence state has no "
-                "lattice-frame file layout) — construct with "
+                "checkpointing a rotated z-cut plan with a DensePml "
+                "region is not supported (the region psi volume's "
+                "padded box differs per frame) — construct with "
                 "rotate_zcut=False to checkpoint through the XLA engine"
             )
+
+    def _lattice_ckpt_state(self, state):
+        """Rotated inner state -> LATTICE-frame plain checkpoint pytree
+        matching an unrotated simulation's template: fields transpose +
+        component-relabel (unrotate_fields), boundary psi maps through
+        the semantic live windows (rotation.convert_pml_psi), tick and
+        (empty — TF/SF never rotates) aux pass through. The file is
+        therefore identical in layout to a rotate_zcut=False or
+        single-chip checkpoint of the same physics."""
+        perm, inner = self._rotation
+        from .rotation import _inverse, convert_pml_psi, unrotate_fields
+
+        g = inner.gather(state)
+        _, _, _, kind = inner._plan
+        fields = unrotate_fields(g, perm)
+        if kind == "pallas_k":
+            return fields
+        from ..solver.pallas_cpml import PmlKernelState
+
+        psi = convert_pml_psi(
+            g.psi, inner.grid.shape, inner._cpml_pad,
+            self.grid.shape, self._cpml_pad, _inverse(perm),
+        )
+        return PmlKernelState(
+            ex=fields.ex, ey=fields.ey, ez=fields.ez,
+            hx=fields.hx, hy=fields.hy, hz=fields.hz,
+            tick=g.tick, psi=psi, aux_e=g.aux_e, aux_h=g.aux_h,
+        )
+
+    def save(self, path, state, metadata=None):
+        """Checkpoint ``state`` (any layout) as a PLAIN GLOBAL
+        LATTICE-FRAME pytree — the file is independent of the mesh
+        shape, kernel K, AND z-cut rotation that produced it, so any
+        compatible ShardedSimulation (or the single-chip Simulation)
+        can resume it. Exceeds the reference, which has no state
+        persistence at all (SURVEY.md §5)."""
+        from ..io.checkpoint import save_checkpoint
+
         meta = {"grid_shape": list(self.grid.shape)}
         if metadata:
             meta.update(metadata)
+        if self._rotation is not None:
+            self._rotation_ckpt_guard()
+            return save_checkpoint(path, self._lattice_ckpt_state(state),
+                                   metadata=meta)
         return save_checkpoint(path, self.gather(state), metadata=meta)
 
     def restore(self, path):
         """Load a global checkpoint into THIS simulation's layout (which
-        may use a different mesh shape / kernel K than the writer):
-        kernel kinds re-extend the global state into the per-shard halo
-        layout; engine kinds shard the plain arrays."""
+        may use a different mesh shape / kernel K / rotation than the
+        writer): kernel kinds re-extend the global state into the
+        per-shard halo layout (rotated plans first map fields and psi
+        into the rotated frame); engine kinds shard the plain arrays."""
         from ..io.checkpoint import load_checkpoint
 
         if self._rotation is not None:
-            raise ValueError(
-                "checkpointing doesn't ride the rotated z-cut kernel plan "
-                "— construct with rotate_zcut=False to resume through the "
-                "XLA engine"
-            )
+            self._rotation_ckpt_guard()
+            perm, inner = self._rotation
+            from .rotation import convert_pml_psi, rotate_fields
+
+            # the FILE layout is the lattice frame's (mesh-independent
+            # contract); build the lattice template directly — matching
+            # what an unrotated/single-chip sim of this physics writes
+            _, _, _, kind = inner._plan
+            if kind == "pallas_cpml_k":
+                from ..solver.pallas_cpml import init_pml_kernel_state
+
+                tmpl = init_pml_kernel_state(
+                    self.grid.shape, self.dtype, cpml=self._cpml_pad)
+            else:
+                from ..solver.state import zero_state
+
+                tmpl = zero_state(self.grid.shape, self.dtype)
+            state_l, _ = load_checkpoint(path, tmpl)
+            fr = rotate_fields(state_l, perm)
+            if kind == "pallas_cpml_k":
+                from ..solver.pallas_cpml import PmlKernelState
+
+                psi = convert_pml_psi(
+                    state_l.psi, self.grid.shape, self._cpml_pad,
+                    inner.grid.shape, inner._cpml_pad, perm,
+                )
+                state_r = PmlKernelState(
+                    tick=state_l.tick, psi=psi,
+                    aux_e=state_l.aux_e, aux_h=state_l.aux_h, **fr,
+                )
+                from .pallas_sharded_cpml import extend_pml_state
+
+                _, _, k_i, _ = inner._plan
+                return extend_pml_state(
+                    state_r, inner._mesh, k_i, cpml=inner._cpml_pad,
+                    axis=inner.axis, y_axis=inner._y_axis,
+                )
+            from ..solver.state import SimState
+
+            state_r = SimState(tick=state_l.tick, **fr)
+            from .pallas_sharded_k import extend_state
+
+            _, _, k_i, _ = inner._plan
+            return extend_state(state_r, inner._mesh, k_i,
+                                axes=inner._ext_axes)
         state, _ = load_checkpoint(path, self._global_template())
         _, _, k, kind = self._plan
         if kind == "pallas_cpml_k":

@@ -132,7 +132,8 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                  with_m=False, runtime_tfsf=False, y_halo=0,
                  flux_faces=(), dense_spec=None, dft_spec=None,
                  dft_rows=(), dft_rt=None, runtime_box_lat=False,
-                 runtime_lat=False, blocks=None, oblique_win=None):
+                 runtime_lat=False, blocks=None, oblique_win=None,
+                 runtime_oblique=False, unit_kappa=False):
     inv_x, inv_y, inv_z = inv_dx
     n_psi = len(layout)
     # blocks = (n_b, nly, h): GRID-BLOCKED mode (pallas_cpml_gb.py) — the
@@ -193,6 +194,13 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
 
     def kernel(*refs):
         k = 0
+        if runtime_oblique:
+            # scalar-PREFETCH operand (PrefetchScalarGridSpec): the
+            # oblique subgrid's x start in THIS shard's extended frame —
+            # read by the per-stage correction block index maps AND the
+            # in-kernel gate, so the sharded wrapper can move the
+            # correction volumes per shard without rebuilding
+            obc_ref = refs[k]; k += 1
         coef_ref = refs[k]; k += 1
         edge_ref = None
         if runtime_edges:
@@ -533,30 +541,29 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                 # other end's trash block (e.g. plane 0 clamps onto the hi
                 # tensor's trash) and break the trash == 0 invariant the
                 # stage-1 lo+hi read relies on.
-                # Gate with where, NOT multiplication by the zero profile:
-                # under sharding the raw derivative at extreme halo planes
-                # reads uninitialized carry scratch, and 0 * NaN = NaN
+                # Gating policy: ONLY stage K is where-gated. The gates
+                # exist for NaN safety — fill-phase carries and extreme
+                # halo planes read uninitialized VMEM, and 0 * NaN = NaN
                 # would poison the persistent trash plane (which stage 1
-                # then sums into EVERY interior plane's psi0).
-                live_lo = jnp.logical_or(b_lo != 0.0, c_lo != 0.0)
-                live_hi = jnp.logical_or(b_hi != 0.0, c_hi != 0.0)
-                # NOTE: a scalar lax.cond skipping interior planes was
-                # tried here — Mosaic PREDICATES vector-valued conds
-                # (both branches execute + selects), which HALVED gb
-                # throughput and blew the VMEM budget. The cheap form
-                # below instead exploits that a plane belongs to at most
-                # ONE end: stages 1..K-1 carry only the COMBINED
-                # recurrence (b_lo + b_hi are scalars), one where-gated
-                # FMA chain instead of two — the split lo/hi products
-                # are needed only at stage K for the separate HBM
-                # writes (trash == 0 invariant, see below).
+                # then sums into EVERY interior plane's psi0). Gating the
+                # HBM WRITE SITE alone suffices: NaN flowing through the
+                # stage<K carries is overwritten by real values once the
+                # pipeline fills (each carry is freshly recomputed from
+                # HBM psi within K iterations), and clipped fill/drain
+                # field writes are overwritten by the real visit — the
+                # descending-sweep argument. So stages 1..K-1 run the
+                # combined recurrence UNGATED (a plane belongs to at
+                # most one end, so b_lo + b_hi is the live end's value;
+                # profiles hold exact 0.0 elsewhere). A scalar lax.cond
+                # skipping interior planes entirely was tried and is
+                # WORSE — Mosaic predicates vector conds (CLAUDE.md
+                # invariant) — and an i==0 pl.when scratch zeroing (to
+                # drop the stage-K gates too) MEASURED 22.1 -> 17.4
+                # Gcell/s at 512^3 gb K=10: conditional scratch writes
+                # break Mosaic's pipelining. Do not reintroduce either.
                 if stage == k_steps:
-                    # Gate with where, NOT multiplication by the zero
-                    # profile: under sharding the raw derivative at
-                    # extreme halo planes reads uninitialized carry
-                    # scratch, and 0 * NaN = NaN would poison the
-                    # persistent trash plane (which stage 1 then sums
-                    # into EVERY interior plane's psi0).
+                    live_lo = jnp.logical_or(b_lo != 0.0, c_lo != 0.0)
+                    live_hi = jnp.logical_or(b_hi != 0.0, c_hi != 0.0)
                     p_lo = jnp.where(live_lo, b_lo * psi0 + c_lo * raw,
                                      0.0)
                     p_hi = jnp.where(live_hi, b_hi * psi0 + c_hi * raw,
@@ -567,16 +574,12 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                     psi_out[il][0] = _own(p_lo)
                     psi_out[ih][0] = _own(p_hi)
                 else:
-                    # carries hold the combined value anyway (stage-1
-                    # reads lo + hi summed); NaN safety per the note
-                    # above via the scalar where gate
-                    p_new = jnp.where(
-                        jnp.logical_or(live_lo, live_hi),
-                        (b_lo + b_hi) * psi0 + (c_lo + c_hi) * raw,
-                        0.0,
-                    )
+                    p_new = (b_lo + b_hi) * psi0 + (c_lo + c_hi) * raw
                     new_psi_lvl[x_slot(half, comp) - 6] = p_new
-                return ik * raw + p_new
+                # kappa == 1 everywhere (the spec default) makes the
+                # 1/kappa scaling the identity — skip the full-plane
+                # multiply (bit-exact: 1.0 * raw == raw)
+                return raw + p_new if unit_kappa else ik * raw + p_new
             if "strips" in _PROF_DISABLE:  # timing-only
                 return raw
             key = (half, axis, comp, None)
@@ -612,7 +615,9 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                 r_lo = seg(raw, off, off + plo)
                 pl_ = seg(b_s, 0, plo) * seg(psi0, 0, plo) + seg(c_s, 0, plo) * r_lo
                 psi_pieces.append(pl_)
-                out_pieces.append(seg(ik_s, 0, plo) * r_lo + pl_)
+                out_pieces.append(
+                    r_lo + pl_ if unit_kappa
+                    else seg(ik_s, 0, plo) * r_lo + pl_)
             if n_lat - off - phi > off + plo:
                 out_pieces.append(seg(raw, off + plo, n_lat - off - phi))
             if phi > 0:
@@ -620,7 +625,9 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                 ph_ = (seg(b_s, plo, plo + phi) * seg(psi0, plo, plo + phi)
                        + seg(c_s, plo, plo + phi) * r_hi)
                 psi_pieces.append(ph_)
-                out_pieces.append(seg(ik_s, plo, plo + phi) * r_hi + ph_)
+                out_pieces.append(
+                    r_hi + ph_ if unit_kappa
+                    else seg(ik_s, plo, plo + phi) * r_hi + ph_)
             if off > 0:
                 out_pieces.append(seg(raw, n_lat - off, n_lat))
             cat_ax = 0 if axis == 1 else 1
@@ -743,7 +750,8 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                 # branches execute — so the where form is strictly
                 # cheaper); out-of-extent planes add exact zeros.
                 ob_r = ob_refs[st - 1]
-                in_ob = jnp.logical_and(q >= obx0, q < obx0 + obxl)
+                obx0_r = obc_ref[0] if runtime_oblique else obx0
+                in_ob = jnp.logical_and(q >= obx0_r, q < obx0_r + obxl)
 
                 def _ob_add(f3, base_c, coef, sign):
                     cf = (coef if jnp.ndim(coef) == 0 else
@@ -1076,7 +1084,7 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
                 y_halo=0, runtime_ystrips=False, flux_faces=(),
                 dense_spec=None, dft_spec=None, dft_rows=(), dft_rt=None,
                 runtime_box_lat=False, runtime_lat=False, blocks=None,
-                oblique_win=None):
+                oblique_win=None, runtime_oblique=False):
     from ..constants import REDUCED
 
     constants = SI if constants_key == "si" else REDUCED
@@ -1307,20 +1315,38 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
     if oblique_win is not None:
         # per-stage (1, 6, 1, by, bz) analytic-correction blocks of the
         # (K, 6, xl, by, bz) stack, clamped to the subgrid x extent
-        # (stage j+1 consumes the level-j volume at its plane)
+        # (stage j+1 consumes the level-j volume at its plane). With
+        # runtime_oblique the x start comes from the scalar-PREFETCH
+        # operand instead (per-shard extended coordinate), so the SPMD
+        # sharded build can move the stack per shard.
         obx0_s, obxl_s, _, obby_s, _, obbz_s = oblique_win
 
-        def ob_idx(j):
-            return lambda i: (
-                j, 0, jnp.clip(nx - 1 - i + j - obx0_s, 0, obxl_s - 1),
-                0, 0,
-            )
+        if runtime_oblique:
 
+            def ob_idx(j):
+                return lambda i, s, j=j: (
+                    j, 0,
+                    jnp.clip(nx - 1 - i + j - s[0], 0, obxl_s - 1),
+                    0, 0,
+                )
+
+        else:
+
+            def ob_idx(j):
+                return lambda i: (
+                    j, 0,
+                    jnp.clip(nx - 1 - i + j - obx0_s, 0, obxl_s - 1),
+                    0, 0,
+                )
+
+        ob_spec_pos = len(in_specs)
         in_specs += [
             pl.BlockSpec((1, 6, 1, obby_s, obbz_s), ob_idx(j),
                          memory_space=pltpu.VMEM)
             for j in range(k_steps)
         ]
+    else:
+        ob_spec_pos = -1
     dft_planes, n_freq = dft_spec if dft_spec is not None else ((), 0)
     rt_whiches, rt_freq = dft_rt if dft_rt is not None else ((), 0)
     n_rt = len(rt_whiches)
@@ -1451,6 +1477,8 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
         flux_faces, dense_spec, dft_spec, dft_rows, dft_rt,
         runtime_box_lat=runtime_box_lat, runtime_lat=runtime_lat,
         blocks=blocks, oblique_win=oblique_win,
+        runtime_oblique=runtime_oblique,
+        unit_kappa=float(cpml.spec.kappa_max) == 1.0,
     )
 
     # scratch per level: 6 field planes + per-term psi slots (all at the
@@ -1506,18 +1534,60 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
         int(plane_bytes * (80 + 30 * k_steps) + dense_bytes + (8 << 20)),
         120 * (1 << 20),
     )
-    call = pl.pallas_call(
-        kernel,
-        grid=((nx + k_steps - 1,) if blocks is None
-              else (n_b_blk, nx + k_steps - 1)),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
-        input_output_aliases=io_aliases if _USE_IO_ALIASES else {},
-        interpret=interpret,
-    )
+    if runtime_oblique:
+        # scalar-PREFETCH build (PrefetchScalarGridSpec): every index
+        # map receives the scalar ref as a trailing argument — the
+        # oblique per-stage maps consume it; every other map gets a
+        # dropping adapter. Alias indices shift by num_scalar_prefetch
+        # (they count the scalar operand — verified convention).
+        assert blocks is None
+
+        def _drop_scalar(spec):
+            f = spec.index_map
+            if f is None:
+                return spec
+            return pl.BlockSpec(
+                spec.block_shape, lambda *a, _f=f: _f(*a[:-1]),
+                memory_space=spec.memory_space,
+            )
+
+        in_specs = [
+            s if ob_spec_pos <= j < ob_spec_pos + k_steps
+            else _drop_scalar(s)
+            for j, s in enumerate(in_specs)
+        ]
+        out_specs = tuple(_drop_scalar(s) for s in out_specs)
+        call = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nx + k_steps - 1,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+            ),
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit),
+            input_output_aliases=(
+                {j + 1: v for j, v in io_aliases.items()}
+                if _USE_IO_ALIASES else {}),
+            interpret=interpret,
+        )
+    else:
+        call = pl.pallas_call(
+            kernel,
+            grid=((nx + k_steps - 1,) if blocks is None
+                  else (n_b_blk, nx + k_steps - 1)),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit),
+            input_output_aliases=io_aliases if _USE_IO_ALIASES else {},
+            interpret=interpret,
+        )
     return call, [jnp.asarray(a) for a in static_inputs], \
         [jnp.asarray(a) for a in strip_inputs]
 

@@ -163,8 +163,6 @@ def test_zcut_guards_and_opt_out():
     assert sim._rotation is not None
     st = sim.init()
     with pytest.raises(ValueError, match="rotate_zcut=False"):
-        sim.save("/tmp/never-written.ckpt", st)
-    with pytest.raises(ValueError, match="rotate_zcut=False"):
         sim.run(st, 2, accumulators=(object(),))
 
     # opting out pins the mesh to the engine, unrotated
@@ -175,3 +173,93 @@ def test_zcut_guards_and_opt_out():
     est = esim.run(esim.init(), 2)
     eg = esim.gather(est)
     assert np.all(np.isfinite(np.asarray(eg.ez)))
+
+
+def test_zcut_dense_pml_bit_equal_to_xcut():
+    # a volumetric DensePml region rides the rotated z-cut kernel plan
+    # (rotation.rotate_dense): bit-equal vs the same physics on the
+    # rotated lattice under a plain x-cut mesh
+    from fdtd_tpu.parallel.rotation import rotate_dense
+    from fdtd_tpu.scene.shapes import Ball
+    from fdtd_tpu.solver.pml_region import (
+        dense_pml_from_depth,
+        depth_from_contains,
+    )
+
+    shape = (16, 256, 32)
+    grid = _grid(shape)
+    cpml = Cpml(thickness=((2, 2), (0, 0), (2, 2)))
+    coeffs = _uniform_coeffs(grid)
+    src = _src(grid, (8, 128, 16))
+
+    ball = Ball(radius=4.0)
+    ctr = np.array([[8.0], [110.0], [16.0]])
+    dbox = ((4, 13), (100, 120), (10, 22))
+    dh, de = depth_from_contains(
+        lambda p: ball.contains(p - ctr), dbox, 1, +1
+    )
+    dense = dense_pml_from_depth(
+        1, dbox, dh, de, spec=cpml.spec, dx=1.0, dt=grid.dt,
+        constants=ft.REDUCED,
+    )
+
+    zsim = ShardedSimulation(grid=grid, coeffs=coeffs, sources=src,
+                             cpml=cpml, dense_pml=dense,
+                             mesh=_mesh3(1, 1, 2), interpret=True,
+                             max_k=2)
+    k, kind = zsim.plan()
+    assert kind == "pallas_cpml_k" and zsim._rotation is not None
+    g = zsim.gather(zsim.run(zsim.init(), 2 * k))
+
+    perm = (2, 0, 1)
+    rshape = (shape[2], shape[0], shape[1])
+    rgrid = _grid(rshape)
+    xsim = ShardedSimulation(
+        grid=rgrid, coeffs=_uniform_coeffs(rgrid),
+        sources=_src(rgrid, (16, 8, 128), j=(1.0, 0.0, 0.0)),
+        cpml=Cpml(thickness=((2, 2), (2, 2), (0, 0))),
+        dense_pml=rotate_dense(dense, perm),
+        mesh=make_mesh(2, ("x",)), interpret=True, max_k=2)
+    assert xsim.plan() == (k, kind)
+    rg = xsim.gather(xsim.run(xsim.init(), 2 * k))
+
+    # bit-equality through the rotation (transpose + component relabel)
+    inv = (1, 2, 0)
+    for c, name in enumerate(("ex", "ey", "ez")):
+        r_name = "exyz"[1 + inv[c]] if False else "e" + "xyz"[inv[c]]
+        np.testing.assert_array_equal(
+            np.asarray(getattr(g, name)),
+            np.transpose(np.asarray(getattr(rg, r_name)), inv),
+            err_msg=name,
+        )
+    assert float(np.abs(np.asarray(g.ez)).max()) > 0
+
+
+def test_zcut_checkpoint_roundtrip(tmp_path):
+    # save on a rotated plan writes the LATTICE-frame plain layout
+    # (fields + boundary psi through convert_pml_psi); restoring and
+    # continuing is bit-equal to the uninterrupted run
+    shape = (16, 256, 32)
+    grid = _grid(shape)
+    cpml = Cpml(thickness=((2, 2), (3, 3), (2, 2)))
+    coeffs = _uniform_coeffs(grid)
+    src = _src(grid, (8, 128, 16))
+    sim = ShardedSimulation(grid=grid, coeffs=coeffs, sources=src,
+                            cpml=cpml, mesh=_mesh3(1, 1, 2),
+                            interpret=True, max_k=2)
+    k, kind = sim.plan()
+    assert kind == "pallas_cpml_k" and sim._rotation is not None
+
+    st = sim.run(sim.init(), 2 * k)
+    path = str(tmp_path / "rot.ckpt")
+    sim.save(path, st, metadata={"note": "rotated"})
+
+    st2 = sim.restore(path)
+    got = sim.gather(sim.run(st2, 2 * k))
+    ref = sim.gather(sim.run(st, 2 * k))
+    for name in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, name)),
+            np.asarray(getattr(ref, name)), err_msg=name)
+    assert int(got.tick) == 4 * k
+    assert float(np.abs(np.asarray(ref.ez)).max()) > 0

@@ -861,39 +861,123 @@ def test_sharded_gb_tfsf_box_straddles_block_cut():
     _assert_state_equal(ref, got)
 
 
-def test_sharded_gb_dispatch_and_simulation():
-    # best_sharded_absorbing_step upgrades a K<=3-capped plain plan to
-    # the gb tier; the full ShardedSimulation round trip stays exact
+def test_sharded_gb_dispatch_upgrade_plan():
+    # at big lateral planes the plain ladder is VMEM-capped at K=3 and
+    # the dispatcher upgrades to the grid-blocked build (parallel/best.py
+    # gb_pl); build-only — the kernel equivalence is gated by the two
+    # tests above on small shapes
     from fdtd_tpu.parallel.best import best_sharded_absorbing_step
+    from fdtd_tpu.parallel.pallas_sharded_cpml import sharded_gb_plan
 
-    shape, n_dev = (24, 32, 128), 2
+    shape, n_dev = (48, 512, 512), 2
+    cpml = Cpml.uniform(10)
+    bc = BoundaryConditions()
+    # the plain ladder caps at K=3 here (supports VMEM formula)...
+    assert supports_sharded_cpml(shape, n_dev, bc, cpml, 3)
+    assert not supports_sharded_cpml(shape, n_dev, bc, cpml, 4)
+    # ...and the gb plan lifts it to K=10 with 2 lateral blocks
+    assert sharded_gb_plan(shape, n_dev, bc, cpml, 10) == (2, 16)
+
+    mesh = make_mesh(n_dev, ("x",))
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    step, init_state, k, kind = best_sharded_absorbing_step(
+        mesh, shape, inv_dx=(1.0, 1.0, 1.0), dt=res.temporal, cpml=cpml,
+        constants=ft.REDUCED, max_sources=1, interpret=True,
+    )
+    assert (k, kind) == (10, "pallas_cpml_k")
+    assert getattr(init_state, "gb_blocks", None) == (10, 2, 16)
+
+    # accumulator-capable rebuilds must NOT upgrade (state halo width
+    # tracks k): flux faces pin the plain ladder
+    _, init2, k2, kind2 = best_sharded_absorbing_step(
+        mesh, shape, inv_dx=(1.0, 1.0, 1.0), dt=res.temporal, cpml=cpml,
+        constants=ft.REDUCED, max_sources=1, interpret=True,
+        flux_faces=(("x",),),
+    )
+    assert (k2, kind2) == (3, "pallas_cpml_k")
+    assert getattr(init2, "gb_blocks", None) is None
+
+
+# ---------------------------------------------------------------------------
+# Sharded oblique-incidence TF/SF: the analytic correction stack stays in
+# GLOBAL coordinates (replicated) and each shard addresses it through a
+# runtime scalar-prefetch x offset (pallas_cpml_k runtime_oblique).
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_oblique_matches_single_device():
+    from fdtd_tpu.solver.tfsf_oblique import ObliqueTfsf
+
+    shape, n_dev, k = (32, 24, 128), 4, 2
     cpml = Cpml(thickness=((4, 4), (4, 4), (0, 0)))
     mesh = make_mesh(n_dev, ("x",))
     res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
     dt = res.temporal
-    table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
-    coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
-    src = ft.SourceSet.build(
-        [ft.PointSource((12, 15, 64), ft.GaussianPulse(4 * dt, 2 * dt),
-                        j=(0.0, 0.0, 1.0))]
+    coeffs = ft.CellCoefficients.uniform(
+        ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)[0], jnp.float32
+    )
+    # box straddles the shard cuts at x = 16 (and 8/24 via the subgrid)
+    tfsf = ObliqueTfsf(
+        box=((10, 21), (8, 15), (40, 90)),
+        direction=(1.0, 0.7, -0.4),
+        polarization=(0.0, 0.2, 1.0),
+        waveform=ft.GaussianPulse(10 * dt, 4 * dt),
+    )
+    ref_step = pallas_cpml_stepk_fn(
+        shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, oblique=tfsf, interpret=True)
+    ref = init_pml_kernel_state(shape, cpml=cpml)
+    sh_step = make_pallas_sharded_cpml_stepk(
+        mesh, shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+        constants=ft.REDUCED, cpml=cpml, oblique=tfsf, interpret=True)
+    st = init_sharded_pml_state(shape, mesh, k, cpml=cpml)
+    for _ in range(8):
+        ref = ref_step(ref, coeffs, None)
+        st = sh_step(st, coeffs, None)
+    got = collapse_pml_state(st, mesh, k, shape, cpml=cpml)
+    assert float(jnp.abs(ref.ez).max()) > 1e-3  # wave entered the box
+    _assert_state_equal(ref, got)
+
+
+def test_sharded_oblique_dispatch():
+    from fdtd_tpu.parallel.best import best_sharded_absorbing_step
+    from fdtd_tpu.solver.tfsf_oblique import ObliqueTfsf
+
+    shape, n_dev = (32, 24, 128), 2
+    cpml = Cpml(thickness=((4, 4), (4, 4), (0, 0)))
+    mesh = make_mesh(n_dev, ("x",))
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    coeffs = ft.CellCoefficients.uniform(
+        ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)[0], jnp.float32
+    )
+    tfsf = ObliqueTfsf(
+        box=((10, 21), (8, 15), (40, 90)),
+        direction=(1.0, 0.0, 0.0),
+        polarization=(0.0, 0.0, 1.0),
+        waveform=ft.GaussianPulse(10 * dt, 4 * dt),
     )
     step, init_state, k, kind = best_sharded_absorbing_step(
         mesh, shape, inv_dx=(1.0, 1.0, 1.0), dt=dt, cpml=cpml,
-        constants=ft.REDUCED, max_sources=1, max_k=3, interpret=True,
+        constants=ft.REDUCED, tfsf=tfsf, interpret=True,
     )
-    assert kind == "pallas_cpml_k"
-    assert k == 6, k  # gb upgrade: 10/8 fail containment, 6 plans
-    assert getattr(init_state, "gb_blocks", None) == (6, 2, 8)
-
+    assert kind == "pallas_cpml_k" and k > 1
     ref_step = pallas_cpml_stepk_fn(
         shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
-        cpml=cpml, max_sources=1, interpret=True,
-    )
+        cpml=cpml, oblique=tfsf, interpret=True)
     ref = init_pml_kernel_state(shape, cpml=cpml)
     st = init_state()
     for _ in range(2):
-        ref = ref_step(ref, coeffs, src)
-        st = step(st, coeffs, src)
+        ref = ref_step(ref, coeffs, None)
+        st = step(st, coeffs, None)
     got = collapse_pml_state(st, mesh, k, shape, cpml=cpml)
-    assert float(jnp.abs(ref.ez).max()) > 0
+    assert float(jnp.abs(ref.ez).max()) > 1e-4
     _assert_state_equal(ref, got)
+
+    # 2-D meshes have no sharded oblique host: loud rejection
+    mesh2 = make_mesh(4, ("x", "y"))
+    with pytest.raises(NotImplementedError):
+        best_sharded_absorbing_step(
+            mesh2, shape, inv_dx=(1.0, 1.0, 1.0), dt=dt, cpml=cpml,
+            constants=ft.REDUCED, tfsf=tfsf, interpret=True,
+        )
