@@ -498,6 +498,45 @@ def _selfcheck(ft, jax, jnp, np) -> bool:
             file=sys.stderr,
         )
 
+        # x-ZONED mode (round 5): chained zone calls with the aliasing
+        # dst chain — covers the Mosaic surface of the interior
+        # (no-x-psi) build plus the input_output_aliases chaining
+        from fdtd_tpu.solver.pallas_cpml_xz import (
+            make_pallas_cpml_xz_stepk as _mkxz,
+            xz_plan as _xzp,
+        )
+
+        plan_xz = _xzp(shape_g, bc, cpml, 2, n_b_candidates=(2,))
+        if plan_xz is None:
+            ok = False
+            print("selfcheck xz CPML: plan unexpectedly None FAIL",
+                  file=sys.stderr)
+        else:
+            xz_step = jax.jit(_mkxz(
+                shape_g, 2, plan_xz, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+                constants=ft.REDUCED, cpml=cpml, max_sources=1,
+            ))
+            xzt = extend_gb_pml_state(
+                init_pml_kernel_state(shape_g, cpml=cpml), plan_xz.n_b,
+                cpml=cpml,
+            )
+            for _ in range(n_ticks // 2):
+                xzt = xz_step(xzt, coeffs, src_g)
+            jax.block_until_ready(xzt)
+            got_xz = collapse_gb_pml_state(xzt, plan_xz.n_b, cpml=cpml)
+            err_xz = max(
+                _rel_err(getattr(got_xz, f), getattr(pst_g, f), np)
+                for f in ("ex", "ey", "ez", "hx", "hy", "hz")
+            )
+            good_xz = err_xz < tol
+            ok = ok and good_xz
+            print(
+                f"selfcheck xz CPML K=2 {tuple(plan_xz)}: rel_err "
+                f"{err_xz:.2e} {'PASS' if good_xz else 'FAIL'}",
+                file=sys.stderr,
+            )
+            del xzt, got_xz, xz_step
+
         # SHARDED grid-blocked mode (round 5): the blocks-inside-the-
         # grid build composed with runtime edges/xprof — the multi-chip
         # absorbing tier's K-cap lift; 1-dev mesh vs the plain kernel
@@ -1430,6 +1469,24 @@ def _section_free(n: int, n_steps: int, with_bf16: bool) -> None:
     dt_wall = time.perf_counter() - t0
     _report(f"probe/1step {n}", grid.num_cells * n1 / dt_wall)
     print(f"  ({n1/dt_wall:.1f} steps/s incl. readback)", file=sys.stderr)
+    # async double-buffered streaming (utils/streaming.AsyncHarvest):
+    # dispatch step k+1 BEFORE harvesting trace k, so the ~10-30 ms
+    # tunnel readback overlaps device compute (SURVEY §5 "async
+    # device_get"; the reference polls blocking per tick,
+    # cem-solver/src/fdtd/wgpu/mod.rs:98-107)
+    from fdtd_tpu.utils.streaming import AsyncHarvest
+
+    stream = AsyncHarvest(depth=1)
+    harvested = 0
+    t0 = time.perf_counter()
+    for i in range(n1):
+        state, trace = tickp_j(state)
+        harvested += len(stream.push(trace, i))
+    harvested += len(stream.drain())
+    dt_wall = time.perf_counter() - t0
+    assert harvested == n1
+    _report(f"probe/1step-async {n}", grid.num_cells * n1 / dt_wall)
+    print(f"  ({n1/dt_wall:.1f} steps/s async streaming)", file=sys.stderr)
     del state
 
     # bf16 storage only dispatches to a dtype-preserving kernel on TPU;
@@ -1630,6 +1687,56 @@ def _section_cpml512(n_steps: int) -> None:
                 grid.num_cells * g_calls * gk / dt_wall,
                 grid.num_cells * g_calls * gk / dt_min, spread, bpc)
 
+    # x-ZONED CPML K-step: slab-end zones run the full gb kernel, the
+    # interior a kernel with NO x-psi terms (measured 35% of the
+    # absorbing kernel at 512^3 f32) — the round-5 absorbing headline
+    def _tier_xz(cdt):
+        from fdtd_tpu.solver.pallas_cpml_gb import (
+            extend_gb_pml_state,
+        )
+        from fdtd_tpu.solver.pallas_cpml_xz import (
+            make_pallas_cpml_xz_stepk,
+            xz_plan,
+        )
+
+        plan_x = xk = None
+        for xk in (10, 8, 6):
+            plan_x = xz_plan(shape, _BC(), Cpml.uniform(10), xk,
+                             dtype=cdt)
+            if plan_x is not None:
+                break
+        if plan_x is None:
+            raise RuntimeError("no xz plan supports 512^3")
+        xstep = make_pallas_cpml_xz_stepk(
+            shape, xk, plan_x, inv_dx=(1.0, 1.0, 1.0),
+            dt=grid.dt, constants=ft.REDUCED, cpml=Cpml.uniform(10),
+            max_sources=1, dtype=cdt,
+        )
+        xstate = extend_gb_pml_state(
+            init_pml_kernel_state(shape, cdt, cpml=Cpml.uniform(10)),
+            plan_x.n_b, cpml=Cpml.uniform(10),
+        )
+
+        def run_x(state, k: int, _s=xstep):
+            def body(s, _):
+                return _s(s, coeffs, src), None
+
+            return jax.lax.scan(body, state, None, length=k)[0]
+
+        runx_j = jax.jit(run_x, static_argnums=1)
+        x_calls = max(n_steps // xk, 1)
+        xstate = runx_j(xstate, x_calls)
+        _sync(xstate)
+        bpc = 2 * _state_bytes(xstate) / (xk * grid.num_cells)
+        holder = [xstate]
+        del xstate  # ownership -> _timed_min (frame pins cost 4.5 GB)
+        dt_wall, dt_min, spread, _ = _timed_min(
+            lambda s, _r=runx_j: _r(s, x_calls), holder, _sync,
+            run2=lambda s, _r=runx_j: _r(s, 2 * x_calls))
+        _report(f"xz-cpml{n} {jnp.dtype(cdt).name} K={xk} nb={plan_x.n_b}",
+                grid.num_cells * x_calls * xk / dt_wall,
+                grid.num_cells * x_calls * xk / dt_min, spread, bpc)
+
     def _tier_sharded():
         # the dispatcher's plan for a 1-dev mesh: plain ladder capped at
         # K=3 by VMEM, upgraded to the grid-blocked build when it plans
@@ -1736,6 +1843,10 @@ def _section_cpml512(n_steps: int) -> None:
          lambda: _tier_gb(jnp.float32)),
         (f"{n}^3 grid-blocked CPML bfloat16",
          lambda: _tier_gb(jnp.bfloat16)),
+        (f"{n}^3 x-zoned CPML float32",
+         lambda: _tier_xz(jnp.float32)),
+        (f"{n}^3 x-zoned CPML bfloat16",
+         lambda: _tier_xz(jnp.bfloat16)),
         (f"{n}^3 blocked CPML float32",
          lambda: _tier_blocked(jnp.float32)),
         (f"{n}^3 blocked CPML bfloat16",
@@ -2064,6 +2175,22 @@ def main() -> None:
         dt_wall = time.perf_counter() - t0
         _report(f"probe/1step {n}", grid.num_cells * n1 / dt_wall)
         print(f"  ({n1/dt_wall:.1f} steps/s incl. readback)",
+              file=sys.stderr)
+        # async double-buffered streaming: overlap the tunnel readback
+        # with device compute (utils/streaming.AsyncHarvest, SURVEY §5)
+        from fdtd_tpu.utils.streaming import AsyncHarvest
+
+        stream = AsyncHarvest(depth=1)
+        harvested = 0
+        t0 = time.perf_counter()
+        for i in range(n1):
+            state, trace = tickp_j(state)
+            harvested += len(stream.push(trace, i))
+        harvested += len(stream.drain())
+        dt_wall = time.perf_counter() - t0
+        assert harvested == n1
+        _report(f"probe/1step-async {n}", grid.num_cells * n1 / dt_wall)
+        print(f"  ({n1/dt_wall:.1f} steps/s async streaming)",
               file=sys.stderr)
         del state
 

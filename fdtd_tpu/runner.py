@@ -126,6 +126,13 @@ class SolverRunner:
         self._sim_state = None
         self._thread: Optional[threading.Thread] = None
         self.error: Optional[BaseException] = None
+        # double-buffered frame streaming: the projected frame's D2H
+        # readback (~10-30 ms on the tunneled TPU) overlaps the next
+        # dispatch instead of stalling the solver loop (SURVEY §5
+        # "async device_get"; utils/streaming.py)
+        from .utils.streaming import AsyncHarvest
+
+        self._obs_stream = AsyncHarvest(depth=1)
 
     # -- controls (runner.rs:414-434) ----------------------------------------
 
@@ -187,14 +194,36 @@ class SolverRunner:
 
     # -- internals -------------------------------------------------------------
 
-    def _observe(self, tick: int) -> None:
+    def _observe(self, tick: int, flush: bool = False) -> None:
         for binding in self.observers:
             img = project(self._sim_state, binding.params, binding.size)
-            binding.target.write(img, tick)
+            for host_img, (b, t) in self._obs_stream.push(
+                img, (binding, tick)
+            ):
+                b.target.write(host_img, t)
+        if flush:
+            self._flush_observers()
         if self.on_observation is not None:
             self.on_observation(tick)
 
+    def _flush_observers(self) -> None:
+        for host_img, (b, t) in self._obs_stream.drain():
+            b.target.write(host_img, t)
+
     def _loop(self) -> None:
+        try:
+            self._loop_inner()
+        finally:
+            # drain the in-flight observation frame on every exit path
+            # (finish, stop condition, error) so targets never lose the
+            # final frame to the async double buffer
+            try:
+                self._flush_observers()
+            except BaseException as e:  # noqa: BLE001
+                if self.error is None:
+                    self._fail(e)
+
+    def _loop_inner(self) -> None:
         sim = self.simulation
         dt = sim.grid.dt
         start = time.perf_counter()
@@ -207,7 +236,9 @@ class SolverRunner:
         # (runner.rs:481-484)
         try:
             if self.state.paused and self.observers:
-                self._observe(0)
+                # flush immediately: a paused viewer must see the
+                # initial state now, not after the next observation
+                self._observe(0, flush=True)
         except BaseException as e:  # noqa: BLE001
             self._fail(e)
             return

@@ -133,7 +133,8 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                  flux_faces=(), dense_spec=None, dft_spec=None,
                  dft_rows=(), dft_rt=None, runtime_box_lat=False,
                  runtime_lat=False, blocks=None, oblique_win=None,
-                 runtime_oblique=False, unit_kappa=False):
+                 runtime_oblique=False, unit_kappa=False,
+                 px_top=None, n_dst=0):
     inv_x, inv_y, inv_z = inv_dx
     n_psi = len(layout)
     # blocks = (n_b, nly, h): GRID-BLOCKED mode (pallas_cpml_gb.py) — the
@@ -191,6 +192,13 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
     # at the _ob_add site below).
     if oblique_win is not None:
         obx0, obxl, oby0, obby, obz0, obbz = oblique_win
+    # x-ZONED builds (pallas_cpml_xz.py): the sweep covers the zone
+    # [zx0, zx1) plus fill/drain, starting at stage-1 plane px_top
+    # (= zx1 + K - 2, clipped) instead of nx - 1. All plane coordinates
+    # (q) stay GLOBAL, so edge masks, profiles, sources and TF/SF are
+    # zone-agnostic; only the sweep origin moves.
+    if px_top is None:
+        px_top = nx - 1
 
     def kernel(*refs):
         k = 0
@@ -260,6 +268,10 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                     psi_in_refs.append((refs[k],)); k += 1
                 else:
                     psi_in_refs.append(tuple(refs[k: k + 3])); k += 3
+        # x-zoned chain-destination dummies: whole-array HBM refs whose
+        # only role is donating the previous zone call's output buffers
+        # through input_output_aliases (never read or written in-kernel)
+        k += n_dst
         outs = refs[k: k + 6]; k += 6
         psi_out = refs[k: k + n_psi]; k += n_psi
         if dense_spec is not None:
@@ -295,7 +307,7 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
         c_topy, c_topz = scratch[slot_per_lvl * (k_steps - 1):]
 
         i = pl.program_id(0) if blocks is None else pl.program_id(1)
-        p = nx - 1 - i  # stage-1 plane (goes negative at the tail)
+        p = px_top - i  # stage-1 plane (goes negative at the tail)
         f32 = jnp.float32
         if blocks is None:
             ny, nz = fld_refs[0][0].shape[1:]
@@ -1076,7 +1088,7 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
     return kernel, x_terms, yz_terms
 
 
-@functools.lru_cache(maxsize=8)
+@functools.lru_cache(maxsize=16)
 def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
                 dt, constants_key, interpret, n_src, n_materials=1,
                 x_extra=0, runtime_edges=False, runtime_xprof=False,
@@ -1084,11 +1096,39 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
                 y_halo=0, runtime_ystrips=False, flux_faces=(),
                 dense_spec=None, dft_spec=None, dft_rows=(), dft_rt=None,
                 runtime_box_lat=False, runtime_lat=False, blocks=None,
-                oblique_win=None, runtime_oblique=False):
+                oblique_win=None, runtime_oblique=False,
+                x_zone=None, zone_dst=None):
     from ..constants import REDUCED
 
     constants = SI if constants_key == "si" else REDUCED
     nx, ny, nz = shape
+    # x-ZONED sweep (pallas_cpml_xz.py): run the K-pass over the plane
+    # subrange [zx0, zx1) only. Fill reads reach up to zx1 + K - 2 and
+    # drain reads down to zx0 - K (both from the intact previous-pass
+    # buffers), output writes clip INTO the zone, and `zone_dst` marks
+    # which outputs chain through a donated destination buffer
+    # (input_output_aliases on a trailing whole-array HBM operand) so
+    # the zone calls assemble one full state with no combine copies.
+    zx0, zx1 = (0, nx) if x_zone is None else x_zone
+    zoned = (zx0, zx1) != (0, nx)
+    if zoned:
+        assert 0 <= zx0 < zx1 <= nx
+        assert dense_spec is None and dft_spec is None and dft_rt is None
+        assert not flux_faces and not dft_rows and oblique_win is None
+        assert not (runtime_edges or runtime_xprof or runtime_tfsf
+                    or runtime_ystrips or runtime_oblique)
+    # Sweep origin: one plane ABOVE the deepest plane the zone's outputs
+    # consume (zx1 + K - 2). At the lattice top the at_hi edge mask
+    # zeroes the x-forward-diff, so the first iteration's uninitialized
+    # top-H carry never enters; an INTERIOR zone top has no such mask,
+    # and the stage-1 E_y/E_z at the origin plane is NaN (uninit carry),
+    # contaminating exactly the plane K-1 below it. Starting at
+    # zx1 + K - 1 parks that contaminated chain one plane above the
+    # consumed set: the extra plane's only consumed value is its
+    # stage-1 H (computed from real reads, never NaN, and x-psi-free by
+    # the xz_plan margin c1 <= nx - xhi - K).
+    px_top = min(zx1 + k_steps - 1, nx - 1)
+    grid_x = px_top - (zx0 - k_steps + 1) + 1
     layout = _psi_layout(shape, cpml, x_extra)
     if blocks is not None:
         # grid-blocked mode (pallas_cpml_gb.py): the kernel plane is a
@@ -1109,13 +1149,13 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
     f32 = jnp.float32
 
     def in_x(i):
-        return jnp.maximum(nx - 1 - i, 0)
+        return jnp.maximum(px_top - i, 0)
 
     def halo_x(i):
-        return jnp.maximum(nx - 2 - i, 0)
+        return jnp.maximum(px_top - 1 - i, 0)
 
     def out_x(i):
-        return jnp.clip(nx - 1 - i + (k_steps - 1), 0, nx - 1)
+        return jnp.clip(px_top - i + (k_steps - 1), zx0, zx1 - 1)
 
     if blocks is None:
         in_specs_fld = [pl.BlockSpec(plane, lambda i: (in_x(i), 0, 0),
@@ -1269,7 +1309,7 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
     if n_materials > 1:
         # per-stage matid planes (stage j+1 consumes plane p+j, clamped)
         def stage_x(j):
-            return lambda i: jnp.clip(nx - 1 - i + j, 0, nx - 1)
+            return lambda i: jnp.clip(px_top - i + j, 0, nx - 1)
 
         if blocks is None:
             in_specs += [
@@ -1376,6 +1416,16 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
             ))
     in_specs += in_specs_fld * 6 + halo_specs_fld * 2
     in_specs += psi_in_specs
+    # chain-destination dummies: one whole-array HBM operand per flagged
+    # output, donated to it via input_output_aliases — unvisited output
+    # blocks then retain the previous zone call's content
+    dst_alias = {}
+    if zone_dst is not None:
+        assert zoned and len(zone_dst) == 6 + len(layout)
+        for oi, flag in enumerate(zone_dst):
+            if flag:
+                dst_alias[len(in_specs)] = oi
+                in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
 
     # per-stage flux-reduction outputs: (nx+2, n_q) rows, the stage's
     # plane row selected by the same descending map as the field outputs
@@ -1479,6 +1529,7 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
         blocks=blocks, oblique_win=oblique_win,
         runtime_oblique=runtime_oblique,
         unit_kappa=float(cpml.spec.kappa_max) == 1.0,
+        px_top=px_top, n_dst=len(dst_alias),
     )
 
     # scratch per level: 6 field planes + per-term psi slots (all at the
@@ -1505,8 +1556,14 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
         scratch += term_scratch()
     scratch += [pltpu.VMEM((ny_k, nz), f32), pltpu.VMEM((ny_k, nz), f32)]
 
-    if blocks is None:
-        n_small = len(in_specs) - 8 - len(psi_in_specs)
+    if zoned:
+        # in→out aliasing of the state is unsound across zone calls (a
+        # later zone's fill/drain reads the neighbor zones' previous-pass
+        # planes); only the chain-destination aliases apply, and those
+        # are CORRECTNESS-required, not an optimization
+        io_aliases = dict(dst_alias)
+    elif blocks is None:
+        n_small = len(in_specs) - 8 - len(psi_in_specs) - len(dst_alias)
         io_aliases = {n_small + f: f for f in range(6)}
         for j in range(len(psi_in_specs)):
             io_aliases[n_small + 8 + j] = 6 + j
@@ -1561,7 +1618,7 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
-                grid=(nx + k_steps - 1,),
+                grid=(grid_x,),
                 in_specs=in_specs,
                 out_specs=out_specs,
                 scratch_shapes=scratch,
@@ -1577,15 +1634,15 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
     else:
         call = pl.pallas_call(
             kernel,
-            grid=((nx + k_steps - 1,) if blocks is None
-                  else (n_b_blk, nx + k_steps - 1)),
+            grid=((grid_x,) if blocks is None else (n_b_blk, grid_x)),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit),
-            input_output_aliases=io_aliases if _USE_IO_ALIASES else {},
+            input_output_aliases=(
+                io_aliases if (_USE_IO_ALIASES or zoned) else {}),
             interpret=interpret,
         )
     return call, [jnp.asarray(a) for a in static_inputs], \

@@ -1,0 +1,331 @@
+"""x-ZONED grid-blocked CPML K-step: slab-end zones run the full CPML
+kernel, the interior runs a kernel with NO x-psi terms at all.
+
+Motivation (measured, round-5 profiling on v5e at 512^3 f32 gb K=10):
+the x-slab psi stretch costs ~35% of the absorbing kernel's runtime
+(22.1 -> 32.7 Gcell/s with it surgically disabled) even though its
+profiles are identically zero outside the ~10-plane PML slabs at each
+x end — Mosaic PREDICATES vector selects, so per-plane `jnp.where`
+gating cannot skip the work (CLAUDE.md invariant). The only way to not
+pay for zero-psi planes is to not compile the terms into the kernel
+that visits them. This module splits each K-pass into up to three
+chained pallas calls over x-plane zones:
+
+- lo   = [0, c0):  full-cpml kernel (x-lo psi live here)
+- mid  = [c0, c1): kernel built with x thickness (0, 0) — no x-psi
+                   layout entries, carries, or per-plane recurrence;
+                   y/z strip psi unchanged (strips span every x plane)
+- hi   = [c1, nx): full-cpml kernel
+
+Correctness is the sharded tier's halo-recompute argument applied along
+x on one chip (parallel/pallas_sharded_cpml.py): every call reads the
+INTACT previous-pass buffers (fill reads reach K-1 planes past the
+zone, drain recomputes K-1 planes below it — exact because sources,
+TF/SF, edge masks and strip psi are all indexed by the GLOBAL plane
+coordinate q), and the cuts sit >= K-1 planes clear of the x slabs
+(c0 >= xlo + K - 1, c1 <= nx - xhi - K) so the mid kernel's recomputed
+planes never carry live x-psi. Output assembly costs nothing: the
+calls chain through `input_output_aliases` (mid writes fresh buffers,
+lo and hi donate them forward and fill in their owned planes), so each
+plane of each output tensor is written exactly once and never copied.
+x-psi tensors are written only by their end's call; the other full-cpml
+call touches only the zero trash block (the stage-K write gate keeps
+the trash == 0 invariant, pallas_cpml_k.py stretch()).
+
+All three calls stay gb-composed (lateral blocks inside the grid,
+pallas_cpml_gb.py) and share its state layout, so the tier is a drop-in
+upgrade of the gb dispatch slot.
+
+Reference correspondence: the same single-GPU absorbing update pass as
+cem-solver/src/fdtd/wgpu/update.wgsl:56-129 with the psi recurrence the
+reference allocates but never applies (cpu/mod.rs:424-425); the zoning
+has no reference analog — it exists because TPU predication makes
+"where(in_slab, ...)" cost the same as unconditional work, where the
+reference's SIMT GPU pays per-thread.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import SI, PhysicalConstants
+from .boundary import BoundaryConditions
+from .pallas_cpml import PmlKernelState, _psi_layout
+from .pallas_cpml_gb import gb_plan
+from .pallas_cpml_k import _build_call
+
+__all__ = ["XzPlan", "xz_plan", "make_pallas_cpml_xz_stepk"]
+
+_FIELDS = ("ex", "ey", "ez", "hx", "hy", "hz")
+
+
+class XzPlan(NamedTuple):
+    c0: int    # lo-zone end (0 = no lo call: x-lo thickness is 0)
+    c1: int    # hi-zone start (nx = no hi call)
+    n_b: int   # gb lateral block count (shared by all zone calls)
+    h: int     # gb halo columns
+
+
+def xz_plan(shape, bc, cpml, k: int, *, dtype=jnp.float32,
+            matid: bool = False,
+            n_b_candidates=(2, 4, 8)) -> Optional[XzPlan]:
+    """Zone cuts + gb plan for the x-zoned tier, or None.
+
+    Cut constraints (exactness of the mid kernel's halo recompute):
+    the mid call computes planes [c0-K+1, c1+K-2] and its kernel has no
+    x-psi terms, so every computed plane must have zero x profiles —
+    integer-sampled lo profiles live on [0, xlo) and half-sampled hi
+    profiles reach down to nx-xhi-1 (cpml._axis_profiles), giving
+    c0 >= xlo + K - 1 and c1 <= nx - xhi - K. The gb plan (lateral
+    blocks, strip containment, VMEM at the window) is the full kernel's
+    and bounds all three calls (the mid kernel is strictly smaller)."""
+    nx = shape[0]
+    xlo, xhi = cpml.thickness[0]
+    if xlo == 0 and xhi == 0:
+        return None
+    if not (2 <= k <= 10):
+        return None
+    c0 = xlo + k - 1 if xlo > 0 else 0
+    c1 = nx - xhi - k if xhi > 0 else nx
+    if c1 - c0 < k:
+        return None
+    plan = gb_plan(shape, bc, cpml, k, dtype=dtype, matid=matid,
+                   n_b_candidates=n_b_candidates)
+    if plan is None:
+        return None
+    n_b, h = plan
+    return XzPlan(c0, c1, n_b, h)
+
+
+def _entry_key(entry):
+    half, axis, comp, end, *_ = entry
+    return (half, axis, comp, end)
+
+
+def make_pallas_cpml_xz_stepk(
+    shape: Tuple[int, int, int],
+    k_steps: int,
+    plan: XzPlan,
+    *,
+    inv_dx: Tuple[float, float, float],
+    dt: float,
+    bc: BoundaryConditions = BoundaryConditions(),
+    constants: PhysicalConstants = SI,
+    cpml,
+    tfsf=None,
+    max_sources: int = 0,
+    with_m: bool = False,
+    matid=None,
+    n_materials: int = 1,
+    dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Build step(state_gb, coeffs, sources) advancing ``k_steps``
+    absorbing ticks per pass via chained x-zone calls (module
+    docstring). State uses the gb layout (extend_gb_pml_state)."""
+    nx, ny, nz = shape
+    c0, c1, n_b, h = plan
+    nly = ny // n_b
+    check = xz_plan(shape, bc, cpml, k_steps, dtype=dtype,
+                    matid=matid is not None, n_b_candidates=(n_b,))
+    if check is None or check != plan:
+        raise ValueError(
+            f"xz CPML kernel does not support {shape=} {k_steps=} "
+            f"{plan=} {cpml=}"
+        )
+    if with_m and max_sources == 0:
+        raise ValueError("with_m requires in-kernel sources (max_sources > 0)")
+    k = int(k_steps)
+    inv_dx = tuple(float(v) for v in inv_dx)
+    constants_key = "si" if constants is SI or constants == SI else "reduced"
+    xlo, xhi = cpml.thickness[0]
+    cpml_mid = dataclasses.replace(
+        cpml, thickness=((0, 0),) + tuple(cpml.thickness[1:]))
+    layout_full = _psi_layout(shape, cpml)
+    layout_mid = _psi_layout(shape, cpml_mid)
+    keys_full = [_entry_key(e) for e in layout_full]
+    keys_mid = [_entry_key(e) for e in layout_mid]
+    # strip entries must be a common subset in both layouts (the psi
+    # chain relies on identical tensor shapes per key)
+    assert set(keys_mid) <= set(keys_full)
+    has_ystrips = any(a == 1 for _, a, *_ in layout_full)
+    has_zstrips = any(a == 2 for _, a, *_ in layout_full)
+    n_mat = n_materials if matid is not None else 1
+
+    aux_coeffs = None
+    tfsf_box = None
+    if tfsf is not None:
+        tfsf.validate(shape)
+        if tfsf.is_box:
+            tfsf_box = (tuple(tfsf.span_y), tuple(tfsf.span_z))
+        from ..coefficients import update_coefficients
+        from ..grid import Resolution
+        from ..material import VACUUM
+
+        dx0 = 1.0 / inv_dx[0]
+        vacuum_row = update_coefficients(
+            VACUUM, Resolution(spatial=(dx0,) * 3, temporal=dt), constants
+        )
+        aux_coeffs = tfsf.build_aux(nx, vacuum_row, dt, dx0, constants,
+                                    jnp.float32)
+    tfsf_planes = tuple(tfsf.span) if tfsf is not None else (0, 0)
+
+    # chain order: mid first (fresh outputs), then the slab-end calls
+    # donate and fill. dst flags per out: True iff an earlier call in
+    # the chain already produced that tensor.
+    zones = [("mid", (c0, c1), cpml_mid, layout_mid, keys_mid)]
+    if xlo > 0:
+        zones.append(("lo", (0, c0), cpml, layout_full, keys_full))
+    if xhi > 0:
+        zones.append(("hi", (c1, nx), cpml, layout_full, keys_full))
+
+    import os as _os
+
+    from .pallas_cpml_k import _PROF_DISABLE
+
+    only = _os.environ.get("FDTD_XZ_ONLY", "")
+    if only:  # timing-only: build a single zone call (physically wrong)
+        zones = [z for z in zones if z[0] == only]
+
+    calls = []
+    produced = set()
+    for name, zone, cp, lay, keys in zones:
+        out_keys = list(_FIELDS) + keys
+        dst_mask = tuple(kk in produced for kk in out_keys)
+        if "xzchain" in _PROF_DISABLE:  # timing-only: see _PROF_DISABLE
+            # drops the dst chain: out-of-zone planes become garbage
+            # (physically wrong) — isolates the aliasing chain's cost
+            dst_mask = tuple(False for _ in out_keys)
+        call, x_inputs, strip_inputs = _build_call(
+            tuple(shape), inv_dx, cp, k, tfsf is not None, tfsf_planes,
+            tfsf_box, float(dt), constants_key, interpret,
+            int(max_sources), n_mat, x_extra=0, runtime_edges=False,
+            runtime_xprof=False, with_m=bool(with_m),
+            dtype_name=jnp.dtype(dtype).name, runtime_tfsf=False,
+            y_halo=h, runtime_ystrips=False, blocks=(n_b, nly, h),
+            x_zone=zone, zone_dst=dst_mask,
+        )
+        calls.append((name, call, x_inputs, strip_inputs, lay, keys,
+                      dst_mask))
+        produced.update(out_keys)
+    assert only or produced >= set(keys_full)
+
+    # per-block stacked y-strip profiles (identity on non-owner blocks)
+    # — y/z thickness is identical in cpml and cpml_mid, so one shared
+    # set serves every call
+    ystr = None
+    if has_ystrips:
+        from ..parallel.pallas_sharded_cpml import _ystrips_sharded
+
+        ystr = {
+            half: jnp.asarray(_ystrips_sharded(
+                ny, nly, h, n_b, half == "e", cpml, inv_dx, dt, constants))
+            for half in ("h", "e")
+        }
+
+    mid_ext = None
+    if matid is not None:
+        from ..parallel.pallas_sharded_cpml import _ext_clamped
+
+        mid_ext = jnp.asarray(_ext_clamped(np.asarray(matid), n_b, h, 1))
+
+    def step(state: PmlKernelState, coeffs, sources) -> PmlKernelState:
+        if max_sources > 0 and (
+            sources is None or sources.num_sources != max_sources
+        ):
+            raise ValueError(
+                f"kernel built for {max_sources} in-kernel sources, got "
+                f"{0 if sources is None else sources.num_sources}"
+            )
+        if matid is not None:
+            row = jnp.asarray(coeffs, jnp.float32)  # (K_mat, 4) table
+        else:
+            row = jnp.stack(
+                [
+                    jnp.asarray(coeffs.c_a, jnp.float32),
+                    jnp.asarray(coeffs.c_b, jnp.float32),
+                    jnp.asarray(coeffs.d_a, jnp.float32),
+                    jnp.asarray(coeffs.d_b, jnp.float32),
+                ]
+            ).reshape(1, 4)
+
+        # shared per-pass operands (gb packing, pallas_cpml_gb.step)
+        aux_e, aux_h = state.aux_e, state.aux_h
+        tfsf_rows = None
+        if tfsf is not None:
+            rows = []
+            ae, ah = aux_e, aux_h
+            for lvl in range(k):
+                t = (state.tick + lvl).astype(jnp.float32) * jnp.float32(dt)
+                new_e, new_h = tfsf.aux_step(
+                    ae, ah, aux_coeffs, t, inv_dx[0], jnp.float32
+                )
+                rows.append(ae)
+                rows.append(new_h)
+                ae, ah = new_e, new_h
+            tfsf_rows = jnp.stack(rows)
+            aux_e, aux_h = ae, ah
+        src_rows = None
+        if max_sources > 0:
+            rows = [sources.points.astype(jnp.float32)]
+            m_rows = []
+            for lvl in range(k):
+                t = (state.tick + lvl).astype(jnp.float32) * jnp.float32(dt)
+                j_vals, m_vals = sources.values(t)
+                rows.append(j_vals.astype(jnp.float32))
+                if with_m:
+                    m_rows.append(m_vals.astype(jnp.float32))
+            src_rows = jnp.concatenate(rows + m_rows, axis=1)
+
+        old_psi = {kk: t for kk, t in zip(keys_full, state.psi)}
+        cur = {f: getattr(state, f) for f in _FIELDS}
+        cur.update(old_psi)  # overwritten below; pass-through only under
+        #                      the timing-only FDTD_XZ_ONLY knob
+
+        for name, call, x_inputs, strip_inputs, lay, keys, dst_mask \
+                in calls:
+            args = [row]
+            args += x_inputs
+            if tfsf is not None:
+                args.append(tfsf_rows)
+            if max_sources > 0:
+                args.append(src_rows)
+            if has_ystrips:
+                z_iter = iter(strip_inputs)
+                for half in ("h", "e"):
+                    args.append(ystr[half])
+                    if has_zstrips:
+                        args.append(next(z_iter))
+            else:
+                args += strip_inputs
+            if matid is not None:
+                args += [mid_ext] * k
+            # every call reads the INTACT previous-pass state
+            for f in _FIELDS:
+                args += [getattr(state, f)] * 3
+            args += [state.ey] * 3 + [state.ez] * 3
+            for entry, kk in zip(lay, keys):
+                t = old_psi[kk]
+                args += [t] if entry[1] == 1 else [t] * 3
+            # chain destinations, in out order, for flagged outs
+            out_keys = list(_FIELDS) + keys
+            for kk, flag in zip(out_keys, dst_mask):
+                if flag:
+                    args.append(cur[kk])
+            outs = call(*args)
+            for kk, o in zip(out_keys, outs):
+                cur[kk] = o
+
+        return PmlKernelState(
+            ex=cur["ex"], ey=cur["ey"], ez=cur["ez"],
+            hx=cur["hx"], hy=cur["hy"], hz=cur["hz"],
+            tick=state.tick + k,
+            psi=tuple(cur[kk] for kk in keys_full),
+            aux_e=aux_e, aux_h=aux_h,
+        )
+
+    return step

@@ -434,6 +434,77 @@ class Simulation:
             and self._tfsf_oblique is None
             and self._cpml_kernel_eligible()
         ):
+            # x-ZONED CPML K-step (pallas_cpml_xz): slab-end zones run
+            # the full-cpml gb kernel, the interior zone a kernel with
+            # NO x-psi terms (measured 35% of the absorbing kernel's
+            # runtime at 512^3 — Mosaic predication makes per-plane
+            # where-gating free-of-charge impossible, so the interior
+            # kernel simply never compiles the terms). Engages under
+            # the same VMEM-capped condition as gb and replaces it
+            # (same state layout); hardware calibration round 5.
+            from .pallas_cpml_xz import make_pallas_cpml_xz_stepk, xz_plan
+
+            for cand in (10, 8, 6, 4):
+                if k > 3 or cand <= k or cand < 2 * k:
+                    continue
+                cadence = probe_every if probes else n_steps
+                if n_steps % cand != 0 or cadence % cand != 0:
+                    continue
+                plan_x = xz_plan(
+                    self.grid.shape, self.bc, self._cpml_or_empty, cand,
+                    dtype=self.dtype, matid=self.matid is not None,
+                )
+                if plan_x is None:
+                    continue
+                # the win scales with the x-psi-free interior fraction;
+                # below ~half the planes the zone fill/drain overhead
+                # (2(K-1) extra iterations per cut) eats it — fall
+                # through to gb
+                if 2 * (plan_x.c1 - plan_x.c0) < self.grid.shape[0]:
+                    continue
+                key = ("cpmlxz", cand, plan_x)
+                if key in self._multi_step_cache:
+                    step = self._multi_step_cache[key]
+                else:
+                    n_src = (
+                        self.sources.num_sources
+                        if self.sources is not None else 0
+                    )
+                    kw = dict(
+                        inv_dx=tuple(1.0 / d for d in self.grid.dx),
+                        dt=self.grid.dt, bc=self.bc,
+                        constants=self.grid.constants,
+                        cpml=self._cpml_or_empty, tfsf=self.tfsf,
+                        max_sources=n_src, with_m=self._has_m_sources(),
+                        dtype=self.dtype,
+                    )
+                    if self.matid is not None:
+                        kernel = make_pallas_cpml_xz_stepk(
+                            self.grid.shape, cand, plan_x,
+                            matid=jnp.asarray(self.matid),
+                            n_materials=self._n_materials, **kw,
+                        )
+                        table = jnp.asarray(self.table, jnp.float32)
+
+                        def step(state, coeffs, sources, _k=kernel,
+                                 _t=table):
+                            return _k(state, _t, sources)
+                    else:
+                        step = make_pallas_cpml_xz_stepk(
+                            self.grid.shape, cand, plan_x, **kw
+                        )
+                    self._multi_step_cache[key] = step
+                k = cand
+                gb = (plan_x.n_b, plan_x.h)  # same state layout as gb
+                break
+        if (
+            gb is None
+            and self.backend == "auto"
+            and not accumulators
+            and self._dense_kernel is None
+            and self._tfsf_oblique is None
+            and self._cpml_kernel_eligible()
+        ):
             # GRID-blocked CPML K-step (pallas_cpml_gb): lateral blocks
             # inside the pallas grid lift the VMEM K-cap WITHOUT the
             # outside-blocked tier's refresh/concatenate HBM cost. The

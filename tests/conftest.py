@@ -46,7 +46,8 @@ _SHARDED_FILES = {
     "test_blocked_cpml.py",
     "test_rotation.py",
 }
-_SLOW_FILES = {"test_pallas_cpml.py", "test_oblique_kernel.py"}
+_SLOW_FILES = {"test_pallas_cpml.py", "test_oblique_kernel.py",
+               "test_xz_cpml.py"}
 _SLOW_TESTS = {
     "test_tet_leapfrog_energy_conserved",
     "test_boxdft_kernel_tier_matches_per_tick",

@@ -1,0 +1,199 @@
+"""x-zoned CPML K-step (solver/pallas_cpml_xz.py) equivalence.
+
+Gate: the chained zone calls (full-cpml slab-end kernels + an x-psi-free
+interior kernel, outputs assembled through input_output_aliases) must
+match the plain CPML K kernel (solver/pallas_cpml_k.py) on fields AND
+psi after multiple chained passes in interpret mode — including sources
+at and next to the zone cuts (halo-recompute agreement), single-ended x
+slabs, matid, bf16, M sources, and slab/box TF/SF whose planes straddle
+the cuts."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fdtd_tpu as ft
+from fdtd_tpu.solver.boundary import BoundaryConditions
+from fdtd_tpu.solver.cpml import Cpml
+from fdtd_tpu.solver.pallas_cpml import init_pml_kernel_state
+from fdtd_tpu.solver.pallas_cpml_k import pallas_cpml_stepk_fn
+from fdtd_tpu.solver.pallas_cpml_gb import (
+    collapse_gb_pml_state,
+    extend_gb_pml_state,
+)
+from fdtd_tpu.solver.pallas_cpml_xz import make_pallas_cpml_xz_stepk, xz_plan
+
+
+def _assert_state_equal(ref, got, ulp_rel=1e-6):
+    """Few-ulp absolute gate scaled to the field magnitude (the zone
+    calls' window concats change fusion/FMA contraction, rounding 1-2
+    f32 ulps apart; a real cut/off-by-one bug produces O(field)-scale
+    errors at the cut planes — same discrimination argument as
+    tests/test_gb_cpml.py)."""
+    scale = max(
+        float(jnp.abs(getattr(ref, f).astype(jnp.float32)).max())
+        for f in ("ex", "ey", "ez", "hx", "hy", "hz")
+    )
+    atol = ulp_rel * max(scale, 1e-30)
+    for f in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, f), np.float64),
+            np.asarray(getattr(ref, f), np.float64),
+            atol=atol, rtol=0, err_msg=f,
+        )
+    assert len(ref.psi) == len(got.psi)
+    for i, (a, b) in enumerate(zip(ref.psi, got.psi)):
+        np.testing.assert_allclose(
+            np.asarray(b, np.float64), np.asarray(a, np.float64),
+            atol=atol, rtol=0, err_msg=f"psi[{i}]",
+        )
+    assert int(ref.tick) == int(got.tick)
+
+
+def _run_pair(shape, k, cpml, n_passes, src_pos, *, with_m=False,
+              matid=None, n_materials=1, dtype=jnp.float32, tfsf=None):
+    bc = BoundaryConditions()
+    plan = xz_plan(shape, bc, cpml, k, dtype=dtype,
+                   matid=matid is not None)
+    assert plan is not None, "xz_plan rejected this configuration"
+
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    if matid is not None:
+        tab = ft.MaterialTable()
+        tab.register(ft.Material(relative_permittivity=2.5))
+        ctable = ft.coefficient_table(tab.materials, res, ft.REDUCED)
+        coeffs = jnp.asarray(ctable, jnp.float32)
+    else:
+        table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+        coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
+    src = ft.SourceSet.build(
+        [
+            ft.PointSource(
+                src_pos,
+                ft.GaussianPulse(4 * dt, 2 * dt),
+                j=(0.3, -0.2, 1.0),
+                m=(0.1, 0.4, -0.3) if with_m else (0.0, 0.0, 0.0),
+            )
+        ]
+    )
+
+    kw = dict(max_sources=1, interpret=True, with_m=with_m, dtype=dtype,
+              inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+              cpml=cpml, tfsf=tfsf,
+              matid=None if matid is None else jnp.asarray(matid),
+              n_materials=n_materials)
+    ref_step = pallas_cpml_stepk_fn(shape, k, **kw)
+    ref = init_pml_kernel_state(shape, dtype, cpml=cpml, tfsf=tfsf)
+    for _ in range(n_passes):
+        ref = ref_step(ref, coeffs, src)
+
+    xz_step = make_pallas_cpml_xz_stepk(shape, k, plan, **kw)
+    st = extend_gb_pml_state(
+        init_pml_kernel_state(shape, dtype, cpml=cpml, tfsf=tfsf),
+        plan.n_b, cpml=cpml,
+    )
+    for _ in range(n_passes):
+        st = xz_step(st, coeffs, src)
+    got = collapse_gb_pml_state(st, plan.n_b, cpml=cpml)
+    return ref, got, plan
+
+
+def test_xz_cpml_all_axes_matches_plain():
+    # CPML on all axes; source inside the mid zone
+    shape, k = (24, 32, 256), 2
+    cpml = Cpml(thickness=((4, 4), (4, 4), (4, 4)))
+    ref, got, plan = _run_pair(shape, k, cpml, n_passes=4,
+                               src_pos=(12, 15, 128))
+    assert 0 < plan.c0 < plan.c1 < shape[0]
+    assert float(jnp.abs(ref.ez).max()) > 0
+    _assert_state_equal(ref, got)
+
+
+def test_xz_cpml_source_at_cut():
+    # sources exactly ON the lo cut and one plane below the hi cut:
+    # both zone calls must inject them identically during halo recompute
+    shape, k = (32, 32, 256), 3
+    cpml = Cpml(thickness=((5, 5), (4, 4), (4, 4)))
+    plan = xz_plan(shape, BoundaryConditions(), cpml, k)
+    for px in (plan.c0, plan.c1 - 1, plan.c0 - 1, plan.c1):
+        ref, got, _ = _run_pair(shape, k, cpml, n_passes=3,
+                                src_pos=(px, 9, 128))
+        assert float(jnp.abs(ref.ez).max()) > 0
+        _assert_state_equal(ref, got)
+
+
+def test_xz_cpml_single_ended_lo():
+    shape, k = (24, 32, 256), 2
+    cpml = Cpml(thickness=((6, 0), (4, 4), (4, 4)))
+    ref, got, plan = _run_pair(shape, k, cpml, n_passes=4,
+                               src_pos=(14, 16, 100))
+    assert plan.c0 > 0 and plan.c1 == shape[0]
+    _assert_state_equal(ref, got)
+
+
+def test_xz_cpml_single_ended_hi():
+    shape, k = (24, 32, 256), 2
+    cpml = Cpml(thickness=((0, 6), (4, 4), (4, 4)))
+    ref, got, plan = _run_pair(shape, k, cpml, n_passes=4,
+                               src_pos=(8, 16, 100))
+    assert plan.c0 == 0 and plan.c1 < shape[0]
+    _assert_state_equal(ref, got)
+
+
+def test_xz_cpml_matid_and_m_sources():
+    # matid gb alignment needs nly % 32 == 0 -> ny = 64 at n_b = 2
+    shape, k = (24, 64, 256), 2
+    cpml = Cpml(thickness=((4, 4), (4, 4), (4, 4)))
+    rng = np.random.default_rng(7)
+    matid = (rng.random(shape) < 0.3).astype(np.uint8)
+    ref, got, _ = _run_pair(shape, k, cpml, n_passes=3,
+                            src_pos=(12, 10, 90), with_m=True,
+                            matid=matid, n_materials=2)
+    _assert_state_equal(ref, got)
+
+
+def test_xz_cpml_bf16():
+    # bf16 gb alignment needs h % 16 == 0 -> ny = 64 at n_b = 2
+    shape, k = (24, 64, 256), 2
+    cpml = Cpml(thickness=((4, 4), (4, 4), (4, 4)))
+    ref, got, _ = _run_pair(shape, k, cpml, n_passes=4,
+                            src_pos=(12, 15, 128), dtype=jnp.bfloat16)
+    _assert_state_equal(ref, got, ulp_rel=1e-2)
+
+
+def test_xz_cpml_tfsf_slab_straddles_cuts():
+    # slab TF/SF planes inside the lo and hi zones: the zone calls and
+    # their halo recompute must inject the same aux rows (global q)
+    from fdtd_tpu.solver.tfsf import Tfsf
+
+    shape, k = (32, 32, 256), 3
+    cpml = Cpml(thickness=((5, 5), (4, 4), (4, 4)))
+    tfsf = Tfsf(span=(6, 25), waveform=ft.GaussianPulse(6.0, 2.0))
+    ref, got, plan = _run_pair(shape, k, cpml, n_passes=3,
+                               src_pos=(16, 16, 128), tfsf=tfsf)
+    assert tfsf.span[0] < plan.c0 + k and tfsf.span[1] > plan.c1 - k
+    assert float(jnp.abs(ref.ez).max()) > 0
+    _assert_state_equal(ref, got)
+
+
+def test_xz_cpml_tfsf_box():
+    from fdtd_tpu.solver.tfsf import Tfsf
+
+    shape, k = (32, 32, 256), 2
+    cpml = Cpml(thickness=((4, 4), (4, 4), (4, 4)))
+    tfsf = Tfsf(span=(6, 25), waveform=ft.GaussianPulse(6.0, 2.0),
+                span_y=(8, 23), span_z=(64, 190))
+    ref, got, _ = _run_pair(shape, k, cpml, n_passes=3,
+                            src_pos=(16, 16, 128), tfsf=tfsf)
+    _assert_state_equal(ref, got)
+
+
+def test_xz_plan_rejections():
+    bc = BoundaryConditions()
+    # no x slabs -> nothing to zone
+    assert xz_plan((24, 32, 256), bc,
+                   Cpml(thickness=((0, 0), (4, 4), (4, 4))), 2) is None
+    # mid zone thinner than K
+    assert xz_plan((16, 32, 256), bc,
+                   Cpml(thickness=((6, 6), (4, 4), (4, 4))), 3) is None

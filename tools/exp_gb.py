@@ -124,6 +124,90 @@ def tier_gb(kk=None, nbs=(2, 4, 8), dtype=jnp.float32):
             jax.clear_caches()
 
 
+def tier_xz(kk=None, nbs=(2, 4), dtype=jnp.float32):
+    from fdtd_tpu.solver.pallas_cpml_xz import (
+        make_pallas_cpml_xz_stepk, xz_plan,
+    )
+
+    ks = (kk,) if kk else (10, 8)
+    for gk in ks:
+        for nb in nbs:
+            plan = xz_plan(shape, _BC(), cpml, gk, dtype=dtype,
+                           n_b_candidates=(nb,))
+            if plan is None:
+                print(f"xz K={gk} nb={nb}: no plan", flush=True)
+                continue
+            step = make_pallas_cpml_xz_stepk(
+                shape, gk, plan, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
+                constants=ft.REDUCED, cpml=cpml, max_sources=1,
+                dtype=dtype)
+            state = extend_gb_pml_state(
+                init_pml_kernel_state(shape, dtype, cpml=cpml),
+                plan.n_b, cpml=cpml)
+
+            def run(state, c, _s=step):
+                def body(s, _):
+                    return _s(s, coeffs, src), None
+                return jax.lax.scan(body, state, None, length=c)[0]
+
+            run_j = jax.jit(run, static_argnums=1)
+            calls = max(48 // gk, 1)
+            holder = [state]
+            del state
+            try:
+                timeit(run_j, holder, calls, gk,
+                       f"xz {jnp.dtype(dtype).name} K={gk} nb={plan.n_b} "
+                       f"h={plan.h} c0={plan.c0} c1={plan.c1}")
+            except Exception as e:
+                print(f"xz K={gk} nb={nb}: {type(e).__name__} "
+                      f"{str(e)[:200]}", flush=True)
+            del holder
+            jax.clear_caches()
+
+
+def check_xz():
+    # xz vs plain kernel ON CHIP (Mosaic, aliasing chain): small shape
+    from fdtd_tpu.solver.pallas_cpml_xz import (
+        make_pallas_cpml_xz_stepk, xz_plan,
+    )
+
+    gs, gk = (64, 128, 256), 4
+    ck = Cpml.uniform(8)
+    res_c = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.99)
+    grid_g = ft.Grid(shape=gs, resolution=res_c, constants=ft.REDUCED)
+    src_g = ft.SourceSet.build(
+        [ft.PointSource((32, 64, 128),
+                        ft.GaussianPulse(20 * grid_g.dt, 6 * grid_g.dt),
+                        j=(0.0, 0.0, 1.0))])
+    plan = xz_plan(gs, _BC(), ck, gk, n_b_candidates=(2,))
+    assert plan is not None, "no xz plan at small shape"
+    xstep = make_pallas_cpml_xz_stepk(
+        gs, gk, plan, inv_dx=(1.0, 1.0, 1.0), dt=grid_g.dt,
+        constants=ft.REDUCED, cpml=ck, max_sources=1)
+    kstep = make_pallas_cpml_stepk(
+        gs, gk, inv_dx=(1.0, 1.0, 1.0), dt=grid_g.dt,
+        constants=ft.REDUCED, cpml=ck, max_sources=1)
+    xst = extend_gb_pml_state(
+        init_pml_kernel_state(gs, jnp.float32, cpml=ck), plan.n_b,
+        cpml=ck)
+    kst = init_pml_kernel_state(gs, jnp.float32, cpml=ck)
+    for _ in range(15):
+        xst = xstep(xst, coeffs, src_g)
+        kst = kstep(kst, coeffs, src_g)
+    xcol = collapse_gb_pml_state(xst, plan.n_b, cpml=ck)
+    mag = max(float(jnp.max(jnp.abs(getattr(kst, f))))
+              for f in ("ex", "ey", "ez", "hx", "hy", "hz"))
+    err = max(
+        float(jnp.max(jnp.abs(getattr(xcol, f) - getattr(kst, f))))
+        for f in ("ex", "ey", "ez", "hx", "hy", "hz"))
+    perr = max(
+        (float(jnp.max(jnp.abs(a - b))) for a, b in zip(xcol.psi, kst.psi)),
+        default=0.0)
+    print(f"check xz K={gk} {plan}: field err {err:.3e} "
+          f"(mag {mag:.3e}) psi err {perr:.3e}", flush=True)
+    assert err < 2e-6 * max(mag, 1e-30), (err, mag)
+
+
 def check():
     # small-shape numerics: gated kernel vs XLA engine, 60 ticks
     from fdtd_tpu.solver.engine import build_step, init_engine_state
@@ -210,5 +294,17 @@ if __name__ == "__main__":
         elif t.startswith("gbbf16-"):
             _, kk, nb = t.split("-")
             tier_gb(int(kk), nbs=(int(nb),), dtype=jnp.bfloat16)
+        elif t == "check-xz":
+            check_xz()
+        elif t == "xz":
+            tier_xz()
+        elif t == "xz-bf16":
+            tier_xz(dtype=jnp.bfloat16)
+        elif t.startswith("xz-") and t.count("-") == 2:
+            _, kk, nb = t.split("-")
+            tier_xz(int(kk), nbs=(int(nb),))
+        elif t.startswith("xzbf16-"):
+            _, kk, nb = t.split("-")
+            tier_xz(int(kk), nbs=(int(nb),), dtype=jnp.bfloat16)
         else:
             print(f"unknown tier {t}")
