@@ -512,15 +512,23 @@ def _selfcheck(ft, jax, jnp, np) -> bool:
             print("selfcheck xz CPML: plan unexpectedly None FAIL",
                   file=sys.stderr)
         else:
-            xz_step = jax.jit(_mkxz(
+            xz_kern = _mkxz(
                 shape_g, 2, plan_xz, inv_dx=(1.0, 1.0, 1.0), dt=dt,
                 constants=ft.REDUCED, cpml=cpml, max_sources=1,
-            ))
+            )
+            xz_step = jax.jit(xz_kern)
+            # step2 = the donation-threaded double pass the dispatcher
+            # and bench tier actually run — its dst chain into donated
+            # loop buffers is a distinct XLA/Mosaic surface
+            xz_step2 = jax.jit(xz_kern.step2)
             xzt = extend_gb_pml_state(
                 init_pml_kernel_state(shape_g, cpml=cpml), plan_xz.n_b,
                 cpml=cpml,
             )
-            for _ in range(n_ticks // 2):
+            xzt = xz_step(xzt, coeffs, src_g)
+            for _ in range((n_ticks - 2) // 4):
+                xzt = xz_step2(xzt, coeffs, src_g)
+            for _ in range((n_ticks - 2 - 4 * ((n_ticks - 2) // 4)) // 2):
                 xzt = xz_step(xzt, coeffs, src_g)
             jax.block_until_ready(xzt)
             got_xz = collapse_gb_pml_state(xzt, plan_xz.n_b, cpml=cpml)
@@ -1700,7 +1708,7 @@ def _section_cpml512(n_steps: int) -> None:
         )
 
         plan_x = xk = None
-        for xk in (10, 8, 6):
+        for xk in (8, 10, 6):
             plan_x = xz_plan(shape, _BC(), Cpml.uniform(10), xk,
                              dtype=cdt)
             if plan_x is not None:
@@ -1717,14 +1725,16 @@ def _section_cpml512(n_steps: int) -> None:
             plan_x.n_b, cpml=Cpml.uniform(10),
         )
 
-        def run_x(state, k: int, _s=xstep):
+        # donation-threaded double pass (step2): 2K ticks per call,
+        # zero loop-boundary state copies
+        def run_x(state, k: int, _s=xstep.step2):
             def body(s, _):
                 return _s(s, coeffs, src), None
 
             return jax.lax.scan(body, state, None, length=k)[0]
 
         runx_j = jax.jit(run_x, static_argnums=1)
-        x_calls = max(n_steps // xk, 1)
+        x_calls = max(n_steps // (2 * xk), 1)
         xstate = runx_j(xstate, x_calls)
         _sync(xstate)
         bpc = 2 * _state_bytes(xstate) / (xk * grid.num_cells)
@@ -1733,9 +1743,10 @@ def _section_cpml512(n_steps: int) -> None:
         dt_wall, dt_min, spread, _ = _timed_min(
             lambda s, _r=runx_j: _r(s, x_calls), holder, _sync,
             run2=lambda s, _r=runx_j: _r(s, 2 * x_calls))
-        _report(f"xz-cpml{n} {jnp.dtype(cdt).name} K={xk} nb={plan_x.n_b}",
-                grid.num_cells * x_calls * xk / dt_wall,
-                grid.num_cells * x_calls * xk / dt_min, spread, bpc)
+        _report(f"xz-cpml{n} {jnp.dtype(cdt).name} K={xk} nb={plan_x.n_b}"
+                " 2pass",
+                grid.num_cells * x_calls * 2 * xk / dt_wall,
+                grid.num_cells * x_calls * 2 * xk / dt_min, spread, bpc)
 
     def _tier_sharded():
         # the dispatcher's plan for a 1-dev mesh: plain ladder capped at

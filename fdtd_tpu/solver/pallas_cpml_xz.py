@@ -191,28 +191,37 @@ def make_pallas_cpml_xz_stepk(
     if only:  # timing-only: build a single zone call (physically wrong)
         zones = [z for z in zones if z[0] == only]
 
-    calls = []
-    produced = set()
-    for name, zone, cp, lay, keys in zones:
-        out_keys = list(_FIELDS) + keys
-        dst_mask = tuple(kk in produced for kk in out_keys)
-        if "xzchain" in _PROF_DISABLE:  # timing-only: see _PROF_DISABLE
-            # drops the dst chain: out-of-zone planes become garbage
-            # (physically wrong) — isolates the aliasing chain's cost
-            dst_mask = tuple(False for _ in out_keys)
-        call, x_inputs, strip_inputs = _build_call(
-            tuple(shape), inv_dx, cp, k, tfsf is not None, tfsf_planes,
-            tfsf_box, float(dt), constants_key, interpret,
-            int(max_sources), n_mat, x_extra=0, runtime_edges=False,
-            runtime_xprof=False, with_m=bool(with_m),
-            dtype_name=jnp.dtype(dtype).name, runtime_tfsf=False,
-            y_halo=h, runtime_ystrips=False, blocks=(n_b, nly, h),
-            x_zone=zone, zone_dst=dst_mask,
-        )
-        calls.append((name, call, x_inputs, strip_inputs, lay, keys,
-                      dst_mask))
-        produced.update(out_keys)
-    assert only or produced >= set(keys_full)
+    def _build_chain(all_dst: bool):
+        """One chain of zone calls. ``all_dst=False``: the first producer
+        of each tensor writes a FRESH buffer (pass-1 chain). ``True``:
+        every output chains through a donated destination, so the whole
+        pass lands in caller-supplied buffers (pass-2 of the donation-
+        threaded double step — see step2 below)."""
+        chain = []
+        produced = set()
+        for name, zone, cp, lay, keys in zones:
+            out_keys = list(_FIELDS) + keys
+            dst_mask = tuple(all_dst or kk in produced for kk in out_keys)
+            if "xzchain" in _PROF_DISABLE:  # timing-only, see _PROF_DISABLE
+                # drops the dst chain: out-of-zone planes become garbage
+                # (physically wrong) — isolates the chain's cost
+                dst_mask = tuple(False for _ in out_keys)
+            call, x_inputs, strip_inputs = _build_call(
+                tuple(shape), inv_dx, cp, k, tfsf is not None, tfsf_planes,
+                tfsf_box, float(dt), constants_key, interpret,
+                int(max_sources), n_mat, x_extra=0, runtime_edges=False,
+                runtime_xprof=False, with_m=bool(with_m),
+                dtype_name=jnp.dtype(dtype).name, runtime_tfsf=False,
+                y_halo=h, runtime_ystrips=False, blocks=(n_b, nly, h),
+                x_zone=zone, zone_dst=dst_mask,
+            )
+            chain.append((name, call, x_inputs, strip_inputs, lay, keys,
+                          dst_mask))
+            produced.update(out_keys)
+        assert only or produced >= set(keys_full)
+        return chain
+
+    calls = _build_chain(False)
 
     # per-block stacked y-strip profiles (identity on non-owner blocks)
     # — y/z thickness is identical in cpml and cpml_mid, so one shared
@@ -233,34 +242,26 @@ def make_pallas_cpml_xz_stepk(
 
         mid_ext = jnp.asarray(_ext_clamped(np.asarray(matid), n_b, h, 1))
 
-    def step(state: PmlKernelState, coeffs, sources) -> PmlKernelState:
-        if max_sources > 0 and (
-            sources is None or sources.num_sources != max_sources
-        ):
-            raise ValueError(
-                f"kernel built for {max_sources} in-kernel sources, got "
-                f"{0 if sources is None else sources.num_sources}"
-            )
+    def _coeff_row(coeffs):
         if matid is not None:
-            row = jnp.asarray(coeffs, jnp.float32)  # (K_mat, 4) table
-        else:
-            row = jnp.stack(
-                [
-                    jnp.asarray(coeffs.c_a, jnp.float32),
-                    jnp.asarray(coeffs.c_b, jnp.float32),
-                    jnp.asarray(coeffs.d_a, jnp.float32),
-                    jnp.asarray(coeffs.d_b, jnp.float32),
-                ]
-            ).reshape(1, 4)
+            return jnp.asarray(coeffs, jnp.float32)  # (K_mat, 4) table
+        return jnp.stack(
+            [
+                jnp.asarray(coeffs.c_a, jnp.float32),
+                jnp.asarray(coeffs.c_b, jnp.float32),
+                jnp.asarray(coeffs.d_a, jnp.float32),
+                jnp.asarray(coeffs.d_b, jnp.float32),
+            ]
+        ).reshape(1, 4)
 
-        # shared per-pass operands (gb packing, pallas_cpml_gb.step)
-        aux_e, aux_h = state.aux_e, state.aux_h
+    def _pass_operands(tick, aux_e, aux_h, sources):
+        """Per-pass aux/source rows (gb packing, pallas_cpml_gb.step)."""
         tfsf_rows = None
         if tfsf is not None:
             rows = []
             ae, ah = aux_e, aux_h
             for lvl in range(k):
-                t = (state.tick + lvl).astype(jnp.float32) * jnp.float32(dt)
+                t = (tick + lvl).astype(jnp.float32) * jnp.float32(dt)
                 new_e, new_h = tfsf.aux_step(
                     ae, ah, aux_coeffs, t, inv_dx[0], jnp.float32
                 )
@@ -274,20 +275,21 @@ def make_pallas_cpml_xz_stepk(
             rows = [sources.points.astype(jnp.float32)]
             m_rows = []
             for lvl in range(k):
-                t = (state.tick + lvl).astype(jnp.float32) * jnp.float32(dt)
+                t = (tick + lvl).astype(jnp.float32) * jnp.float32(dt)
                 j_vals, m_vals = sources.values(t)
                 rows.append(j_vals.astype(jnp.float32))
                 if with_m:
                     m_rows.append(m_vals.astype(jnp.float32))
             src_rows = jnp.concatenate(rows + m_rows, axis=1)
+        return tfsf_rows, src_rows, aux_e, aux_h
 
-        old_psi = {kk: t for kk, t in zip(keys_full, state.psi)}
-        cur = {f: getattr(state, f) for f in _FIELDS}
-        cur.update(old_psi)  # overwritten below; pass-through only under
-        #                      the timing-only FDTD_XZ_ONLY knob
-
+    def _run_chain(chain, src, cur, row, tfsf_rows, src_rows):
+        """One K-pass: `src` maps field/psi keys to the INTACT
+        previous-pass tensors every call reads; `cur` holds the chain
+        destinations (donated buffers for flagged outs) and collects
+        the outputs."""
         for name, call, x_inputs, strip_inputs, lay, keys, dst_mask \
-                in calls:
+                in chain:
             args = [row]
             args += x_inputs
             if tfsf is not None:
@@ -304,12 +306,11 @@ def make_pallas_cpml_xz_stepk(
                 args += strip_inputs
             if matid is not None:
                 args += [mid_ext] * k
-            # every call reads the INTACT previous-pass state
             for f in _FIELDS:
-                args += [getattr(state, f)] * 3
-            args += [state.ey] * 3 + [state.ez] * 3
+                args += [src[f]] * 3
+            args += [src["ey"]] * 3 + [src["ez"]] * 3
             for entry, kk in zip(lay, keys):
-                t = old_psi[kk]
+                t = src[kk]
                 args += [t] if entry[1] == 1 else [t] * 3
             # chain destinations, in out order, for flagged outs
             out_keys = list(_FIELDS) + keys
@@ -319,7 +320,31 @@ def make_pallas_cpml_xz_stepk(
             outs = call(*args)
             for kk, o in zip(out_keys, outs):
                 cur[kk] = o
+        return cur
 
+    def _check_sources(sources):
+        if max_sources > 0 and (
+            sources is None or sources.num_sources != max_sources
+        ):
+            raise ValueError(
+                f"kernel built for {max_sources} in-kernel sources, got "
+                f"{0 if sources is None else sources.num_sources}"
+            )
+
+    def _src_of(state: PmlKernelState):
+        src = {f: getattr(state, f) for f in _FIELDS}
+        src.update(zip(keys_full, state.psi))
+        return src
+
+    def step(state: PmlKernelState, coeffs, sources) -> PmlKernelState:
+        _check_sources(sources)
+        row = _coeff_row(coeffs)
+        tfsf_rows, src_rows, aux_e, aux_h = _pass_operands(
+            state.tick, state.aux_e, state.aux_h, sources)
+        # seed = pass-through only under the timing-only FDTD_XZ_ONLY
+        # knob; every key is overwritten by the full chain
+        cur = _run_chain(calls, _src_of(state), _src_of(state), row,
+                         tfsf_rows, src_rows)
         return PmlKernelState(
             ex=cur["ex"], ey=cur["ey"], ez=cur["ez"],
             hx=cur["hx"], hy=cur["hy"], hz=cur["hz"],
@@ -328,4 +353,41 @@ def make_pallas_cpml_xz_stepk(
             aux_e=aux_e, aux_h=aux_h,
         )
 
+    # Donation-threaded DOUBLE pass. Motivation (measured, round 5):
+    # inside lax.scan the loop-state buffers are fixed, and a blocks-
+    # mode pallas call cannot alias its state inputs to its outputs
+    # (halo re-reads), so XLA copies the pass outputs back into the
+    # loop slots EVERY pass — ~14 ms at 512^3 f32 (a full state
+    # read+write), measured via single-zone isolation: full chain
+    # 39.1 ms/pass of which the kernels account for ~27. Running TWO
+    # passes per step removes the copy: pass 1 chains into fresh
+    # buffers (reused across iterations by XLA's temp allocator), and
+    # pass 2 seeds its destination chain with the INPUT STATE's buffers
+    # (dead once pass 1 has read them), so the step's results land
+    # physically in the loop-state slots — no rotation, no copy.
+    chain2 = None if only else _build_chain(True)
+
+    def step2(state: PmlKernelState, coeffs, sources) -> PmlKernelState:
+        """Advance 2*k_steps ticks with zero loop-boundary copies."""
+        _check_sources(sources)
+        row = _coeff_row(coeffs)
+        t_rows1, s_rows1, aux_e, aux_h = _pass_operands(
+            state.tick, state.aux_e, state.aux_h, sources)
+        src1 = _src_of(state)
+        mid1 = _run_chain(calls, src1, dict(src1), row, t_rows1, s_rows1)
+        t_rows2, s_rows2, aux_e, aux_h = _pass_operands(
+            state.tick + k, aux_e, aux_h, sources)
+        # pass 2: destinations seeded with the (now-dead) input state's
+        # buffers; _run_chain overwrites cur as the chain progresses
+        cur = _run_chain(chain2, mid1, _src_of(state), row,
+                         t_rows2, s_rows2)
+        return PmlKernelState(
+            ex=cur["ex"], ey=cur["ey"], ez=cur["ez"],
+            hx=cur["hx"], hy=cur["hy"], hz=cur["hz"],
+            tick=state.tick + 2 * k,
+            psi=tuple(cur[kk] for kk in keys_full),
+            aux_e=aux_e, aux_h=aux_h,
+        )
+
+    step.step2 = None if only else step2
     return step

@@ -444,8 +444,15 @@ class Simulation:
             # (same state layout); hardware calibration round 5.
             from .pallas_cpml_xz import make_pallas_cpml_xz_stepk, xz_plan
 
-            for cand in (10, 8, 6, 4):
-                if k > 3 or cand <= k or cand < 2 * k:
+            # K=8 (h=8) leads: measured 38.8 Gcell/s vs K=10 (h=16)
+            # 34.8 at 512^3 f32 (halved halo overlap + shallower
+            # pipeline). Unlike gb, xz engages even when the plain
+            # ladder runs deep: it beats plain at EQUAL K by dropping
+            # the x-psi work and the loop-boundary copy (256^3: xz K=8
+            # 34.0 vs plain K=8 26.4; 512^3 f32: 38.8 vs K=3 18.8;
+            # bf16: 35.9 vs K=4 27.8 — all round-5 chip numbers).
+            for cand in (8, 10, 6, 4):
+                if cand < k or cand < 6:
                     continue
                 cadence = probe_every if probes else n_steps
                 if n_steps % cand != 0 or cadence % cand != 0:
@@ -459,10 +466,22 @@ class Simulation:
                 # the win scales with the x-psi-free interior fraction;
                 # below ~half the planes the zone fill/drain overhead
                 # (2(K-1) extra iterations per cut) eats it — fall
-                # through to gb
+                # through to gb/plain
                 if 2 * (plan_x.c1 - plan_x.c0) < self.grid.shape[0]:
                     continue
-                key = ("cpmlxz", cand, plan_x)
+                # gb window halo overhead guard: 2h/nly <= 12.5% (the
+                # measured-win regime; smaller lateral blocks pay more
+                # redundant columns than the x-psi cut saves)
+                if 16 * plan_x.h > self.grid.shape[1] // plan_x.n_b:
+                    continue
+                # donation-threaded DOUBLE pass when the cadence allows
+                # it: pass 2 lands in the scan's loop-state buffers,
+                # removing the ~14 ms/pass loop-boundary state copy
+                # every blocks-mode tier otherwise pays (measured round
+                # 5; pallas_cpml_xz.step2)
+                dbl = (n_steps % (2 * cand) == 0
+                       and cadence % (2 * cand) == 0)
+                key = ("cpmlxz", cand, plan_x, dbl)
                 if key in self._multi_step_cache:
                     step = self._multi_step_cache[key]
                 else:
@@ -484,17 +503,20 @@ class Simulation:
                             matid=jnp.asarray(self.matid),
                             n_materials=self._n_materials, **kw,
                         )
+                        kfn = kernel.step2 if dbl else kernel
                         table = jnp.asarray(self.table, jnp.float32)
 
-                        def step(state, coeffs, sources, _k=kernel,
+                        def step(state, coeffs, sources, _k=kfn,
                                  _t=table):
                             return _k(state, _t, sources)
                     else:
                         step = make_pallas_cpml_xz_stepk(
                             self.grid.shape, cand, plan_x, **kw
                         )
+                        if dbl:
+                            step = step.step2
                     self._multi_step_cache[key] = step
-                k = cand
+                k = 2 * cand if dbl else cand
                 gb = (plan_x.n_b, plan_x.h)  # same state layout as gb
                 break
         if (

@@ -189,6 +189,43 @@ def test_xz_cpml_tfsf_box():
     _assert_state_equal(ref, got)
 
 
+def test_xz_step2_matches_two_passes():
+    # the donation-threaded double pass (pass 2 chains into the input
+    # state's buffers) must be BIT-identical to two single passes —
+    # fields, psi, tick
+    shape, k = (24, 32, 256), 2
+    cpml = Cpml(thickness=((4, 4), (4, 4), (4, 4)))
+    bc = BoundaryConditions()
+    plan = xz_plan(shape, bc, cpml, k)
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+    coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
+    src = ft.SourceSet.build(
+        [ft.PointSource((12, 15, 128), ft.GaussianPulse(4 * dt, 2 * dt),
+                        j=(0.3, -0.2, 1.0))]
+    )
+    step = make_pallas_cpml_xz_stepk(
+        shape, k, plan, max_sources=1, interpret=True,
+        inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED, cpml=cpml)
+    s0 = extend_gb_pml_state(
+        init_pml_kernel_state(shape, jnp.float32, cpml=cpml), plan.n_b,
+        cpml=cpml)
+    a = s0
+    for _ in range(4):
+        a = step(a, coeffs, src)
+    b = s0
+    for _ in range(2):
+        b = step.step2(b, coeffs, src)
+    assert int(a.tick) == int(b.tick)
+    for f in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(b, f)), np.asarray(getattr(a, f)), err_msg=f)
+    for i, (x, y) in enumerate(zip(a.psi, b.psi)):
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x),
+                                      err_msg=f"psi[{i}]")
+
+
 def test_xz_plan_rejections():
     bc = BoundaryConditions()
     # no x slabs -> nothing to zone
