@@ -564,13 +564,18 @@ def _selfcheck(ft, jax, jnp, np) -> bool:
             print("selfcheck sharded-gb CPML: plan unexpectedly None "
                   "FAIL", file=sys.stderr)
         else:
-            sg_step = jax.jit(_mkg(
+            sg_kern = _mkg(
                 _m1g, shape_g, 2, inv_dx=(1.0, 1.0, 1.0), dt=dt,
                 constants=ft.REDUCED, cpml=cpml, max_sources=1,
                 blocks=plan_sg,
-            ))
+            )
+            sg_step = jax.jit(sg_kern)
+            sg_step2 = jax.jit(sg_kern.step2)  # donated double pass
             sgt = _initg(shape_g, _m1g, 2, cpml=cpml)
-            for _ in range(n_ticks // 2):
+            sgt = sg_step(sgt, coeffs, src_g)
+            for _ in range((n_ticks - 2) // 4):
+                sgt = sg_step2(sgt, coeffs, src_g)
+            for _ in range((n_ticks - 2 - 4 * ((n_ticks - 2) // 4)) // 2):
                 sgt = sg_step(sgt, coeffs, src_g)
             jax.block_until_ready(sgt)
             got_sg = _colg(sgt, _m1g, 2, shape_g, cpml=cpml)
@@ -1675,14 +1680,16 @@ def _section_cpml512(n_steps: int) -> None:
             n_b, cpml=Cpml.uniform(10),
         )
 
-        def run_g(state, k: int, _s=gstep):
+        # donation-threaded double pass (step2): 2K ticks per call,
+        # zero loop-boundary state copies
+        def run_g(state, k: int, _s=gstep.step2):
             def body(s, _):
                 return _s(s, coeffs, src), None
 
             return jax.lax.scan(body, state, None, length=k)[0]
 
         rung_j = jax.jit(run_g, static_argnums=1)
-        g_calls = max(n_steps // gk, 1)
+        g_calls = max(n_steps // (2 * gk), 1)
         gstate = rung_j(gstate, g_calls)
         _sync(gstate)
         bpc = 2 * _state_bytes(gstate) / (gk * grid.num_cells)
@@ -1691,9 +1698,9 @@ def _section_cpml512(n_steps: int) -> None:
         dt_wall, dt_min, spread, _ = _timed_min(
             lambda s, _r=rung_j: _r(s, g_calls), holder, _sync,
             run2=lambda s, _r=rung_j: _r(s, 2 * g_calls))
-        _report(f"gb-cpml{n} {jnp.dtype(cdt).name} K={gk} nb={n_b}",
-                grid.num_cells * g_calls * gk / dt_wall,
-                grid.num_cells * g_calls * gk / dt_min, spread, bpc)
+        _report(f"gb-cpml{n} {jnp.dtype(cdt).name} K={gk} nb={n_b} 2pass",
+                grid.num_cells * g_calls * 2 * gk / dt_wall,
+                grid.num_cells * g_calls * 2 * gk / dt_min, spread, bpc)
 
     # x-ZONED CPML K-step: slab-end zones run the full gb kernel, the
     # interior a kernel with NO x-psi terms (measured 35% of the
@@ -1764,22 +1771,26 @@ def _section_cpml512(n_steps: int) -> None:
                 shape, 1, _BC(), Cpml.uniform(10), sk):
             return
         mesh1 = make_mesh(1, ("x",))
-        sstep = jax.jit(make_pallas_sharded_cpml_stepk(
+        skern = make_pallas_sharded_cpml_stepk(
             mesh1, shape, sk, inv_dx=(1.0, 1.0, 1.0),
             dt=grid.dt, constants=ft.REDUCED,
             cpml=Cpml.uniform(10), max_sources=1, blocks=blocks_s,
-        ))
+        )
+        # gb plans ride the donation-threaded double pass (step2) —
+        # the path ShardedSimulation.run dispatches at 2K cadences
+        sfn = skern.step2 if getattr(skern, "step2", None) else skern
+        t_per = 2 * sk if sfn is not skern else sk
         sstate = init_sharded_pml_state(
             shape, mesh1, sk, cpml=Cpml.uniform(10))
 
-        def run_s(state, kk, _s=sstep):
+        def run_s(state, kk, _s=sfn):
             def body(s, _):
                 return _s(s, coeffs, src), None
 
             return jax.lax.scan(body, state, None, length=kk)[0]
 
         runs_j = jax.jit(run_s, static_argnums=1)
-        s_calls = max(n_steps // sk, 1)
+        s_calls = max(n_steps // t_per, 1)
         sstate = runs_j(sstate, s_calls)
         _sync(sstate)
         bpc = 2 * _state_bytes(sstate) / (sk * grid.num_cells)
@@ -1788,10 +1799,11 @@ def _section_cpml512(n_steps: int) -> None:
         dt_wall, dt_min, spread, _ = _timed_min(
             lambda s: runs_j(s, s_calls), holder, _sync,
             run2=lambda s: runs_j(s, 2 * s_calls))
-        tag = f" gb nb={blocks_s[0]}" if blocks_s is not None else ""
+        tag = (f" gb nb={blocks_s[0]} 2pass" if blocks_s is not None
+               else "")
         _report(f"shard-cpml{n} 1dev f32 K={sk}{tag}",
-                grid.num_cells * s_calls * sk / dt_wall,
-                grid.num_cells * s_calls * sk / dt_min, spread, bpc)
+                grid.num_cells * s_calls * t_per / dt_wall,
+                grid.num_cells * s_calls * t_per / dt_min, spread, bpc)
 
     # oblique TF/SF at 512^3 (BASELINE config 3 at scale): the gb/blocked
     # tiers exclude oblique (hosting the correction patch across lateral
@@ -2021,6 +2033,18 @@ def _print_1024_cpml_budget(shape) -> None:
         f"  and the single-pass VMEM pipeline at (1, {ny}, {nz}) planes "
         f"needs ~{vmem:.0f} MiB double-buffered vs 128 MiB VMEM -> the "
         f"kernel cannot pipeline full-lateral 1024^2 planes at all\n"
+        f"  lateral-blocked ALIASED case (round 5): grid-blocked tiles "
+        f"lift VMEM (nb=4 h=16 K=4 fits), and in-place io-aliasing is "
+        f"SOUND if each block's 2h halo columns are pre-copied to a "
+        f"side tensor (blocks-outer re-reads then hit the copy, not "
+        f"the tick-K writes) — but the budget STILL misses: fields "
+        f"bf16 12.0 + psi bf16 {psi_total / 2:.2f} (z-strips dominate: "
+        f"{psi[2] / 2:.2f} GiB because 22 real lanes pad to 2x128) + "
+        f"side tensors 4 blocks x 32 cols x 6 fields = 1.6 GiB "
+        f"=> {12.0 + psi_total / 2 + 1.6:.1f} GiB vs ~15.5 usable. "
+        f"Closing it needs the z-strip psi on sublanes instead of "
+        f"lanes, which breaks the Mosaic lane alignment the in-kernel "
+        f"strip segment slicing relies on — ruled out this round\n"
         f"  => needs the >=2-chip sharded CPML tier (per-shard planes "
         f"halve both budgets); stand-in test: scaled virtual mesh "
         f"(1024, 64, 128) x 8 devices",

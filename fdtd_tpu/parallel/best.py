@@ -227,14 +227,19 @@ def best_sharded_absorbing_step(
                             break
                 if gb_pl is not None:
                     gk, (n_bg, hg) = gb_pl
-                    step = jax.jit(make_pallas_sharded_cpml_stepk(
+                    kern = make_pallas_sharded_cpml_stepk(
                         mesh, shape, gk, inv_dx=inv_dx, dt=dt, bc=bc,
                         constants=constants, cpml=cpml_k, tfsf=tfsf,
                         max_sources=max_sources, interpret=interpret,
                         axis=axis, with_m=with_m, matid=matid,
                         n_materials=n_materials, dtype=dtype,
                         blocks=(n_bg, hg),
-                    ))
+                    )
+                    step = jax.jit(kern)
+                    # surface the donation-threaded double pass through
+                    # the jit wrapper (ShardedSimulation.run picks it
+                    # up when the cadence divides 2K)
+                    step.step2 = kern.step2
 
                     def init_state(gk=gk):
                         return init_sharded_pml_state(

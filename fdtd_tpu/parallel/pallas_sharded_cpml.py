@@ -959,8 +959,31 @@ def make_pallas_sharded_cpml_stepk(
     assert not x_inputs  # runtime_xprof: profiles come in as an operand
     n_psi = len(layout)
 
+    # donation variant for the second half of step2 (gb/blocks mode
+    # only — the plain sharded kernel already aliases in->out, so its
+    # outputs land in the loop-state buffers with no copy; the blocks
+    # build cannot alias state operands and otherwise pays a full
+    # local-state copy per pass at the scan boundary, ~14 ms/chip at
+    # 512^2 lateral planes — the round-5 single-chip finding,
+    # solver/pallas_cpml_xz.py step2)
+    call_dst = None
+    if (blocks is not None and not flux_faces and not dft_rows
+            and dense_spec is None and not n_rt and oblique is None):
+        call_dst, _, _ = _build_call(
+            shape_ext, inv_dx, cpml, k, tfsf is not None, (0, 0),
+            tfsf_box, float(dt), constants_key, interpret,
+            int(max_sources), n_mat,
+            x_extra=k, runtime_edges=True, runtime_xprof=True,
+            with_m=bool(with_m), dtype_name=jnp.dtype(dtype).name,
+            runtime_tfsf=tfsf is not None, y_halo=h_blk,
+            runtime_ystrips=runtime_ystrips,
+            runtime_box_lat=runtime_box_lat, runtime_lat=runtime_lat,
+            blocks=(n_b_blk, nly_b, h_blk),
+            zone_dst=tuple([True] * (6 + len(layout))),
+        )
+
     def local_step(state: PmlKernelState, coeffs, sources, xprof_l, mid_l,
-                   tf_rows, *extra):
+                   tf_rows, *extra, _dst=None, _ret_refreshed=False):
         # extra = [oblique correction stack][dense coefficient volume]
         # [DFT phase rows][per-y-shard strip profiles]; oblique/dense/
         # dft are 1-D-mesh-only, ystrips 2-D-only
@@ -1165,7 +1188,17 @@ def make_pallas_sharded_cpml_stepk(
             args += [fields[n] for n in _FIELDS]
             args += [fields["ey"], fields["ez"]]
             args += psi
-        if oblique is not None:
+        if _dst is not None:
+            # step2's second pass: donate the first pass's refreshed
+            # input arrays (dead) as destinations, so the results land
+            # in the scan's loop-state buffers with no copy
+            dst_fields, dst_psi = _dst
+            assert call_dst is not None
+            for n in _FIELDS:
+                args.append(dst_fields[n])
+            args += list(dst_psi)
+            outs = call_dst(*args)
+        elif oblique is not None:
             # scalar-prefetch operand: the oblique subgrid's x start in
             # THIS shard's extended frame (halo copies of a plane apply
             # the same correction their owner does — uniform shift)
@@ -1258,7 +1291,20 @@ def make_pallas_sharded_cpml_stepk(
                         caps.append(to_global(blk))
                     zi += 1
             res.append(tuple(caps))
+        if _ret_refreshed:
+            assert len(res) == 1  # step2 excludes flux/dft extras
+            return res[0], fields, psi
         return res[0] if len(res) == 1 else tuple(res)
+
+    def local_step2(state: PmlKernelState, coeffs, sources, xprof_l,
+                    mid_l, tf_rows_a, tf_rows_b, *extra):
+        mid, f1, p1 = local_step(
+            state, coeffs, sources, xprof_l, mid_l, tf_rows_a, *extra,
+            _ret_refreshed=True)
+        out, _, _ = local_step(
+            mid, coeffs, sources, xprof_l, mid_l, tf_rows_b, *extra,
+            _dst=(f1, p1), _ret_refreshed=True)
+        return out
 
     def _ystrip_to_gb(t, plo):
         """Canonical (nx_e, plo+phi, nz) y-strip psi -> the per-block
@@ -1415,4 +1461,80 @@ def make_pallas_sharded_cpml_stepk(
             out = out._replace(aux_e=aux_e, aux_h=aux_h)
         return (out, *res[1:]) if extras else out
 
+    def step2(
+        state: PmlKernelState, coeffs, sources
+    ) -> PmlKernelState:
+        """Advance 2*k ticks per call with zero loop-boundary copies
+        (gb/blocks mode; see call_dst above). Bit-identical to two
+        step() calls."""
+        assert call_dst is not None
+        if max_sources > 0 and (
+            sources is None or sources.num_sources != max_sources
+        ):
+            raise ValueError(
+                f"kernel built for {max_sources} in-kernel sources, got "
+                f"{0 if sources is None else sources.num_sources}"
+            )
+        mid_arg = (
+            mid_ext if mid_ext is not None
+            else jnp.zeros((n_dev, n_dy, 1), jnp.uint8)
+        )
+        aux_e, aux_h = state.aux_e, state.aux_h
+        tf_stacks = []
+        if tfsf is not None:
+            for half in range(2):
+                rows = []
+                for lvl in range(k):
+                    t = (state.tick + half * k + lvl).astype(jnp.float32) \
+                        * jnp.float32(dt)
+                    new_e, new_h = tfsf.aux_step(
+                        aux_e, aux_h, aux_coeffs, t, inv_dx[0],
+                        jnp.float32
+                    )
+                    if tfsf_box is not None:
+                        rows.append(aux_e)
+                        rows.append(new_h)
+                    else:
+                        rows.append(jnp.stack(
+                            [aux_e[tf_lo - 1], aux_e[tf_hi]]))
+                        rows.append(jnp.stack(
+                            [new_h[tf_lo], new_h[tf_hi + 1]]))
+                    aux_e, aux_h = new_e, new_h
+                tf_stacks.append(jnp.stack(rows))
+        else:
+            tf_stacks = [jnp.zeros((1, 2), jnp.float32)] * 2
+        if blocks is not None and has_ystrips:
+            state = state._replace(psi=tuple(
+                _ystrip_to_gb(t, entry[5][2]) if entry[1] == 1 else t
+                for entry, t in zip(layout, state.psi)))
+        operands = [state, coeffs, sources, xprof, mid_arg,
+                    tf_stacks[0], tf_stacks[1]]
+        specs = [
+            state_spec,
+            jax.tree.map(lambda _: P(), coeffs),
+            jax.tree.map(lambda _: P(), sources),
+            P(axis, None, None, None),
+            P(axis, y_axis, None),
+            P(None, None),
+            P(None, None),
+        ]
+        if runtime_ystrips:
+            operands += [ystr_h, ystr_e]
+            specs += [P(y_axis, None, None, None)] * 2
+        out = jax.shard_map(
+            local_step2,
+            mesh=mesh,
+            in_specs=tuple(specs),
+            out_specs=state_spec,
+            check_vma=False,
+        )(*operands)
+        if blocks is not None and has_ystrips:
+            out = out._replace(psi=tuple(
+                _ystrip_from_gb(t, entry[5][2]) if entry[1] == 1 else t
+                for entry, t in zip(layout, out.psi)))
+        if tfsf is not None:
+            out = out._replace(aux_e=aux_e, aux_h=aux_h)
+        return out
+
+    step.step2 = step2 if call_dst is not None else None
     return step

@@ -495,6 +495,14 @@ class ShardedSimulation:
                     for j, p in enumerate(probes):
                         outs[j].append(p.sample(state, self.grid.dt))
             return (state, tuple(jnp.stack(o) for o in outs), accs)
+        # donation-threaded double pass where the cadence allows it
+        # (gb-blocks kernels; bit-identical, removes the per-pass
+        # loop-boundary state copy — pallas_sharded_cpml.step2)
+        step2 = getattr(step, "step2", None)
+        cad = probe_every if probes else n_steps
+        if step2 is not None and n_steps % (2 * k) == 0 \
+                and cad % (2 * k) == 0:
+            step, k = jax.jit(step2), 2 * k
         if not probes:
             for _ in range(n_steps // k):
                 state = step(state, coeffs, self.sources)

@@ -270,6 +270,18 @@ def make_pallas_cpml_gb_stepk(
         runtime_tfsf=False, y_halo=h, runtime_ystrips=False,
         blocks=(n_b, nly, h),
     )
+    # donation variant for the second half of step2: every output takes
+    # a dst operand (input_output_aliases), so the double pass lands in
+    # the caller-donated buffers — see step2 below
+    call_dst, _, _ = _build_call(
+        tuple(shape), inv_dx, cpml, k, tfsf is not None, tfsf_planes,
+        tfsf_box, float(dt), constants_key, interpret, int(max_sources),
+        n_mat, x_extra=0, runtime_edges=False, runtime_xprof=False,
+        with_m=bool(with_m), dtype_name=jnp.dtype(dtype).name,
+        runtime_tfsf=False, y_halo=h, runtime_ystrips=False,
+        blocks=(n_b, nly, h),
+        zone_dst=tuple([True] * (6 + len(_psi_layout(shape, cpml)))),
+    )
     n_psi = len(layout)
 
     # per-block stacked y-strip profiles (identity on non-owner blocks)
@@ -289,7 +301,8 @@ def make_pallas_cpml_gb_stepk(
 
         mid_ext = jnp.asarray(_ext_clamped(np.asarray(matid), n_b, h, 1))
 
-    def step(state: PmlKernelState, coeffs, sources) -> PmlKernelState:
+    def _one_pass(state: PmlKernelState, coeffs, sources,
+                  dst: Optional[PmlKernelState]) -> PmlKernelState:
         if max_sources > 0 and (
             sources is None or sources.num_sources != max_sources
         ):
@@ -355,7 +368,13 @@ def make_pallas_cpml_gb_stepk(
         args += [state.ey] * 3 + [state.ez] * 3
         for entry, t in zip(layout, state.psi):
             args += [t] if entry[1] == 1 else [t] * 3
-        outs = call(*args)
+        if dst is not None:
+            for f in _FIELDS:
+                args.append(getattr(dst, f))
+            args += list(dst.psi)
+            outs = call_dst(*args)
+        else:
+            outs = call(*args)
         psi_new = tuple(outs[6: 6 + n_psi])
         return PmlKernelState(
             ex=outs[0], ey=outs[1], ez=outs[2],
@@ -364,4 +383,19 @@ def make_pallas_cpml_gb_stepk(
             aux_e=aux_e, aux_h=aux_h,
         )
 
+    def step(state: PmlKernelState, coeffs, sources) -> PmlKernelState:
+        return _one_pass(state, coeffs, sources, None)
+
+    def step2(state: PmlKernelState, coeffs, sources) -> PmlKernelState:
+        """Advance 2*k_steps ticks with zero loop-boundary copies:
+        pass 1 writes fresh buffers (reused across scan iterations by
+        XLA's temp allocator), pass 2 donates the input state's buffers
+        (dead once pass 1 has read them) as its outputs, so the step's
+        results land physically in the scan's loop-state slots — the
+        same mechanism as pallas_cpml_xz.step2, which removed a
+        measured ~14 ms/pass hidden state copy at 512^3."""
+        mid = _one_pass(state, coeffs, sources, None)
+        return _one_pass(mid, coeffs, sources, state)
+
+    step.step2 = step2
     return step

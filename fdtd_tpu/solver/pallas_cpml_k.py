@@ -1421,7 +1421,12 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
     # blocks then retain the previous zone call's content
     dst_alias = {}
     if zone_dst is not None:
-        assert zoned and len(zone_dst) == 6 + len(layout)
+        # zoned chains AND whole-sweep blocks-mode double passes
+        # (pallas_cpml_gb step2) use dst donation; a whole sweep visits
+        # every output block, so there the dst is pure donation with no
+        # retention semantics
+        assert (zoned or blocks is not None)
+        assert len(zone_dst) == 6 + len(layout)
         for oi, flag in enumerate(zone_dst):
             if flag:
                 dst_alias[len(in_specs)] = oi
@@ -1556,11 +1561,12 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
         scratch += term_scratch()
     scratch += [pltpu.VMEM((ny_k, nz), f32), pltpu.VMEM((ny_k, nz), f32)]
 
-    if zoned:
+    if zoned or dst_alias:
         # in→out aliasing of the state is unsound across zone calls (a
         # later zone's fill/drain reads the neighbor zones' previous-pass
-        # planes); only the chain-destination aliases apply, and those
-        # are CORRECTNESS-required, not an optimization
+        # planes) and in blocks mode generally (halo re-reads); only the
+        # chain-destination aliases apply, and those are CORRECTNESS-
+        # required (zoned) or the step2 donation (blocks double pass)
         io_aliases = dict(dst_alias)
     elif blocks is None:
         n_small = len(in_specs) - 8 - len(psi_in_specs) - len(dst_alias)
@@ -1642,7 +1648,8 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit),
             input_output_aliases=(
-                io_aliases if (_USE_IO_ALIASES or zoned) else {}),
+                io_aliases if (_USE_IO_ALIASES or zoned or dst_alias)
+                else {}),
             interpret=interpret,
         )
     return call, [jnp.asarray(a) for a in static_inputs], \

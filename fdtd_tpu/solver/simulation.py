@@ -553,7 +553,12 @@ class Simulation:
                 if plan_g is None:
                     continue
                 n_bg, hg = plan_g
-                key = ("cpmlgb", cand, n_bg, hg)
+                # donation-threaded double pass when the cadence allows
+                # (pallas_cpml_gb.step2 — removes the loop-boundary
+                # state copy, see the xz dispatch note above)
+                dbl = (n_steps % (2 * cand) == 0
+                       and cadence % (2 * cand) == 0)
+                key = ("cpmlgb", cand, n_bg, hg, dbl)
                 if key in self._multi_step_cache:
                     step = self._multi_step_cache[key]
                 else:
@@ -575,17 +580,20 @@ class Simulation:
                             matid=jnp.asarray(self.matid),
                             n_materials=self._n_materials, **kw,
                         )
+                        kfn = kernel.step2 if dbl else kernel
                         table = jnp.asarray(self.table, jnp.float32)
 
-                        def step(state, coeffs, sources, _k=kernel,
+                        def step(state, coeffs, sources, _k=kfn,
                                  _t=table):
                             return _k(state, _t, sources)
                     else:
                         step = make_pallas_cpml_gb_stepk(
                             self.grid.shape, cand, n_bg, hg, **kw
                         )
+                        if dbl:
+                            step = step.step2
                     self._multi_step_cache[key] = step
-                k = cand
+                k = 2 * cand if dbl else cand
                 gb = (n_bg, hg)
                 break
         blocked = None

@@ -271,6 +271,45 @@ def test_simulation_run_dispatches_gb(monkeypatch):
     assert np.isfinite(np.asarray(probe_out[0])).all()
 
 
+def test_gb_step2_matches_two_passes():
+    # the donation-threaded double pass (pass 2 writes into the input
+    # state's dead buffers) must be BIT-identical to two single passes
+    shape, n_b, k = (16, 32, 256), 2, 2
+    cpml = Cpml(thickness=((4, 4), (4, 4), (4, 4)))
+    plan = gb_plan(shape, BoundaryConditions(), cpml, k,
+                   n_b_candidates=(n_b,))
+    assert plan is not None
+    _, h = plan
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+    coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
+    src = ft.SourceSet.build(
+        [ft.PointSource((8, 15, 128), ft.GaussianPulse(4 * dt, 2 * dt),
+                        j=(0.3, -0.2, 1.0))]
+    )
+    step = make_pallas_cpml_gb_stepk(
+        shape, k, n_b, h, max_sources=1, interpret=True,
+        inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED, cpml=cpml)
+    s0 = extend_gb_pml_state(
+        init_pml_kernel_state(shape, jnp.float32, cpml=cpml), n_b,
+        cpml=cpml)
+    a = s0
+    for _ in range(4):
+        a = step(a, coeffs, src)
+    b = s0
+    for _ in range(2):
+        b = step.step2(b, coeffs, src)
+    assert int(a.tick) == int(b.tick)
+    for f in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(b, f)), np.asarray(getattr(a, f)),
+            err_msg=f)
+    for i, (x, y) in enumerate(zip(a.psi, b.psi)):
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x),
+                                      err_msg=f"psi[{i}]")
+
+
 def test_gb_plan_rejects_strip_overlap():
     # plo + phi (8-padded) must fit one block's owned width: thickness
     # 10 pads to 16+16 = 32 > nly = 16 -> the kernel's window strip

@@ -861,6 +861,53 @@ def test_sharded_gb_tfsf_box_straddles_block_cut():
     _assert_state_equal(ref, got)
 
 
+def test_sharded_gb_step2_matches_two_passes():
+    # donation-threaded double pass on the sharded gb tier: pass 2's
+    # kernel donates pass 1's refreshed input arrays — must be
+    # BIT-identical to two single passes across the mesh
+    import numpy as np
+
+    from fdtd_tpu.parallel.pallas_sharded_cpml import sharded_gb_plan
+    from fdtd_tpu.parallel.topology import make_mesh
+
+    shape, n_dev, k = (32, 32, 256), 2, 2
+    cpml = Cpml(thickness=((4, 4), (4, 4), (4, 4)))
+    plan = sharded_gb_plan(shape, n_dev, BoundaryConditions(), cpml, k,
+                           n_b_candidates=(2,))
+    assert plan is not None
+    mesh = make_mesh(n_dev, ("x",))
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+    coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
+    src = ft.SourceSet.build(
+        [ft.PointSource((16, 15, 128), ft.GaussianPulse(4 * dt, 2 * dt),
+                        j=(0.3, -0.2, 1.0))]
+    )
+    step = make_pallas_sharded_cpml_stepk(
+        mesh, shape, k, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+        constants=ft.REDUCED, cpml=cpml, max_sources=1, blocks=plan,
+        interpret=True)
+    assert step.step2 is not None
+    s0 = init_sharded_pml_state(shape, mesh, k, cpml=cpml)
+    a = s0
+    for _ in range(4):
+        a = step(a, coeffs, src)
+    b = s0
+    for _ in range(2):
+        b = step.step2(b, coeffs, src)
+    ca = collapse_pml_state(a, mesh, k, shape, cpml=cpml)
+    cb = collapse_pml_state(b, mesh, k, shape, cpml=cpml)
+    assert int(ca.tick) == int(cb.tick)
+    for f in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(cb, f)), np.asarray(getattr(ca, f)),
+            err_msg=f)
+    for i, (x, y) in enumerate(zip(ca.psi, cb.psi)):
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x),
+                                      err_msg=f"psi[{i}]")
+
+
 def test_sharded_gb_dispatch_upgrade_plan():
     # at big lateral planes the plain ladder is VMEM-capped at K=3 and
     # the dispatcher upgrades to the grid-blocked build (parallel/best.py

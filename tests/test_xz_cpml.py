@@ -226,6 +226,67 @@ def test_xz_step2_matches_two_passes():
                                       err_msg=f"psi[{i}]")
 
 
+def test_simulation_run_dispatches_xz_step2(monkeypatch):
+    """Simulation.run's xz branch end-to-end: backend forced to "tpu",
+    plain ladder forced off; the xz factory is wrapped to build in
+    interpret mode (CPU suite — real-chip builds are gated by
+    bench.py::_selfcheck). The cadence divides 2K, so the dispatcher
+    must pick the donation-threaded DOUBLE pass (step2)."""
+    import jax
+
+    import fdtd_tpu.solver.pallas_cpml_k as plain_k
+    import fdtd_tpu.solver.pallas_cpml_xz as xzmod
+    from fdtd_tpu.solver.simulation import Simulation
+
+    # ny >= 256: the dispatcher's gb-window halo-overhead guard
+    # (2h/nly <= 12.5%) rejects smaller lateral extents
+    shape = (48, 256, 256)
+    cpml = Cpml(thickness=((4, 4), (4, 4), (4, 4)))
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    grid = ft.Grid(shape=shape, resolution=res, constants=ft.REDUCED)
+    table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+    coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
+    src = ft.SourceSet.build(
+        [ft.PointSource((24, 128, 128), ft.GaussianPulse(4 * dt, 2 * dt),
+                        j=(0.3, -0.2, 1.0))]
+    )
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(plain_k, "supports_cpml_k",
+                        lambda *a, **kw: False)
+    real_make = xzmod.make_pallas_cpml_xz_stepk
+    built = {}
+
+    def make_interpret(*a, **kw):
+        kw["interpret"] = True
+        built["plan"] = a[2]
+        built["k"] = a[1]
+        return real_make(*a, **kw)
+
+    monkeypatch.setattr(xzmod, "make_pallas_cpml_xz_stepk",
+                        make_interpret)
+    # the dispatcher imports from solver.simulation's local import site
+    import fdtd_tpu.solver.simulation as simmod  # noqa: F401
+
+    sim = Simulation(grid=grid, coeffs=coeffs, sources=src, cpml=cpml)
+    state = sim.init()
+    state, _, _ = sim.run(state, 16)
+    assert built["k"] == 8 and built["plan"].n_b >= 2
+    assert int(state.tick) == 16
+
+    # reference: manual plain K-stepping
+    monkeypatch.undo()
+    ref_step = pallas_cpml_stepk_fn(
+        shape, 8, inv_dx=(1.0, 1.0, 1.0), dt=dt, constants=ft.REDUCED,
+        cpml=cpml, max_sources=1, interpret=True,
+    )
+    ref = init_pml_kernel_state(shape, cpml=cpml)
+    for _ in range(2):
+        ref = ref_step(ref, coeffs, src)
+    _assert_state_equal(ref, state)
+
+
 def test_xz_plan_rejections():
     bc = BoundaryConditions()
     # no x slabs -> nothing to zone
