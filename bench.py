@@ -2021,8 +2021,11 @@ def _print_1024_cpml_budget(shape) -> None:
     print(
         f"1024^3 CPML: skipped on 1 chip — the budget cannot close:\n"
         f"  fields bf16 (6 arrays, 1 copy) = {fields_bf16:.1f} GiB; the "
-        f"pallas call runs UN-aliased (axon aliasing flake, "
-        f"pallas_cpml.py NOTE) -> 2x = {2 * fields_bf16:.1f} GiB\n"
+        f"full-lateral single-pass kernel could alias in->out, but "
+        f"every VMEM-feasible variant at this plane size is "
+        f"blocks-mode (lateral tiles), where in->out aliasing is "
+        f"unsound without side-copied halos -> 2x = "
+        f"{2 * fields_bf16:.1f} GiB\n"
         f"  psi f32: x-slabs {psi[0]:.2f} + y-strips {psi[1]:.2f} + "
         f"z-strips {psi[2]:.2f} (128-lane padding: 22 real lanes pad to "
         f"256) = {psi_total:.2f} GiB\n"

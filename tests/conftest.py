@@ -57,11 +57,30 @@ _SLOW_TESTS = {
 }
 
 
+# curated per-change gate for the sharded tier (full tier: 45+ min on a
+# 1-CPU box): one representative per mechanism — 1-D halo exactness,
+# 2-D mesh, gb blocks, z-cut rotation, oblique, the donated double pass
+# — so fdtd_tpu/parallel/ and kernel-halo edits can be gated in ~10 min
+# with `-m sharded_smoke` before a full tier run.
+_SHARDED_SMOKE = {
+    "test_sharded_cpml_all_axes_matches_single_device",
+    "test_sharded_cpml_2d_mesh_matches_single_device",
+    "test_sharded_cpml_inkernel_dft_matches_single_device",
+    "test_sharded_gb_matches_single_device",
+    "test_sharded_gb_step2_matches_two_passes",
+    "test_sharded_oblique_matches_single_device",
+    "test_zcut_cpml_bit_equal_to_xcut_and_matches_single_chip",
+    "test_sharded_k_step_matches_single",
+}
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
         fname = item.path.name
         if fname in _SHARDED_FILES:
             item.add_marker(pytest.mark.sharded)
+            if item.name.split("[")[0] in _SHARDED_SMOKE:
+                item.add_marker(pytest.mark.sharded_smoke)
         elif fname in _SLOW_FILES or item.name.split("[")[0] in _SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
         else:

@@ -518,9 +518,9 @@ def test_sharded_cpml_dft_row_captures_match_single_device():
 def test_sharded_cpml_inkernel_dft_matches_single_device():
     """dft on the sharded kernel (runtime plane coordinates + per-shard
     resident accumulators on the psi tail): the dev-summed global
-    (6F, ny, nz) spectra must BIT-match the single-device kernel's
-    static in-kernel DFT — 4 shards, a plane within K of a shard cut, an
-    H-component plane, chained passes."""
+    (6F, ny, nz) spectra must match the single-device kernel's static
+    in-kernel DFT to f32 rounding — 4 shards, a plane within K of a
+    shard cut, an H-component plane, chained passes."""
     shape, n_dev, k = (64, 16, 256), 4, 3
     cpml = Cpml(thickness=((4, 4), (3, 3), (4, 4)))
     mesh = make_mesh(n_dev, ("x",))
@@ -564,8 +564,17 @@ def test_sharded_cpml_inkernel_dft_matches_single_device():
         assert nz_shards == [planes[pi] // 16
                              if isinstance(planes[pi], int)
                              else planes[pi][0] // 16], f"plane {pi}"
-        np.testing.assert_array_equal(got.sum(0), ref_vol,
-                                      err_msg=f"plane {pi}")
+        # few-ulp gate, not bit equality: the sharded build's extended
+        # shapes + runtime operands give XLA different fusion/FMA
+        # contraction choices than the single-device build on the SAME
+        # stage expressions (post round-5 kappa-fold the accumulated
+        # spectra round ~3e-6 relative apart over 60 ticks); a real
+        # plane/owner bug produces O(spectrum)-scale errors, so the
+        # scaled absolute gate discriminates identically
+        scale = np.abs(ref_vol).max()
+        np.testing.assert_allclose(got.sum(0), ref_vol, rtol=0,
+                                   atol=1e-5 * max(scale, 1e-30),
+                                   err_msg=f"plane {pi}")
         assert np.abs(ref_vol).max() > 0, f"plane {pi}"
 
     # the field state itself is untouched by the accumulators
