@@ -545,6 +545,59 @@ def _selfcheck(ft, jax, jnp, np) -> bool:
             )
             del xzt, got_xz, xz_step
 
+        # xz + OBLIQUE (round 5): the pre-placed per-block correction
+        # stack riding the blocks-mode kernel — a distinct Mosaic
+        # surface; vs the plain oblique kernel, both on chip
+        from fdtd_tpu.solver.tfsf_oblique import ObliqueTfsf as _Ob
+
+        ob_s = _Ob(
+            box=((20, 44), (20, 44), (100, 160)),
+            direction=(1.0, 0.6, -0.3),
+            polarization=(0.0, 0.3, 1.0),
+            waveform=ft.GaussianPulse(20 * dt, 6 * dt),
+        )
+        plan_ox = _xzp(shape_g, bc, cpml, 2, oblique=ob_s,
+                       n_b_candidates=(2,))
+        if plan_ox is None:
+            ok = False
+            print("selfcheck xz-oblique: plan unexpectedly None FAIL",
+                  file=sys.stderr)
+        else:
+            ox_kern = _mkxz(
+                shape_g, 2, plan_ox, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+                constants=ft.REDUCED, cpml=cpml, max_sources=1,
+                oblique=ob_s,
+            )
+            ox_step2 = jax.jit(ox_kern.step2)
+            po_step = jax.jit(pallas_cpml_stepk_fn(
+                shape_g, 2, inv_dx=(1.0, 1.0, 1.0), dt=dt,
+                constants=ft.REDUCED, cpml=cpml, max_sources=1,
+                oblique=ob_s,
+            ))
+            oxt = extend_gb_pml_state(
+                init_pml_kernel_state(shape_g, cpml=cpml), plan_ox.n_b,
+                cpml=cpml,
+            )
+            pot = init_pml_kernel_state(shape_g, cpml=cpml)
+            for _ in range(n_ticks // 4):
+                oxt = ox_step2(oxt, coeffs, src_g)
+                pot = po_step(pot, coeffs, src_g)
+                pot = po_step(pot, coeffs, src_g)
+            jax.block_until_ready(oxt)
+            got_ox = collapse_gb_pml_state(oxt, plan_ox.n_b, cpml=cpml)
+            err_ox = max(
+                _rel_err(getattr(got_ox, f), getattr(pot, f), np)
+                for f in ("ex", "ey", "ez", "hx", "hy", "hz")
+            )
+            good_ox = err_ox < tol
+            ok = ok and good_ox
+            print(
+                f"selfcheck xz-oblique K=2 {tuple(plan_ox)}: rel_err "
+                f"{err_ox:.2e} {'PASS' if good_ox else 'FAIL'}",
+                file=sys.stderr,
+            )
+            del oxt, got_ox, pot, ox_step2, po_step
+
         # SHARDED grid-blocked mode (round 5): the blocks-inside-the-
         # grid build composed with runtime edges/xprof — the multi-chip
         # absorbing tier's K-cap lift; 1-dev mesh vs the plain kernel
@@ -1852,9 +1905,68 @@ def _section_cpml512(n_steps: int) -> None:
         dt_wall, dt_min, spread, _ = _timed_min(
             lambda s, _r=runo_j: _r(s, o_calls), holder, _sync,
             run2=lambda s, _r=runo_j: _r(s, 2 * o_calls))
-        _report(f"oblique-cpml{n} f32 K={ok_c}",
+        _report(f"oblique-cpml{n} f32 K={ok_c} box120",
                 grid.num_cells * o_calls * ok_c / dt_wall,
                 grid.num_cells * o_calls * ok_c / dt_min, spread, bpc)
+
+    def _tier_oblique_xz():
+        # round 5: oblique rides the x-zoned tier when the correction
+        # stack's pre-placed per-block form stays modest (xz_plan stack
+        # guard) — a 48^3 scatterer box, the realistic NEC-antenna
+        # scale; the big-box (120^3) plain-fallback line above keeps
+        # that regime's cost visible
+        from fdtd_tpu.solver.pallas_cpml_gb import extend_gb_pml_state
+        from fdtd_tpu.solver.pallas_cpml_xz import (
+            make_pallas_cpml_xz_stepk,
+            xz_plan,
+        )
+        from fdtd_tpu.solver.tfsf_oblique import ObliqueTfsf
+
+        ob = ObliqueTfsf(
+            box=((232, 280), (232, 280), (232, 280)),
+            direction=(1.0, 0.6, -0.3),
+            polarization=(0.0, 0.3, 1.0),
+            waveform=ft.GaussianPulse(20 * grid.dt, 6 * grid.dt),
+        )
+        plan_o = xk = None
+        for xk in (8, 10, 6):
+            plan_o = xz_plan(shape, _BC(), Cpml.uniform(10), xk,
+                             oblique=ob)
+            if plan_o is not None:
+                break
+        if plan_o is None:
+            raise RuntimeError("no xz oblique plan supports 512^3")
+        xstep = make_pallas_cpml_xz_stepk(
+            shape, xk, plan_o, inv_dx=(1.0, 1.0, 1.0), dt=grid.dt,
+            constants=ft.REDUCED, cpml=Cpml.uniform(10), oblique=ob,
+            max_sources=1,
+        )
+        xstate = extend_gb_pml_state(
+            init_pml_kernel_state(shape, jnp.float32,
+                                  cpml=Cpml.uniform(10)),
+            plan_o.n_b, cpml=Cpml.uniform(10),
+        )
+
+        def run_ox(state, k: int, _s=xstep.step2):
+            def body(s, _):
+                return _s(s, coeffs, src), None
+
+            return jax.lax.scan(body, state, None, length=k)[0]
+
+        runox_j = jax.jit(run_ox, static_argnums=1)
+        ox_calls = max(n_steps // (2 * xk), 1)
+        xstate = runox_j(xstate, ox_calls)
+        _sync(xstate)
+        bpc = 2 * _state_bytes(xstate) / (xk * grid.num_cells)
+        holder = [xstate]
+        del xstate
+        dt_wall, dt_min, spread, _ = _timed_min(
+            lambda s, _r=runox_j: _r(s, ox_calls), holder, _sync,
+            run2=lambda s, _r=runox_j: _r(s, 2 * ox_calls))
+        _report(f"oblique-xz{n} f32 K={xk} box48 2pass",
+                grid.num_cells * ox_calls * 2 * xk / dt_wall,
+                grid.num_cells * ox_calls * 2 * xk / dt_min, spread,
+                bpc)
 
     import gc
 
@@ -1875,6 +1987,7 @@ def _section_cpml512(n_steps: int) -> None:
         (f"{n}^3 blocked CPML bfloat16",
          lambda: _tier_blocked(jnp.bfloat16)),
         (f"{n}^3 oblique TF/SF", _tier_oblique),
+        (f"{n}^3 oblique TF/SF xz", _tier_oblique_xz),
         (f"{n}^3 sharded tier", _tier_sharded),
     ]
     for label, tier in tiers:

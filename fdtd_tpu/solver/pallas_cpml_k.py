@@ -154,7 +154,8 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
         assert not (runtime_lat or runtime_box_lat)
         assert dense_spec is None and dft_spec is None and dft_rt is None
         assert not flux_faces and not dft_rows
-        assert oblique_win is None
+        # oblique DOES compose with blocks (round 5): the correction
+        # stack arrives pre-placed at full window height per block
         assert y_halo == h_blk
     # dft_spec = (planes tuple, n_freq): running per-tick DFT of the E
     # field at fixed x-planes, accumulated IN-KERNEL with the psi carry
@@ -765,9 +766,20 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                 obx0_r = obc_ref[0] if runtime_oblique else obx0
                 in_ob = jnp.logical_and(q >= obx0_r, q < obx0_r + obxl)
 
+                # blocks mode: the pre-placed stack delivers a FULL
+                # window-height (W, bz) patch per block (zeros outside
+                # the box's lateral rows in this window), so the y
+                # placement is the identity and only the z stitch
+                # remains static
+                ob_y0 = 0 if blocks is not None else oby0
+
                 def _ob_add(f3, base_c, coef, sign):
-                    cf = (coef if jnp.ndim(coef) == 0 else
-                          coef[oby0: oby0 + obby, obz0: obz0 + obbz])
+                    if jnp.ndim(coef) == 0:
+                        cf = coef
+                    elif blocks is not None:
+                        cf = coef[:, obz0: obz0 + obbz]
+                    else:
+                        cf = coef[oby0: oby0 + obby, obz0: obz0 + obbz]
                     return tuple(
                         _patch_add(
                             f3[c],
@@ -776,7 +788,7 @@ def _make_kernel(shape, inv_dx, layout, nx, k_steps, with_tfsf, tfsf_planes,
                                 sign * cf * ob_r[0, base_c + c, 0],
                                 0.0,
                             ),
-                            oby0, obz0,
+                            ob_y0, obz0,
                         )
                         for c in range(3)
                     )
@@ -1114,7 +1126,7 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
     if zoned:
         assert 0 <= zx0 < zx1 <= nx
         assert dense_spec is None and dft_spec is None and dft_rt is None
-        assert not flux_faces and not dft_rows and oblique_win is None
+        assert not flux_faces and not dft_rows
         assert not (runtime_edges or runtime_xprof or runtime_tfsf
                     or runtime_ystrips or runtime_oblique)
     # Sweep origin: one plane ABOVE the deepest plane the zone's outputs
@@ -1358,33 +1370,56 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
         # (stage j+1 consumes the level-j volume at its plane). With
         # runtime_oblique the x start comes from the scalar-PREFETCH
         # operand instead (per-shard extended coordinate), so the SPMD
-        # sharded build can move the stack per shard.
+        # sharded build can move the stack per shard. In BLOCKS mode the
+        # stack arrives PRE-PLACED at full window height per lateral
+        # block ((n_b*K, 6, xl, W, bz): the host shifts the correction
+        # rows into each block's window frame, zeros elsewhere), so the
+        # in-kernel patch placement stays static — the lateral offset
+        # varies per block, which a shared kernel program cannot express
+        # through _patch_add's static stitching.
         obx0_s, obxl_s, _, obby_s, _, obbz_s = oblique_win
 
-        if runtime_oblique:
+        if blocks is not None:
+            assert not runtime_oblique
 
             def ob_idx(j):
-                return lambda i, s, j=j: (
-                    j, 0,
-                    jnp.clip(nx - 1 - i + j - s[0], 0, obxl_s - 1),
+                return lambda jb, i, j=j: (
+                    jb * k_steps + j, 0,
+                    jnp.clip(px_top - i + j - obx0_s, 0, obxl_s - 1),
                     0, 0,
                 )
 
+            ob_spec_pos = len(in_specs)
+            in_specs += [
+                pl.BlockSpec((1, 6, 1, W_blk, obbz_s), ob_idx(j),
+                             memory_space=pltpu.VMEM)
+                for j in range(k_steps)
+            ]
         else:
+            if runtime_oblique:
 
-            def ob_idx(j):
-                return lambda i: (
-                    j, 0,
-                    jnp.clip(nx - 1 - i + j - obx0_s, 0, obxl_s - 1),
-                    0, 0,
-                )
+                def ob_idx(j):
+                    return lambda i, s, j=j: (
+                        j, 0,
+                        jnp.clip(px_top - i + j - s[0], 0, obxl_s - 1),
+                        0, 0,
+                    )
 
-        ob_spec_pos = len(in_specs)
-        in_specs += [
-            pl.BlockSpec((1, 6, 1, obby_s, obbz_s), ob_idx(j),
-                         memory_space=pltpu.VMEM)
-            for j in range(k_steps)
-        ]
+            else:
+
+                def ob_idx(j):
+                    return lambda i: (
+                        j, 0,
+                        jnp.clip(px_top - i + j - obx0_s, 0, obxl_s - 1),
+                        0, 0,
+                    )
+
+            ob_spec_pos = len(in_specs)
+            in_specs += [
+                pl.BlockSpec((1, 6, 1, obby_s, obbz_s), ob_idx(j),
+                             memory_space=pltpu.VMEM)
+                for j in range(k_steps)
+            ]
     else:
         ob_spec_pos = -1
     dft_planes, n_freq = dft_spec if dft_spec is not None else ((), 0)
@@ -1591,8 +1626,10 @@ def _build_call(shape, inv_dx, cpml, k_steps, with_tfsf, tfsf_planes, tfsf_box,
     # runtime-coordinate DFT: in + out resident blocks per plane
     dense_bytes += 2 * 6 * n_freq * n_rt * ny * nz * 4
     if oblique_win is not None:
-        # K double-buffered (6, by, bz) correction blocks
-        dense_bytes += 2 * k_steps * 6 * oblique_win[3] * oblique_win[5] * 4
+        # K double-buffered (6, by, bz) correction blocks (full window
+        # height under blocks mode — the pre-placed stack)
+        ob_h = ny_k if blocks is not None else oblique_win[3]
+        dense_bytes += 2 * k_steps * 6 * ob_h * oblique_win[5] * 4
     vmem_limit = min(
         int(plane_bytes * (80 + 30 * k_steps) + dense_bytes + (8 << 20)),
         120 * (1 << 20),

@@ -71,7 +71,7 @@ class XzPlan(NamedTuple):
 
 
 def xz_plan(shape, bc, cpml, k: int, *, dtype=jnp.float32,
-            matid: bool = False,
+            matid: bool = False, oblique=None,
             n_b_candidates=(2, 4, 8)) -> Optional[XzPlan]:
     """Zone cuts + gb plan for the x-zoned tier, or None.
 
@@ -82,7 +82,13 @@ def xz_plan(shape, bc, cpml, k: int, *, dtype=jnp.float32,
     profiles reach down to nx-xhi-1 (cpml._axis_profiles), giving
     c0 >= xlo + K - 1 and c1 <= nx - xhi - K. The gb plan (lateral
     blocks, strip containment, VMEM at the window) is the full kernel's
-    and bounds all three calls (the mid kernel is strictly smaller)."""
+    and bounds all three calls (the mid kernel is strictly smaller).
+
+    With ``oblique`` (an ObliqueTfsf), only the MID call hosts the
+    analytic-correction volumes: the commutator subgrid's x extent must
+    clear both cuts by K planes (the lo call computes planes up to
+    c0+K-1 and the hi call down to c1-K+1 without the correction
+    operands), and the pre-placed per-block stack must stay modest."""
     nx = shape[0]
     xlo, xhi = cpml.thickness[0]
     if xlo == 0 and xhi == 0:
@@ -98,6 +104,21 @@ def xz_plan(shape, bc, cpml, k: int, *, dtype=jnp.float32,
     if plan is None:
         return None
     n_b, h = plan
+    if oblique is not None:
+        (ox0, ox1), _, (oz0, oz1) = oblique.box
+        # commutator subgrid = [box0-2, box1+3) (build_oblique); the lo
+        # call computes planes up to c0+K-1 and the hi call down to
+        # c1-K+1 WITHOUT the correction operands, so the subgrid must
+        # clear both
+        if ox0 - 2 < c0 + k or ox1 + 3 > c1 - k + 1:
+            return None
+        # pre-placed stack cost guard: n_b*K*6*(xl)*(W)*(bz) f32 reads
+        # per pass; keep it under ~2% of a pass's state traffic
+        xl = (ox1 + 3) - (ox0 - 2)
+        wv = shape[1] // n_b + 2 * h
+        bz = (oz1 + 3) - (oz0 - 2)
+        if n_b * k * 6 * xl * wv * bz * 4 > 512 * (1 << 20):
+            return None
     return XzPlan(c0, c1, n_b, h)
 
 
@@ -123,20 +144,29 @@ def make_pallas_cpml_xz_stepk(
     n_materials: int = 1,
     dtype=jnp.float32,
     interpret: bool = False,
+    oblique=None,
 ):
     """Build step(state_gb, coeffs, sources) advancing ``k_steps``
     absorbing ticks per pass via chained x-zone calls (module
-    docstring). State uses the gb layout (extend_gb_pml_state)."""
+    docstring). State uses the gb layout (extend_gb_pml_state). With
+    ``oblique`` (solver.tfsf_oblique.ObliqueTfsf), the MID call hosts
+    the analytic-correction volumes: the per-pass stack is pre-placed
+    at full window height per lateral block (zeros outside the box's
+    rows in each window), which keeps the in-kernel patch placement
+    static — the reason the gb tier alone could not host oblique."""
     nx, ny, nz = shape
     c0, c1, n_b, h = plan
     nly = ny // n_b
     check = xz_plan(shape, bc, cpml, k_steps, dtype=dtype,
-                    matid=matid is not None, n_b_candidates=(n_b,))
+                    matid=matid is not None, oblique=oblique,
+                    n_b_candidates=(n_b,))
     if check is None or check != plan:
         raise ValueError(
             f"xz CPML kernel does not support {shape=} {k_steps=} "
-            f"{plan=} {cpml=}"
+            f"{plan=} {cpml=} {oblique=}"
         )
+    if oblique is not None and tfsf is not None:
+        raise ValueError("oblique and tfsf are mutually exclusive")
     if with_m and max_sources == 0:
         raise ValueError("with_m requires in-kernel sources (max_sources > 0)")
     k = int(k_steps)
@@ -173,6 +203,47 @@ def make_pallas_cpml_xz_stepk(
         aux_coeffs = tfsf.build_aux(nx, vacuum_row, dt, dx0, constants,
                                     jnp.float32)
     tfsf_planes = tuple(tfsf.span) if tfsf is not None else (0, 0)
+
+    oblique_win = None
+    ob_corr_h = ob_corr_e = None
+    ob_place = None
+    if oblique is not None:
+        from .tfsf_oblique import build_oblique
+
+        ob_sub, ob_corr_h, ob_corr_e = build_oblique(
+            oblique, shape, inv_dx, dt, constants, jnp.float32
+        )
+        oblique_win = (
+            ob_sub[0].start, ob_sub[0].stop - ob_sub[0].start,
+            ob_sub[1].start, ob_sub[1].stop - ob_sub[1].start,
+            ob_sub[2].start, ob_sub[2].stop - ob_sub[2].start,
+        )
+        oby0_g = ob_sub[1].start
+        obby_g = ob_sub[1].stop - ob_sub[1].start
+        W = nly + 2 * h
+
+        def ob_place(stack):
+            """(K, 6, xl, by, bz) global stack -> (n_b*K, 6, xl, W, bz)
+            pre-placed per lateral block: each block's slice holds the
+            correction rows shifted into its window frame (global row
+            oby0_g+r lands at window row oby0_g+r - (jb*nly - h)),
+            zeros elsewhere — halo copies of a row get the same
+            correction their owner applies, so halo recompute stays
+            exact."""
+            parts = []
+            for jb in range(n_b):
+                w0 = jb * nly - h
+                lo_w = max(oby0_g - w0, 0)
+                hi_w = min(oby0_g + obby_g - w0, W)
+                blk = jnp.zeros(stack.shape[:3] + (W, stack.shape[4]),
+                                jnp.float32)
+                if lo_w < hi_w:
+                    src = stack[
+                        :, :, :,
+                        lo_w + w0 - oby0_g: hi_w + w0 - oby0_g]
+                    blk = blk.at[:, :, :, lo_w:hi_w].set(src)
+                parts.append(blk)
+            return jnp.concatenate(parts, axis=0)
 
     # chain order: mid first (fresh outputs), then the slab-end calls
     # donate and fill. dst flags per out: True iff an earlier call in
@@ -214,6 +285,11 @@ def make_pallas_cpml_xz_stepk(
                 dtype_name=jnp.dtype(dtype).name, runtime_tfsf=False,
                 y_halo=h, runtime_ystrips=False, blocks=(n_b, nly, h),
                 x_zone=zone, zone_dst=dst_mask,
+                # only the MID call hosts the oblique correction: the
+                # xz_plan margins keep the commutator subgrid K planes
+                # clear of both cuts, so the slab-end calls never
+                # compute a corrected plane
+                oblique_win=oblique_win if name == "mid" else None,
             )
             chain.append((name, call, x_inputs, strip_inputs, lay, keys,
                           dst_mask))
@@ -255,7 +331,17 @@ def make_pallas_cpml_xz_stepk(
         ).reshape(1, 4)
 
     def _pass_operands(tick, aux_e, aux_h, sources):
-        """Per-pass aux/source rows (gb packing, pallas_cpml_gb.step)."""
+        """Per-pass aux/source rows (gb packing, pallas_cpml_gb.step)
+        plus the pre-placed per-pass oblique stack."""
+        ob_stack = None
+        if oblique is not None:
+            rows = []
+            for lvl in range(k):
+                t = (tick + lvl).astype(jnp.float32) * jnp.float32(dt)
+                ch = ob_corr_h(t)
+                ce = ob_corr_e(t + jnp.float32(0.5 * dt))
+                rows.append(jnp.stack(list(ch) + list(ce)))
+            ob_stack = ob_place(jnp.stack(rows))
         tfsf_rows = None
         if tfsf is not None:
             rows = []
@@ -281,9 +367,9 @@ def make_pallas_cpml_xz_stepk(
                 if with_m:
                     m_rows.append(m_vals.astype(jnp.float32))
             src_rows = jnp.concatenate(rows + m_rows, axis=1)
-        return tfsf_rows, src_rows, aux_e, aux_h
+        return tfsf_rows, src_rows, ob_stack, aux_e, aux_h
 
-    def _run_chain(chain, src, cur, row, tfsf_rows, src_rows):
+    def _run_chain(chain, src, cur, row, tfsf_rows, src_rows, ob_stack):
         """One K-pass: `src` maps field/psi keys to the INTACT
         previous-pass tensors every call reads; `cur` holds the chain
         destinations (donated buffers for flagged outs) and collects
@@ -306,6 +392,8 @@ def make_pallas_cpml_xz_stepk(
                 args += strip_inputs
             if matid is not None:
                 args += [mid_ext] * k
+            if oblique is not None and name == "mid":
+                args += [ob_stack] * k
             for f in _FIELDS:
                 args += [src[f]] * 3
             args += [src["ey"]] * 3 + [src["ez"]] * 3
@@ -339,12 +427,12 @@ def make_pallas_cpml_xz_stepk(
     def step(state: PmlKernelState, coeffs, sources) -> PmlKernelState:
         _check_sources(sources)
         row = _coeff_row(coeffs)
-        tfsf_rows, src_rows, aux_e, aux_h = _pass_operands(
+        tfsf_rows, src_rows, ob_stack, aux_e, aux_h = _pass_operands(
             state.tick, state.aux_e, state.aux_h, sources)
         # seed = pass-through only under the timing-only FDTD_XZ_ONLY
         # knob; every key is overwritten by the full chain
         cur = _run_chain(calls, _src_of(state), _src_of(state), row,
-                         tfsf_rows, src_rows)
+                         tfsf_rows, src_rows, ob_stack)
         return PmlKernelState(
             ex=cur["ex"], ey=cur["ey"], ez=cur["ez"],
             hx=cur["hx"], hy=cur["hy"], hz=cur["hz"],
@@ -371,16 +459,17 @@ def make_pallas_cpml_xz_stepk(
         """Advance 2*k_steps ticks with zero loop-boundary copies."""
         _check_sources(sources)
         row = _coeff_row(coeffs)
-        t_rows1, s_rows1, aux_e, aux_h = _pass_operands(
+        t_rows1, s_rows1, ob1, aux_e, aux_h = _pass_operands(
             state.tick, state.aux_e, state.aux_h, sources)
         src1 = _src_of(state)
-        mid1 = _run_chain(calls, src1, dict(src1), row, t_rows1, s_rows1)
-        t_rows2, s_rows2, aux_e, aux_h = _pass_operands(
+        mid1 = _run_chain(calls, src1, dict(src1), row, t_rows1, s_rows1,
+                          ob1)
+        t_rows2, s_rows2, ob2, aux_e, aux_h = _pass_operands(
             state.tick + k, aux_e, aux_h, sources)
         # pass 2: destinations seeded with the (now-dead) input state's
         # buffers; _run_chain overwrites cur as the chain progresses
         cur = _run_chain(chain2, mid1, _src_of(state), row,
-                         t_rows2, s_rows2)
+                         t_rows2, s_rows2, ob2)
         return PmlKernelState(
             ex=cur["ex"], ey=cur["ey"], ez=cur["ez"],
             hx=cur["hx"], hy=cur["hy"], hz=cur["hz"],

@@ -431,7 +431,6 @@ class Simulation:
             self.backend == "auto"
             and not accumulators
             and self._dense_kernel is None
-            and self._tfsf_oblique is None
             and self._cpml_kernel_eligible()
         ):
             # x-ZONED CPML K-step (pallas_cpml_xz): slab-end zones run
@@ -460,6 +459,7 @@ class Simulation:
                 plan_x = xz_plan(
                     self.grid.shape, self.bc, self._cpml_or_empty, cand,
                     dtype=self.dtype, matid=self.matid is not None,
+                    oblique=self._tfsf_oblique,
                 )
                 if plan_x is None:
                     continue
@@ -493,7 +493,8 @@ class Simulation:
                         inv_dx=tuple(1.0 / d for d in self.grid.dx),
                         dt=self.grid.dt, bc=self.bc,
                         constants=self.grid.constants,
-                        cpml=self._cpml_or_empty, tfsf=self.tfsf,
+                        cpml=self._cpml_or_empty, tfsf=self._tfsf_slab,
+                        oblique=self._tfsf_oblique,
                         max_sources=n_src, with_m=self._has_m_sources(),
                         dtype=self.dtype,
                     )

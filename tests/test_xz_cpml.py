@@ -189,6 +189,73 @@ def test_xz_cpml_tfsf_box():
     _assert_state_equal(ref, got)
 
 
+def test_xz_oblique_matches_plain_kernel():
+    """Oblique TF/SF riding the xz tier: the pre-placed per-block
+    correction stack (full window height, zeros outside the box's rows
+    per window) must reproduce the plain oblique kernel to f32
+    rounding — box straddling the y block cut, chained double passes."""
+    from fdtd_tpu.solver.tfsf_oblique import ObliqueTfsf
+
+    shape, k = (48, 32, 256), 2
+    cpml = Cpml(thickness=((4, 4), (4, 4), (4, 4)))
+    res = ft.Resolution.courant(1.0, ft.REDUCED, safety=0.9)
+    dt = res.temporal
+    ob = ObliqueTfsf(
+        box=((14, 32), (10, 24), (100, 150)),  # y span straddles 16
+        direction=(1.0, 0.7, -0.4),
+        polarization=(0.0, 0.2, 1.0),
+        waveform=ft.GaussianPulse(10 * dt, 4 * dt),
+    )
+    bc = BoundaryConditions()
+    plan = xz_plan(shape, bc, cpml, k, oblique=ob)
+    assert plan is not None
+    table = ft.coefficient_table([ft.VACUUM], res, ft.REDUCED)
+    coeffs = ft.CellCoefficients.uniform(table[0], jnp.float32)
+    src = ft.SourceSet.build(
+        [ft.PointSource((24, 16, 128), ft.GaussianPulse(4 * dt, 2 * dt),
+                        j=(0.3, -0.2, 1.0))]
+    )
+    kw = dict(max_sources=1, interpret=True, inv_dx=(1.0, 1.0, 1.0),
+              dt=dt, constants=ft.REDUCED, cpml=cpml, oblique=ob)
+    ref_step = pallas_cpml_stepk_fn(shape, k, **kw)
+    ref = init_pml_kernel_state(shape, jnp.float32, cpml=cpml)
+    for _ in range(6):
+        ref = ref_step(ref, coeffs, src)
+    xz_step = make_pallas_cpml_xz_stepk(shape, k, plan, **kw)
+    st = extend_gb_pml_state(
+        init_pml_kernel_state(shape, jnp.float32, cpml=cpml), plan.n_b,
+        cpml=cpml)
+    for _ in range(3):
+        st = xz_step.step2(st, coeffs, src)
+    got = collapse_gb_pml_state(st, plan.n_b, cpml=cpml)
+    assert float(jnp.abs(ref.ez).max()) > 0
+    _assert_state_equal(ref, got)
+
+
+def test_xz_oblique_plan_margins():
+    from fdtd_tpu.solver.tfsf_oblique import ObliqueTfsf
+
+    bc = BoundaryConditions()
+    cpml = Cpml(thickness=((4, 4), (4, 4), (4, 4)))
+
+    def ob_at(x0, x1):
+        return ObliqueTfsf(
+            box=((x0, x1), (10, 24), (100, 150)),
+            direction=(1.0, 0.7, -0.4),
+            polarization=(0.0, 0.2, 1.0),
+            waveform=ft.GaussianPulse(10.0, 4.0),
+        )
+
+    # subgrid reaching into the lo call's computed planes -> reject
+    assert xz_plan((48, 32, 256), bc, cpml, 2,
+                   oblique=ob_at(6, 32)) is None
+    # subgrid reaching into the hi call's computed planes -> reject
+    assert xz_plan((48, 32, 256), bc, cpml, 2,
+                   oblique=ob_at(14, 41)) is None
+    assert xz_plan((48, 32, 256), bc, cpml, 2,
+                   oblique=ob_at(14, 32)) is not None
+
+
 def test_xz_step2_matches_two_passes():
     # the donation-threaded double pass (pass 2 chains into the input
     # state's buffers) must be BIT-identical to two single passes —
