@@ -1858,11 +1858,12 @@ def _section_cpml512(n_steps: int) -> None:
                 grid.num_cells * s_calls * t_per / dt_wall,
                 grid.num_cells * s_calls * t_per / dt_min, spread, bpc)
 
-    # oblique TF/SF at 512^3 (BASELINE config 3 at scale): the gb/blocked
-    # tiers exclude oblique (hosting the correction patch across lateral
-    # block cuts needs traced-position stitching, computed to LOSE vs the
-    # plain ladder — docs/ARCHITECTURE.md oblique notes), so this measures
-    # the plain-K fallback such runs actually get
+    # oblique TF/SF at 512^3 (BASELINE config 3 at scale), BIG-box
+    # regime: the xz tier's pre-placed per-block stack (round 5) caps
+    # out around ~50^3 boxes (stack traffic grows as box^2 x window),
+    # so a 120^3 box still takes the plain-K fallback — this section
+    # keeps that regime's cost visible; _tier_oblique_xz below measures
+    # the small-box xz path real scatterer runs get
     def _tier_oblique():
         from fdtd_tpu.solver.pallas_cpml_k import supports_cpml_k
         from fdtd_tpu.solver.tfsf_oblique import ObliqueTfsf

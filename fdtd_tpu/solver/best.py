@@ -30,11 +30,14 @@ def best_multi_step_fn(
 ):
     """Fastest (step_fn, k) advancing k ticks per call.
 
-    Prefers the K-step temporally-blocked kernel (K=10 is the measured
-    sweet spot at 512^3: ~42 Gcell/s f32 vs 6.5 for the single-step kernel);
-    falls back through smaller K and finally the single-step path. The
-    returned function has signature step(state, coeffs, sources) and
-    advances ``k`` ticks (tick += k).
+    Prefers the K-step temporally-blocked kernel; falls back through
+    smaller K and finally the single-step path. At big lateral planes
+    (>= 512^2) K=8 leads the ladder: measured round 5 on v5e at 512^3
+    f32, K=8 runs 36.5 Gcell/s vs K=10's 32.5 — the shallower pipeline
+    relieves VMEM pressure and schedules better; smaller planes keep
+    the K=10-first ladder (41+ at 256^3). The returned function has
+    signature step(state, coeffs, sources) and advances ``k`` ticks
+    (tick += k).
     """
     import jax
     import jax.numpy as jnp
@@ -45,7 +48,14 @@ def best_multi_step_fn(
         try:
             from .pallas_stepk import pallas_stepk_fn, supports_k
 
-            for k in range(max_k, 1, -1):
+            ladder = list(range(max_k, 1, -1))
+            # measured for f32 only; bf16 keeps the K=10-first ladder
+            # (39.6 Gcell/s at 512^3, unmeasured at K=8)
+            if (shape[1] * shape[2] >= 512 * 512 and 8 in ladder
+                    and jnp.dtype(dtype) == jnp.float32):
+                ladder.remove(8)
+                ladder.insert(0, 8)
+            for k in ladder:
                 if supports_k(shape, bc, k, dtype=dtype):
                     return (
                         pallas_stepk_fn(

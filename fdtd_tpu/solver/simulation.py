@@ -691,8 +691,14 @@ class Simulation:
             # matid-mode kernels unroll K stages x K_mat selects. Round 1
             # capped K at 6 (K=10 Mosaic compiles took ~2 min); on the
             # round-2 stack K=10 compiles in ~15 s and runs ~15% faster
-            # than K=6, so matid gets the full ladder too.
-            k_candidates = (10, 8, 6, 5, 4, 3, 2)
+            # than K=6, so matid gets the full ladder too. At >= 512^2
+            # lateral planes K=8 leads (round 5: 36.5 vs 32.5 Gcell/s
+            # at 512^3 f32 — shallower pipeline, less VMEM pressure).
+            if (self.grid.shape[1] * self.grid.shape[2] >= 512 * 512
+                    and jnp.dtype(self.dtype) == jnp.float32):
+                k_candidates = (8, 10, 6, 5, 4, 3, 2)
+            else:
+                k_candidates = (10, 8, 6, 5, 4, 3, 2)
             for cand in k_candidates:
                 cadence = probe_every if probes else n_steps
                 if (

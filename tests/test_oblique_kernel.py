@@ -186,15 +186,17 @@ def test_oblique_kstep_with_matid_matches_engine():
 
 
 def test_sharded_dispatch_rejects_oblique_loudly():
-    """Multi-chip paths don't host ObliqueTfsf (correction volumes are
-    global-coordinate); the dispatcher must say so instead of dying on
-    a missing .span deep in the engine build."""
+    """Sharded ObliqueTfsf rides the 1-D-mesh kernel tier (round 5);
+    a config the kernel can't fit (supports_sharded_cpml False at this
+    shape/mesh) must still fail LOUDLY instead of dying on a missing
+    .span deep in the engine build."""
     from fdtd_tpu.parallel.best import best_sharded_absorbing_step
     from fdtd_tpu.parallel.topology import make_mesh
 
     dt, _, tfsf = _setup()
     mesh = make_mesh(1, ("x",))
-    with pytest.raises(NotImplementedError, match="single-chip"):
+    with pytest.raises(NotImplementedError,
+                       match="sharded|decomposition"):
         best_sharded_absorbing_step(
             mesh, SHAPE, inv_dx=(1.0, 1.0, 1.0), dt=dt,
             constants=ft.REDUCED, cpml=CPML, tfsf=tfsf)
