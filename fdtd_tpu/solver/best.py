@@ -49,10 +49,9 @@ def best_multi_step_fn(
             from .pallas_stepk import pallas_stepk_fn, supports_k
 
             ladder = list(range(max_k, 1, -1))
-            # measured for f32 only; bf16 keeps the K=10-first ladder
-            # (39.6 Gcell/s at 512^3, unmeasured at K=8)
-            if (shape[1] * shape[2] >= 512 * 512 and 8 in ladder
-                    and jnp.dtype(dtype) == jnp.float32):
+            # measured round 5 on v5e at 512^3: f32 36.5 (K=8) vs 32.5
+            # (K=10), bf16 44.0 vs 39.6 — K=8 leads at big planes
+            if shape[1] * shape[2] >= 512 * 512 and 8 in ladder:
                 ladder.remove(8)
                 ladder.insert(0, 8)
             for k in ladder:

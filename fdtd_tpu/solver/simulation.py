@@ -694,8 +694,9 @@ class Simulation:
             # than K=6, so matid gets the full ladder too. At >= 512^2
             # lateral planes K=8 leads (round 5: 36.5 vs 32.5 Gcell/s
             # at 512^3 f32 — shallower pipeline, less VMEM pressure).
-            if (self.grid.shape[1] * self.grid.shape[2] >= 512 * 512
-                    and jnp.dtype(self.dtype) == jnp.float32):
+            if self.grid.shape[1] * self.grid.shape[2] >= 512 * 512:
+                # round 5, v5e 512^3: f32 36.5 (K=8) vs 32.5 (K=10),
+                # bf16 44.0 vs 39.6
                 k_candidates = (8, 10, 6, 5, 4, 3, 2)
             else:
                 k_candidates = (10, 8, 6, 5, 4, 3, 2)
