@@ -61,7 +61,8 @@ _SLOW_TESTS = {
 # 1-CPU box): one representative per mechanism — 1-D halo exactness,
 # 2-D mesh, gb blocks, z-cut rotation, oblique, the donated double pass
 # — so fdtd_tpu/parallel/ and kernel-halo edits can be gated in ~10 min
-# with `-m sharded_smoke` before a full tier run.
+# with `-m sharded_smoke` before a full tier run (measured 18:38
+# on a loaded 1-CPU box, round 5).
 _SHARDED_SMOKE = {
     "test_sharded_cpml_all_axes_matches_single_device",
     "test_sharded_cpml_2d_mesh_matches_single_device",
